@@ -1,0 +1,160 @@
+"""Spark-side analysis stage: extraction, doc-id assignment, tokenization.
+
+All kernels are Arrow-batched (``mapInPandas`` / ``pandas_udf``) wrapping
+the pinned pure functions in :mod:`sparkfts.analysis` — no per-row Python
+UDFs on the hot path (BASELINE.json ``input_hint``). This is the Spark
+realization of what the reference delegates to Elasticsearch's analyzers
+(reference ElasticsearchToNeo4jSync.py:92-99) plus its own lowercase
+normalization (reference ElasticsearchToNeo4jSync.py:94).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkfts.analysis import TOKEN_RE, extract_text
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("doclen", T.IntegerType(), False),
+    ]
+)
+
+DOCMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("doclen", T.IntegerType(), False),
+    ]
+)
+
+
+def sha1_doc_id(urls: pd.Series) -> pd.Series:
+    """Deterministic 63-bit doc id: big-endian sha1(url)[0:8] >> 1.
+
+    Hash-derived (no global sort / zipWithIndex) so id assignment is
+    embarrassingly parallel and stable across runs, partitionings and
+    cluster sizes — a requirement for resumable builds and rank-identity
+    tie-breaks at 10^12 docs. The pure-Python oracle computes the same.
+    """
+    return pd.Series(
+        [
+            int.from_bytes(hashlib.sha1(u.encode("utf-8")).digest()[:8], "big") >> 1
+            for u in urls
+        ],
+        index=urls.index,
+        dtype="int64",
+    )
+
+
+@F.pandas_udf(T.LongType())
+def doc_id_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover - thin wrapper
+    return sha1_doc_id(urls)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched wrapper of the pinned extraction (byte-identical to oracle)."""
+    return html.map(extract_text)
+
+
+def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """Vectorized batch tokenize -> one row per (doc, distinct term).
+
+    pandas str ops + numpy grouping; the only per-row work is the regex
+    findall itself (C-level via ``Series.str.findall``).
+    """
+    toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+    doclen = toks.str.len().astype("int32")
+    n_per_doc = doclen.to_numpy()
+    if n_per_doc.sum() == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int32"),
+                "doclen": pd.Series([], dtype="int32"),
+            }
+        )
+    doc_ids = np.repeat(pdf[id_col].to_numpy(dtype="int64"), n_per_doc)
+    dls = np.repeat(doclen.to_numpy(), n_per_doc)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    # group by (doc, term): sort by term within doc blocks via pandas groupby
+    out = (
+        pd.DataFrame(
+            {"doc_id": doc_ids, "term": flat_terms, "doclen": dls}
+        )
+        .groupby(["doc_id", "term", "doclen"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype("int32")
+    return out[["doc_id", "term", "tf", "doclen"]]
+
+
+def tokenize_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, text)`` -> ``(doc_id, term, tf, doclen)`` (one row per distinct term).
+
+    tf is computed inside the Arrow batch (map-side), so the downstream
+    shuffle moves one row per *distinct* (doc, term) — not one per token
+    occurrence. At web scale that's the difference between shuffling
+    ~10^14 token rows and ~10^13 distinct-pair rows.
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _tokenize_batch(pdf, "doc_id", "text")
+
+    return src.mapInPandas(gen, TOKENS_SCHEMA)
+
+
+def prepare_pages(
+    pages: DataFrame, validate_extraction: bool = False
+) -> DataFrame:
+    """Canonical webtext table -> ``(doc_id, url, text, lang, warc_ts)``.
+
+    Assigns hash doc ids; optionally re-extracts from ``html`` and asserts
+    byte-identity with the stored ``text`` column (the input_hint
+    invariant) by failing the job on the first mismatching url.
+    """
+    out = pages.withColumn("doc_id", doc_id_udf(F.col("url")))
+    if validate_extraction:
+        out = out.withColumn("_re_extracted", extract_text_udf(F.col("html")))
+        mismatch = out.where(F.col("_re_extracted") != F.col("text"))
+        bad = mismatch.select("url").limit(1).collect()
+        if bad:
+            raise AssertionError(
+                f"extraction not byte-identical for url={bad[0][0]!r}"
+            )
+        out = out.drop("_re_extracted")
+    return out.select("doc_id", "url", "text", "lang", "warc_ts")
+
+
+def build_docmap(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, url, doclen)`` — per-doc metadata used by scoring."""
+
+    @F.pandas_udf(T.IntegerType())
+    def doclen_udf(text: pd.Series) -> pd.Series:
+        return (
+            text.fillna("").str.lower().str.count(TOKEN_RE.pattern).astype("int32")
+        )
+
+    return pages_with_ids.select(
+        "doc_id", "url", doclen_udf(F.col(text_col)).alias("doclen")
+    )

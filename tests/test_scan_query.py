@@ -1,0 +1,113 @@
+"""Rank-identity of the scan-mode engine vs the pure-Python oracle.
+
+This is the driver's core check (SURVEY.md §5.3 item 2): over the
+deterministic synthetic corpus and the full 50-query reference set, the
+engine's top-k docIDs must equal the oracle's exactly, and scores must
+match to <=1e-9 relative (in practice bit-for-bit, since summation order
+is pinned on both sides).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle.bm25 import BM25Oracle
+from sparkfts.stats import avgdl_of
+from sparkfts.synth import gen_corpus
+from sparkfts.tokens import prepare_pages, sha1_doc_id, tokenize_docs
+from sparkfts.query import bm25_scan, bm25_scan_batch
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    pages = spark.createDataFrame(corpus.to_pandas())
+    prepared = prepare_pages(pages, validate_extraction=True)
+    tokens = tokenize_docs(prepared).cache()
+    n_docs = corpus.num_rows
+    avgdl = avgdl_of(tokens, n_docs)
+    return tokens, n_docs, avgdl
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    import pandas as pd
+
+    urls = pd.Series(corpus.column("url").to_pylist())
+    ids = sha1_doc_id(urls)
+    texts = corpus.column("text").to_pylist()
+    return BM25Oracle(zip(ids.tolist(), texts))
+
+
+def _check(expected, got_rows):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, se), (_, sg) in zip(expected, got):
+        assert sg == pytest.approx(se, rel=1e-9, abs=1e-12)
+
+
+def test_rank_identity_all_queries(engine, oracle, queries):
+    tokens, n_docs, avgdl = engine
+    assert oracle.avgdl == avgdl  # identical float on both sides
+    res = bm25_scan_batch(
+        tokens, [(q["query_id"], q["query"], q["k"]) for q in queries],
+        n_docs, avgdl,
+    ).collect()
+    by_qid: dict[int, list] = {}
+    for r in res:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    n_bitwise = 0
+    for q in queries:
+        expected = oracle.search(q["query"], k=q["k"])
+        got = sorted(by_qid.get(q["query_id"], []), key=lambda r: r["rank"])
+        _check(expected, got)
+        n_bitwise += sum(
+            1 for (d, s), r in zip(expected, got) if s == r["score"]
+        )
+    assert n_bitwise > 0  # pinned summation order should give exact floats
+
+
+def test_rank_identity_or_mode(engine, oracle, queries):
+    tokens, n_docs, avgdl = engine
+    qs = [q for q in queries if q["query_id"] < 12]
+    res = bm25_scan_batch(
+        tokens, [(q["query_id"], q["query"], q["k"]) for q in qs],
+        n_docs, avgdl, mode="or",
+    ).collect()
+    by_qid: dict[int, list] = {}
+    for r in res:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for q in qs:
+        expected = oracle.search(q["query"], k=q["k"], mode="or")
+        got = sorted(by_qid.get(q["query_id"], []), key=lambda r: r["rank"])
+        _check(expected, got)
+
+
+def test_single_query_wrapper(engine, oracle):
+    tokens, n_docs, avgdl = engine
+    rows = bm25_scan(tokens, "the", 5, n_docs, avgdl).collect()
+    expected = oracle.search("the", k=5)
+    _check(expected, rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_empty_query_and_no_hits(engine, spark):
+    tokens, n_docs, avgdl = engine
+    assert bm25_scan(tokens, "", 10, n_docs, avgdl).count() == 0
+    assert bm25_scan(tokens, "zzqqxxnotaword", 10, n_docs, avgdl).count() == 0
+
+
+def test_tokenize_docs_matches_pure(spark):
+    from sparkfts.analysis import tokenize
+
+    pdf = gen_corpus(30, seed=9).to_pandas()[["url", "text"]]
+    pdf["doc_id"] = range(30)
+    df = spark.createDataFrame(pdf)
+    rows = tokenize_docs(df).collect()
+    from collections import Counter
+
+    for i, text in enumerate(pdf["text"]):
+        toks = tokenize(text)
+        mine = {r["term"]: r["tf"] for r in rows if r["doc_id"] == i}
+        assert mine == dict(Counter(toks))
+        dls = {r["doclen"] for r in rows if r["doc_id"] == i}
+        assert dls == ({len(toks)} if toks else set())
