@@ -1,0 +1,149 @@
+"""Command-line entry points — the ``spark-submit --py-files`` surface.
+
+Usage (local sandbox; on a cluster replace ``python -m`` with
+``spark-submit --py-files dist/sparkfts.zip sparkfts/cli.py ...``):
+
+  python -m sparkfts.cli synth  --out /tmp/pages.parquet --docs 5000
+  python -m sparkfts.cli build  --input /tmp/pages.parquet --index /tmp/idx \
+      --shards 8 [--resume] [--cores 32]
+  python -m sparkfts.cli query  --index /tmp/idx --query "hello world" \
+      [--k 10] [--mode and|or] [--no-blockmax]
+  python -m sparkfts.cli bench  --input /tmp/pages.parquet --index /tmp/idx \
+      --cores 8,32
+
+The reference's equivalent surface is env-var configured ``startProcess``
+(reference ElasticsearchToNeo4jSync.py:305-344, README.md:60-88); here
+everything is explicit CLI args — no secrets, no network.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(cores: str, app: str):
+    from sparkfts.session import get_spark
+
+    return get_spark(cores=cores, app_name=app)
+
+
+def cmd_synth(args: argparse.Namespace) -> None:
+    from sparkfts.synth import write_corpus
+
+    t0 = time.time()
+    tbl = write_corpus(args.out, args.docs, seed=args.seed)
+    print(
+        json.dumps(
+            {"docs": tbl.num_rows, "path": args.out, "sec": round(time.time() - t0, 2)}
+        )
+    )
+
+
+def cmd_build(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-build")
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    if args.resume:
+        from sparkfts.checkpoint import resumable_build
+
+        meta = resumable_build(
+            pages,
+            args.index,
+            n_shards=args.shards,
+            n_tbuckets=args.tbuckets,
+            shards_per_job=args.shards_per_job,
+            validate_extraction=args.validate,
+        )
+    else:
+        from sparkfts.index import build_index
+
+        meta = build_index(
+            pages,
+            args.index,
+            n_shards=args.shards,
+            n_tbuckets=args.tbuckets,
+            validate_extraction=args.validate,
+        )
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n_docs": meta["n_docs"],
+                "avgdl": round(meta["avgdl"], 4),
+                "sec": round(sec, 2),
+                "docs_per_sec": round(meta["n_docs"] / sec, 1) if sec else None,
+                "index": args.index,
+            }
+        )
+    )
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-query")
+    from sparkfts.query import bm25_index_batch
+
+    t0 = time.time()
+    rows = bm25_index_batch(
+        spark,
+        args.index,
+        [(0, args.query, args.k)],
+        mode=args.mode,
+        use_blockmax=not args.no_blockmax,
+        resolve_urls=True,
+    ).collect()
+    sec = time.time() - t0
+    for r in rows:
+        print(
+            json.dumps(
+                {
+                    "rank": r["rank"],
+                    "doc_id": r["doc_id"],
+                    "url": r["url"],
+                    "score": r["score"],
+                }
+            )
+        )
+    print(json.dumps({"hits": len(rows), "sec": round(sec, 3)}), file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="sparkfts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate deterministic webtext corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--docs", type=int, default=5000)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_synth)
+
+    b = sub.add_parser("build", help="build inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--tbuckets", type=int, default=16)
+    b.add_argument("--cores", default="*")
+    b.add_argument("--resume", action="store_true",
+                   help="resumable build with per-shard checkpoints")
+    b.add_argument("--shards-per-job", type=int, default=2)
+    b.add_argument("--validate", action="store_true",
+                   help="assert extract_text(html) == text per url")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["and", "or"], default="and")
+    q.add_argument("--no-blockmax", action="store_true")
+    q.add_argument("--cores", default="*")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,12 +24,12 @@ _U64_7 = np.uint64(7)
 _U64_0x7F = np.uint64(0x7F)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative integers (uint64 range)."""
+def _varint_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core LEB128 encoder -> (uint8 buffer, bytes-per-value array)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> _U64_7
@@ -52,7 +52,48 @@ def encode_varint(values: np.ndarray) -> bytes:
         more = (nbytes[active] > i + 1).astype(np.uint8) << 7
         out[starts[active] + i] = payload | more
         cur[active] = cur[active] >> _U64_7
-    return out.tobytes()
+    return out, nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative integers (uint64 range)."""
+    buf, _ = _varint_encode_arr(values)
+    return buf.tobytes()
+
+
+def encode_varint_grouped(
+    values: np.ndarray, group_starts: np.ndarray
+) -> list[bytes]:
+    """Encode MANY groups in one vectorized pass -> one blob per group.
+
+    ``group_starts`` are row offsets of each group within ``values``
+    (strictly increasing, first element 0). The whole array is encoded
+    once; per-group blobs are byte-slices of the shared buffer. This is
+    what makes the streaming index builder O(vectorized passes) instead of
+    O(one pandas UDF call per posting list).
+    """
+    buf, nbytes = _varint_encode_arr(values)
+    if nbytes.size == 0:
+        return [b"" for _ in range(len(group_starts))]
+    gs = np.asarray(group_starts, dtype=np.int64)
+    glens = np.add.reduceat(nbytes, gs)
+    ends = np.cumsum(glens)
+    starts = ends - glens
+    return [buf[s:e].tobytes() for s, e in zip(starts, ends)]
+
+
+def delta_encode_grouped(
+    sorted_values: np.ndarray, group_starts: np.ndarray
+) -> np.ndarray:
+    """Per-group delta encoding (first of each group absolute), vectorized."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    out[group_starts] = v[group_starts]
+    return out
 
 
 def decode_varint(buf: bytes) -> np.ndarray:

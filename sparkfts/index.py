@@ -1,0 +1,347 @@
+"""Inverted-index build job: one sorted shuffle -> streaming posting encode.
+
+This is the engine's core artifact (SURVEY.md §1.3): what Lucene maintains
+behind the reference's single delegated search call
+(reference ElasticsearchHandler.py:69), rebuilt as Spark dataflow.
+
+Dataflow (SURVEY.md §4.3):
+
+  pages (url, warc_ts, html, text, lang)
+    -> prepare_pages: sha1 doc ids (+ optional byte-identity validation)
+    -> tokenize_docs: (doc_id, term, tf, doclen)   [Arrow kernel, map-side tf]
+    -> stats pass: N, avgdl (exact ints -> one float64 division)
+    -> repartition(P, term, shard) + sortWithinPartitions(term, shard, doc_id)
+       -- THE one wide shuffle of the build
+    -> mapInPandas streaming encoder: walks each partition's sorted rows,
+       emits one compressed postings row per (term, shard) group, encoding
+       MANY groups per Arrow batch with fully vectorized grouped codecs
+       (sparkfts.codec.encode_varint_grouped) — no per-group UDF overhead
+    -> write postings partitioned by term-hash bucket (query-time partition
+       pruning on terms), docmap partitioned by shard, meta.json
+
+Skew handling (north rule): df(term) is Zipfian — a head term can occur in
+half of all documents, so a plain term-keyed shuffle would melt one
+reducer. The shuffle key here is the SALTED term key: ``(term, shard)``
+with ``shard = pmod(doc_id, n_shards)`` — a deterministic doc-space salt
+that (a) bounds any single posting group to ~df/n_shards entries, (b) is
+sized from data (raise n_shards with corpus size; ``salt_check`` reports
+the df skew so misconfiguration is loud), and (c) doubles as the
+query-time parallelism unit, so no per-term reconciliation merge is needed
+afterwards — shard-local top-k merges globally instead (SURVEY.md §2.5).
+Within a partition, sorting is Spark's external sort (spills, no OOM), and
+the streaming encoder holds at most one group in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfts import BLOCK_SIZE, BM25_B, BM25_K1
+from sparkfts.codec import (
+    delta_encode_grouped,
+    encode_varint_grouped,
+)
+from sparkfts.stats import avgdl_of, term_df
+from sparkfts.tokens import build_docmap, prepare_pages, tokenize_docs
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, df_shard long, doc_ids binary, tfs binary, "
+    "doclens binary, "
+    "block_first_doc array<long>, block_max_tfn array<double>, tbucket int"
+)
+
+META_FILE = "meta.json"
+
+
+def term_bucket(term: str, n_tbuckets: int) -> int:
+    """Stable term -> partition bucket (sha1-based; same on driver/executor)."""
+    return (
+        int.from_bytes(hashlib.sha1(term.encode()).digest()[:4], "big")
+        % n_tbuckets
+    )
+
+
+def _encode_group_block(
+    pdf: pd.DataFrame,
+    starts: np.ndarray,
+    avgdl: float,
+    n_tbuckets: int,
+    block_size: int,
+) -> pd.DataFrame:
+    """Encode a batch of complete (term, shard) groups -> postings rows.
+
+    ``pdf`` rows are sorted by (term, shard, doc_id); ``starts`` are the
+    first-row offsets of each group. All heavy work is vectorized across
+    every group in the batch.
+    """
+    from sparkfts.wand import tf_norm
+
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
+    dls = pdf["doclen"].to_numpy(dtype=np.int64).astype(np.uint64)
+    n = ids.size
+    g = starts.size
+    lens = np.diff(np.append(starts, n))
+
+    deltas = delta_encode_grouped(ids.astype(np.uint64), starts)
+    ids_blobs = encode_varint_grouped(deltas, starts)
+    tfs_blobs = encode_varint_grouped(tfs, starts)
+    dls_blobs = encode_varint_grouped(dls, starts)
+
+    # block boundaries across all groups: every group contributes
+    # ceil(len/block_size) blocks starting at its own offset
+    nb = (lens + block_size - 1) // block_size
+    block_starts = np.concatenate(
+        [s + np.arange(0, ln, block_size) for s, ln in zip(starts, lens)]
+    )
+    tfn = tf_norm(tfs, dls, avgdl)
+    bmax_all = np.maximum.reduceat(tfn, block_starts)
+    bfirst_all = ids[block_starts]
+    bends = np.cumsum(nb)
+    bstarts = bends - nb
+
+    terms = pdf["term"].to_numpy()[starts]
+    shards = pdf["shard"].to_numpy()[starts]
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "shard": shards.astype("int32"),
+            "df_shard": lens.astype("int64"),
+            "doc_ids": ids_blobs,
+            "tfs": tfs_blobs,
+            # per-posting doclens ('norms' inlined, ~1 varint byte each):
+            # scoring needs no doc-table lookup and segment merges can
+            # recompute block metadata under a changed global avgdl
+            "doclens": dls_blobs,
+            "block_first_doc": [
+                bfirst_all[s:e].tolist() for s, e in zip(bstarts, bends)
+            ],
+            "block_max_tfn": [
+                bmax_all[s:e].tolist() for s, e in zip(bstarts, bends)
+            ],
+            "tbucket": np.fromiter(
+                (term_bucket(t, n_tbuckets) for t in terms),
+                dtype=np.int32,
+                count=g,
+            ),
+        }
+    )
+
+
+def _make_postings_stream(avgdl: float, n_tbuckets: int, block_size: int):
+    """Streaming encoder over a partition's (term, shard, doc_id)-sorted rows.
+
+    Carries the trailing (possibly incomplete) group across Arrow batch
+    boundaries; memory high-water mark is one posting group plus one batch.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            change = np.empty(len(pdf), bool)
+            change[0] = True
+            np.logical_or(
+                terms[1:] != terms[:-1], shards[1:] != shards[:-1],
+                out=change[1:],
+            )
+            starts = np.nonzero(change)[0]
+            # hold back the last group — it may continue in the next batch
+            pending = pdf.iloc[starts[-1] :]
+            if starts.size > 1:
+                yield _encode_group_block(
+                    pdf.iloc[: starts[-1]],
+                    starts[:-1],
+                    avgdl,
+                    n_tbuckets,
+                    block_size,
+                )
+        if pending is not None and len(pending):
+            yield _encode_group_block(
+                pending.reset_index(drop=True),
+                np.array([0], dtype=np.int64),
+                avgdl,
+                n_tbuckets,
+                block_size,
+            )
+
+    return gen
+
+
+def build_index(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    n_tbuckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    build_partitions: int | None = None,
+    validate_extraction: bool = False,
+    shard_filter: list[int] | None = None,
+    segment: str | None = None,
+    fixed_stats: tuple[int, float] | None = None,
+) -> dict:
+    """Build (or extend, see ``segment``) an index under ``out_dir``.
+
+    ``shard_filter``: build only these doc-space shards (resumable builds,
+    sparkfts.checkpoint drives this); requires ``segment`` so re-runs are
+    idempotent overwrites, and ``fixed_stats`` so every batch scores
+    against the same global normalization.
+
+    Returns the meta dict (also written to ``meta.json``).
+    """
+    if shard_filter is not None and fixed_stats is None:
+        raise ValueError(
+            "shard-filtered builds must pin global (n_docs, avgdl) via "
+            "fixed_stats — per-batch stats would skew BM25 normalization"
+        )
+    if shard_filter is not None and segment is None:
+        raise ValueError(
+            "shard-filtered builds must write into a named segment so that "
+            "re-running a failed batch is an idempotent overwrite"
+        )
+    spark = pages.sparkSession
+    prepared = prepare_pages(pages, validate_extraction=validate_extraction)
+    prepared = prepared.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    if shard_filter is not None:
+        prepared = prepared.where(F.col("shard").isin(list(shard_filter)))
+    prepared = prepared.cache()
+
+    tokens = tokenize_docs(prepared).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    if fixed_stats is not None:
+        n_docs, avgdl = int(fixed_stats[0]), float(fixed_stats[1])
+    else:
+        n_docs = prepared.count()
+        avgdl = avgdl_of(tokens, n_docs) if n_docs else 0.0
+
+    if build_partitions is None:
+        build_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    postings = (
+        tokens.repartition(build_partitions, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(
+            _make_postings_stream(avgdl, n_tbuckets, block_size),
+            POSTINGS_SCHEMA,
+        )
+    )
+
+    seg = os.path.join(out_dir, "segments", segment) if segment else out_dir
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(seg, "postings"))
+    )
+    docmap = build_docmap(prepared).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    (
+        docmap.repartition(n_shards, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(seg, "docmap"))
+    )
+
+    meta = {
+        "version": 1,
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_shards": n_shards,
+        "n_tbuckets": n_tbuckets,
+        "block_size": block_size,
+        "k1": BM25_K1,
+        "b": BM25_B,
+        "segment": segment,
+    }
+    os.makedirs(seg, exist_ok=True)
+    tmp = os.path.join(seg, META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(seg, META_FILE))
+    prepared.unpersist()
+    return meta
+
+
+def salt_check(tokens: DataFrame, n_shards: int, top: int = 10) -> list[dict]:
+    """Report the largest (term, shard) groups — the df-skew visibility tool.
+
+    At 10^12 docs, run this on a sample to size n_shards so the max group
+    stays within executor memory (SURVEY.md §7.3 'Skew').
+    """
+    dfs = term_df(tokens, salted=True)
+    rows = dfs.orderBy(F.desc("df")).limit(top).collect()
+    return [
+        {
+            "term": r["term"],
+            "df": int(r["df"]),
+            "max_group_rows": int(r["df"]) // n_shards + 1,
+        }
+        for r in rows
+    ]
+
+
+def read_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, META_FILE)) as f:
+        return json.load(f)
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    """Root (if materialized) + committed segment dirs, in stable order.
+
+    Order defines segment precedence for doc_id dedup at merge time:
+    later entries win (root is oldest, segments sorted by name).
+    """
+    out = []
+    if os.path.isdir(os.path.join(index_dir, "postings")):
+        out.append(index_dir)
+    segs = os.path.join(index_dir, "segments")
+    if os.path.isdir(segs):
+        for name in sorted(os.listdir(segs)):
+            d = os.path.join(segs, name)
+            if os.path.isdir(os.path.join(d, "postings")):
+                out.append(d)
+    return out
+
+
+def _load_union(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
+    from functools import reduce
+
+    dirs = segment_dirs(index_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no {sub} under {index_dir}")
+    dfs = [
+        spark.read.parquet(os.path.join(d, sub)).withColumn(
+            "segment_id", F.lit(i)
+        )
+        for i, d in enumerate(dirs)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Postings across root + segments (disjoint doc spaces per shard batch;
+    overlapping doc sets must be compacted by sparkfts.merge first)."""
+    return _load_union(spark, index_dir, "postings")
+
+
+def load_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
+    return _load_union(spark, index_dir, "docmap")

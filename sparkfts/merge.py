@@ -1,0 +1,145 @@
+"""Segment compaction: idempotent sorted merge of posting segments.
+
+North rule: "segment merge is an idempotent sorted-merge job". Segments
+accumulate from resumable shard-batch builds (disjoint doc spaces) and
+from incremental corpus additions (overlapping shard spaces, possibly
+re-crawled urls -> duplicate doc_ids). ``merge_segments`` compacts
+everything into the root single-segment layout:
+
+  - per (term, shard): decode every segment's sorted run, concatenate,
+    stable-sort by (doc_id); on duplicate doc_ids the HIGHEST segment_id
+    wins (newest crawl replaces oldest — FIXTURES.md §4);
+  - block-max metadata is recomputed under the (possibly updated) global
+    avgdl, so WAND stays safe after corpus growth;
+  - docmap rows are deduped the same way;
+  - merge ∘ merge = merge: running on an already-compacted index decodes
+    one run per (term, shard) and re-emits identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from sparkfts import BLOCK_SIZE
+from sparkfts.codec import decode_varint, delta_decode, delta_encode, encode_varint
+from sparkfts.index import (
+    POSTINGS_SCHEMA,
+    load_docmap,
+    load_postings,
+    read_meta,
+    segment_dirs,
+    term_bucket,
+)
+from sparkfts.wand import block_metadata, tf_norm
+
+
+def _make_merge_kernel(avgdl: float, n_tbuckets: int, block_size: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = pdf["segment_id"].to_numpy()
+        ids = np.concatenate(
+            [delta_decode(decode_varint(b)) for b in pdf["doc_ids"]]
+        ).astype(np.int64)
+        tfs = np.concatenate([decode_varint(b) for b in pdf["tfs"]])
+        dls = np.concatenate([decode_varint(b) for b in pdf["doclens"]])
+        seg_of = np.repeat(segs, [len(decode_varint(b)) for b in pdf["tfs"]])
+        # sort by (doc_id, segment_id); stable keep-last -> newest segment wins
+        order = np.lexsort((seg_of, ids))
+        ids, tfs, dls, seg_of = ids[order], tfs[order], dls[order], seg_of[order]
+        last = np.ones(ids.size, bool)
+        last[:-1] = ids[1:] != ids[:-1]
+        ids, tfs, dls = ids[last], tfs[last], dls[last]
+        tfn = tf_norm(tfs, dls, avgdl)
+        first, maxes = block_metadata(ids, tfn, block_size)
+        term = pdf["term"].iloc[0]
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "df_shard": [len(ids)],
+                "doc_ids": [encode_varint(delta_encode(ids.astype(np.uint64)))],
+                "tfs": [encode_varint(tfs)],
+                "doclens": [encode_varint(dls)],
+                "block_first_doc": [first.tolist()],
+                "block_max_tfn": [maxes.tolist()],
+                "tbucket": [term_bucket(term, n_tbuckets)],
+            }
+        )
+
+    return kernel
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    stats: tuple[int, float] | None = None,
+) -> dict:
+    """Compact root + segments into the root layout. Returns final meta.
+
+    ``stats``: override (n_docs, avgdl) when the corpus changed since the
+    root meta was written; defaults to root ``meta.json``.
+    """
+    meta = read_meta(index_dir)
+    if stats is not None:
+        meta["n_docs"], meta["avgdl"] = int(stats[0]), float(stats[1])
+    dirs = segment_dirs(index_dir)
+    if len(dirs) == 1 and dirs[0] == index_dir:
+        return meta  # already compact
+
+    postings = load_postings(spark, index_dir)  # carries segment_id
+    merged = postings.groupBy("term", "shard").applyInPandas(
+        _make_merge_kernel(meta["avgdl"], meta["n_tbuckets"], meta["block_size"]),
+        POSTINGS_SCHEMA,
+    )
+    tmp_postings = os.path.join(index_dir, "postings__merging")
+    (
+        merged.repartition(max(meta["n_tbuckets"] // 2, 1), "tbucket")
+        .sortWithinPartitions("tbucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp_postings)
+    )
+
+    docmap = load_docmap(spark, index_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
+    docmap_merged = (
+        docmap.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "segment_id")
+    )
+    tmp_docmap = os.path.join(index_dir, "docmap__merging")
+    (
+        docmap_merged.repartition(meta["n_shards"], "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp_docmap)
+    )
+
+    # swap: new dirs in, old dirs + segments out (directory renames are not
+    # atomic as a group — an Iceberg catalog would make this one snapshot
+    # commit; the parquet fallback orders operations so a crash leaves
+    # either the old layout readable or the new one complete)
+    for sub, tmp in (("postings", tmp_postings), ("docmap", tmp_docmap)):
+        final = os.path.join(index_dir, sub)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+    segs = os.path.join(index_dir, "segments")
+    if os.path.isdir(segs):
+        shutil.rmtree(segs)
+    meta["segments"] = []
+
+    import json
+
+    tmppath = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmppath, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmppath, os.path.join(index_dir, "meta.json"))
+    return meta

@@ -23,6 +23,7 @@ bit-identical to the oracle's sorted-term Python loop; ties broken by
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -167,4 +168,214 @@ def bm25_scan(
     """Single-query convenience wrapper -> DataFrame(rank, doc_id, score)."""
     return bm25_scan_batch(tokens, [(0, query, k)], n_docs, avgdl, mode).select(
         "rank", "doc_id", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query over the inverted index (SURVEY.md §4.3 "Query" flagship job)
+# ---------------------------------------------------------------------------
+
+
+def _make_shard_scorer(
+    queries_analyzed: list[tuple[int, list[str], int]],
+    idf_map: dict[str, float],
+    avgdl: float,
+    mode: str,
+    use_blockmax: bool,
+    block_size: int,
+):
+    """Kernel factory: scores ALL queries against ONE shard's postings.
+
+    Runs as a grouped-map UDF over postings grouped by shard. Doclens are
+    inlined in each posting row, so no doc-table lookup happens at query
+    time. Batching every query into one kernel call amortizes decode: a
+    term's postings are decoded once per shard per query *batch*.
+    """
+    import numpy as np
+
+    from sparkfts.codec import decode_varint, delta_decode
+    from sparkfts.wand import (
+        score_conjunctive,
+        score_disjunctive,
+        score_disjunctive_blockmax,
+    )
+
+    _empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.uint64),
+        (np.empty(0, np.int64), np.empty(0, np.float64)),
+    )
+
+    def scorer(pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        out_qid: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        if len(pdf_postings):
+            rows_by_term: dict[str, list] = {}
+            for _, r in pdf_postings.iterrows():
+                rows_by_term.setdefault(r["term"], []).append(r)
+            cache: dict[str, tuple] = {}
+
+            def postings_of(term: str):
+                if term not in cache:
+                    rows = rows_by_term.get(term)
+                    if not rows:
+                        cache[term] = _empty
+                    elif len(rows) == 1:
+                        r = rows[0]
+                        ids = delta_decode(decode_varint(r["doc_ids"])).astype(
+                            np.int64
+                        )
+                        tfs = decode_varint(r["tfs"])
+                        dls = decode_varint(r["doclens"])
+                        bm = (
+                            np.asarray(r["block_first_doc"], np.int64),
+                            np.asarray(r["block_max_tfn"], np.float64),
+                        )
+                        cache[term] = (ids, tfs, dls, bm)
+                    else:
+                        # multi-segment: sorted merge of per-segment runs
+                        # (doc spaces disjoint across committed segments)
+                        ids = np.concatenate(
+                            [
+                                delta_decode(decode_varint(r["doc_ids"]))
+                                for r in rows
+                            ]
+                        ).astype(np.int64)
+                        tfs = np.concatenate(
+                            [decode_varint(r["tfs"]) for r in rows]
+                        )
+                        dls = np.concatenate(
+                            [decode_varint(r["doclens"]) for r in rows]
+                        )
+                        order = np.argsort(ids, kind="stable")
+                        ids, tfs, dls = ids[order], tfs[order], dls[order]
+                        from sparkfts.wand import block_metadata, tf_norm
+
+                        bm = block_metadata(
+                            ids, tf_norm(tfs, dls, avgdl), block_size
+                        )
+                        cache[term] = (ids, tfs, dls, bm)
+                return cache[term]
+
+            for qid, terms, k in queries_analyzed:
+                if mode == "and" and not all(t in rows_by_term for t in terms):
+                    continue  # a required term is absent from this shard
+                tp, bms = [], []
+                for t in terms:  # sorted-term order (pinned summation)
+                    ids, tfs, dls, bm = postings_of(t)
+                    tp.append((ids, tfs, dls))
+                    bms.append(bm)
+                idfs = np.array([idf_map[t] for t in terms], np.float64)
+                if mode == "and":
+                    ids, scores = score_conjunctive(tp, idfs, avgdl, k)
+                elif use_blockmax:
+                    ids, scores = score_disjunctive_blockmax(
+                        tp, idfs, bms, avgdl, k, block_size=block_size
+                    )
+                else:
+                    ids, scores = score_disjunctive(tp, idfs, avgdl, k)
+                if ids.size:
+                    out_qid.append(np.full(ids.size, qid, np.int32))
+                    out_doc.append(ids)
+                    out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return scorer
+
+
+def bm25_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    mode: str = "and",
+    use_blockmax: bool = True,
+    resolve_urls: bool = False,
+) -> DataFrame:
+    """Answer a batch of BM25 top-k queries from a built index.
+
+    Plan (zero wide shuffles on the big side at query time):
+      postings scan with PARTITION pruning on tbucket + row-group pruning
+        on term (files are sorted by term within each bucket)
+      tiny agg: global df per query term (sum of df_shard) -> idf map
+      groupBy(shard) -> Arrow kernel: decode (doclens inlined) ->
+        intersect/WAND -> vectorized BM25 -> per-shard top-k
+      global merge: window top-k per query over <= n_shards*k rows.
+    """
+    from sparkfts.index import load_docmap, load_postings, read_meta, term_bucket
+
+    meta = read_meta(index_dir)
+    analyzed = [
+        (qid, tokenize_query(text), k) for qid, text, k in queries
+    ]
+    analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+    if not analyzed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
+
+    postings = load_postings(spark, index_dir).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    df_rows = (
+        postings.groupBy("term")
+        .agg(F.sum("df_shard").alias("df"))
+        .collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    idf_map = {
+        t: idf_fn(meta["n_docs"], df_map.get(t, 0)) for t in all_terms
+    }
+
+    scorer = _make_shard_scorer(
+        analyzed, idf_map, meta["avgdl"], mode, use_blockmax, meta["block_size"]
+    )
+    local = postings.groupby("shard").applyInPandas(
+        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
+    )
+
+    k_map = F.create_map(
+        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+    )
+    if resolve_urls:
+        urls = load_docmap(spark, index_dir).select("doc_id", "url")
+        out = out.join(urls, "doc_id", "left").select(
+            "query_id", "rank", "doc_id", "url", "score"
+        )
+    return out.orderBy("query_id", "rank")
+
+
+def bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    **kw,
+) -> DataFrame:
+    """Single-query wrapper over :func:`bm25_index_batch`."""
+    return bm25_index_batch(spark, index_dir, [(0, query, k)], mode, **kw).select(
+        "rank", "doc_id", *(["url"] if kw.get("resolve_urls") else []), "score"
     )

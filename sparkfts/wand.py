@@ -1,0 +1,226 @@
+"""Numpy scoring kernels: intersection, exhaustive BM25, block-max WAND.
+
+These run inside Arrow-batched grouped-map UDFs (one call per index
+shard), so everything is vectorized numpy over decoded posting arrays —
+no per-row Python (BASELINE.json ``input_hint``).
+
+Posting lists arrive as aligned triples ``(doc_ids, tfs, doclens)`` —
+doclens ride with the postings (the 'norms' are inlined at ~1 varint
+byte/posting) so scoring needs no side lookup into a doc table.
+
+Determinism: per-document scores accumulate in sorted-term order with
+float64, matching ``oracle/bm25.py`` bit-for-bit; local top-k selection
+uses the pinned ``(-score, doc_id asc)`` order.
+
+Block-max WAND (SURVEY.md §2.11): posting lists carry per-block
+``max(tf_norm)`` metadata (block size 128, ``np.maximum.reduceat`` at
+build); at query time an OR query derives a top-k threshold and skips
+whole blocks whose summed upper bounds cannot beat it. WAND is safe-to-k:
+results are rank-identical to the exhaustive scorer (asserted by tests on
+randomized corpora).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkfts import BM25_B, BM25_K1, BLOCK_SIZE
+
+Postings = tuple[np.ndarray, np.ndarray, np.ndarray]  # (doc_ids, tfs, doclens)
+
+_EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+
+def block_metadata(
+    doc_ids: np.ndarray, tfn: np.ndarray, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (first_doc_id, max tf_norm) for a sorted posting list."""
+    n = doc_ids.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    starts = np.arange(0, n, block_size)
+    first = doc_ids[starts].astype(np.int64)
+    maxes = np.maximum.reduceat(tfn, starts)
+    return first, maxes
+
+
+def tf_norm(
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray:
+    """tf / (tf + k1*(1 - b + b*dl/avgdl)) in float64, oracle-associativity."""
+    tf = tfs.astype(np.float64)
+    dl = doclens.astype(np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    return tf / (tf + norm)
+
+
+def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Exact local top-k with (-score, doc_id) order; tie-safe prefilter."""
+    n = doc_ids.size
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    if n > k > 0:
+        # keep every doc scoring >= the k-th best score (never drops a doc
+        # that could win on the doc_id tie-break), then exact lexsort
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        doc_ids, scores = doc_ids[mask], scores[mask]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def _contribution(
+    tf: np.ndarray, dls: np.ndarray, idf: float, avgdl: float,
+    k1: float, b: float,
+) -> np.ndarray:
+    """idf * (tf/(tf+norm)) * (k1+1), oracle-identical association."""
+    norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+    return idf * (tf.astype(np.float64) / (tf + norm)) * (k1 + 1.0)
+
+
+def score_conjunctive(
+    term_postings: list[Postings],
+    idfs: np.ndarray,
+    avgdl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """AND query over one shard.
+
+    ``term_postings``: per query term IN SORTED TERM ORDER, aligned sorted
+    ``(doc_ids, tfs, doclens)``. Returns local top-k ``(doc_ids, scores)``.
+
+    Intersection first (k-way, smallest list drives — the reference's
+    ``bool.must`` posting-list intersection, SURVEY.md §2.3), then exact
+    scoring of survivors only.
+    """
+    if not term_postings or any(p[0].size == 0 for p in term_postings):
+        return _EMPTY
+    order = np.argsort([p[0].size for p in term_postings], kind="stable")
+    inter = term_postings[order[0]][0]
+    for j in order[1:]:
+        if inter.size == 0:
+            break
+        other = term_postings[j][0]
+        pos = np.searchsorted(other, inter)
+        pos[pos >= other.size] = other.size - 1
+        inter = inter[other[pos] == inter]
+    if inter.size == 0:
+        return _EMPTY
+    # doclen of each survivor, from the first term's aligned doclens
+    ids0, _, dls0 = term_postings[0]
+    dls = dls0[np.searchsorted(ids0, inter)]
+    scores = np.zeros(inter.size, np.float64)
+    for (ids, tfs, _), idf in zip(term_postings, idfs):  # sorted-term order
+        tf = tfs[np.searchsorted(ids, inter)]
+        scores += _contribution(tf, dls, idf, avgdl, k1, b)
+    return _topk(inter, scores, k)
+
+
+def _union_with_dls(nonempty: list[tuple[Postings, float]]):
+    union = np.unique(np.concatenate([p[0] for p, _ in nonempty]))
+    dls = np.zeros(union.size, np.int64)
+    for (ids, _, d), _idf in nonempty:
+        dls[np.searchsorted(union, ids)] = d
+    return union, dls
+
+
+def score_disjunctive(
+    term_postings: list[Postings],
+    idfs: np.ndarray,
+    avgdl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Exhaustive OR scorer (the always-available oracle mode)."""
+    nonempty = [(p, i) for p, i in zip(term_postings, idfs) if p[0].size > 0]
+    if not nonempty:
+        return _EMPTY
+    union, dls = _union_with_dls(nonempty)
+    scores = np.zeros(union.size, np.float64)
+    for (ids, tfs, d), idf in nonempty:  # sorted-term order preserved
+        pos = np.searchsorted(union, ids)
+        scores[pos] += _contribution(tfs, d, idf, avgdl, k1, b)
+    return _topk(union, scores, k)
+
+
+def score_disjunctive_blockmax(
+    term_postings: list[Postings],
+    idfs: np.ndarray,
+    block_meta: list[tuple[np.ndarray, np.ndarray]],
+    avgdl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+):
+    """Block-max-pruned OR scorer — rank-identical to exhaustive.
+
+    Vectorized two-phase variant of block-max WAND suited to columnar
+    batches: (1) exactly score the single highest-impact term's own
+    postings to seed a threshold θ = k-th best lower bound; (2) drop any
+    block of any list whose upper bound plus the other terms' global
+    upper bounds cannot reach θ; exhaustively score the surviving
+    candidate union (using FULL lists for contributions — a candidate's
+    tf for a term may live in a pruned block). Safe-to-k: a pruned
+    block's docs cannot beat θ even with maximal help from other terms.
+    """
+    nonempty = [
+        (p, i, bm)
+        for p, i, bm in zip(term_postings, idfs, block_meta)
+        if p[0].size > 0
+    ]
+    if not nonempty:
+        return _EMPTY
+    ubs = np.array(
+        [i * (k1 + 1.0) * bm[1].max() for _, i, bm in nonempty], np.float64
+    )
+    total_ub = ubs.sum()
+
+    seed_j = int(np.argmax(ubs))
+    (s_ids, s_tfs, s_dls), s_idf, _ = nonempty[seed_j]
+    s_score = _contribution(s_tfs, s_dls, s_idf, avgdl, k1, b)
+    if s_score.size >= k > 0:
+        theta = float(np.partition(s_score, s_score.size - k)[s_score.size - k])
+    else:
+        theta = 0.0  # fewer than k seed candidates: prune nothing
+
+    survivors: list[np.ndarray] = []
+    for (ids, tfs, _), idf, (first, maxtfn) in nonempty:
+        others = total_ub - idf * (k1 + 1.0) * maxtfn.max()
+        block_ub = idf * (k1 + 1.0) * maxtfn + others
+        keep = block_ub >= theta
+        if keep.all():
+            survivors.append(ids)
+            continue
+        starts = np.arange(0, ids.size, block_size)
+        ends = np.minimum(starts + block_size, ids.size)
+        mask = np.zeros(ids.size, bool)
+        for s, e in zip(starts[keep], ends[keep]):
+            mask[s:e] = True
+        survivors.append(ids[mask])
+    cand_parts = [s for s in survivors if s.size]
+    if not cand_parts:
+        return _EMPTY
+    cand = np.unique(np.concatenate(cand_parts))
+    # exact re-score over full lists restricted to candidates
+    dls = np.zeros(cand.size, np.int64)
+    for (ids, _, d), _i, _bm in nonempty:
+        pos = np.searchsorted(cand, ids)
+        pos_c = np.minimum(pos, cand.size - 1)
+        hit = cand[pos_c] == ids
+        dls[pos_c[hit]] = d[hit]
+    scores = np.zeros(cand.size, np.float64)
+    for (ids, tfs, _), idf, _bm in nonempty:
+        pos = np.searchsorted(cand, ids)
+        pos_c = np.minimum(pos, cand.size - 1)
+        hit = cand[pos_c] == ids
+        contrib = _contribution(tfs[hit], dls[pos_c[hit]], idf, avgdl, k1, b)
+        scores[pos_c[hit]] += contrib
+    return _topk(cand, scores, k)

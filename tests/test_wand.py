@@ -1,0 +1,116 @@
+"""Kernel unit tests: intersection, top-k tie-safety, WAND == exhaustive."""
+
+import numpy as np
+import pytest
+
+from sparkfts.wand import (
+    _topk,
+    block_metadata,
+    score_conjunctive,
+    score_disjunctive,
+    score_disjunctive_blockmax,
+    tf_norm,
+)
+
+
+def _mk(ids, tfs, dl=50):
+    ids = np.asarray(ids, np.int64)
+    return (
+        ids,
+        np.asarray(tfs, np.uint64),
+        np.full(ids.size, dl, np.int64),
+    )
+
+
+def test_block_metadata_invariant():
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.choice(10_000, 700, replace=False)).astype(np.int64)
+    tfn = rng.random(700)
+    first, maxes = block_metadata(ids, tfn, block_size=128)
+    assert first.size == maxes.size == int(np.ceil(700 / 128))
+    for bi in range(first.size):
+        lo, hi = bi * 128, min((bi + 1) * 128, 700)
+        assert maxes[bi] == tfn[lo:hi].max()  # block max >= every member
+        assert first[bi] == ids[lo]
+
+
+def test_topk_tie_safety():
+    # 500 docs with identical scores: top-10 must be the 10 smallest ids
+    ids = np.arange(500, 0, -1, dtype=np.int64)  # descending ids
+    scores = np.full(500, 1.5, np.float64)
+    got_ids, got_scores = _topk(ids, scores, 10)
+    assert got_ids.tolist() == list(range(1, 11))
+    assert (got_scores == 1.5).all()
+
+
+def test_conjunctive_empty_and_intersection():
+    a = _mk([1, 5, 9], [1, 2, 3])
+    b = _mk([5, 9, 30], [1, 1, 1])
+    c = _mk([], [])
+    idfs = np.array([1.0, 1.0])
+    ids, _ = score_conjunctive([a, b], idfs, 50.0, 10)
+    assert set(ids.tolist()) == {5, 9}
+    ids, _ = score_conjunctive([a, c], idfs, 50.0, 10)
+    assert ids.size == 0
+    ids, _ = score_conjunctive([_mk([1], [1]), _mk([2], [1])], idfs, 50.0, 10)
+    assert ids.size == 0
+
+
+def test_conjunctive_matches_disjunctive_on_same_candidates():
+    a = _mk([2, 4, 6], [3, 1, 2])
+    b = _mk([2, 4, 6], [1, 1, 5])
+    idfs = np.array([0.7, 1.3])
+    ia, sa = score_conjunctive([a, b], idfs, 50.0, 10)
+    io, so = score_disjunctive([a, b], idfs, 50.0, 10)
+    assert ia.tolist() == io.tolist()
+    assert sa.tolist() == so.tolist()  # bitwise: same summation order
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_blockmax_equals_exhaustive_randomized(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = 3000
+    dl_of = rng.integers(5, 200, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms, metas = [], []
+    for _ in range(4):
+        df = int(rng.integers(10, 1500))
+        ids = np.sort(rng.choice(n_docs, df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 8, df).astype(np.uint64)
+        dls = dl_of[ids]
+        terms.append((ids, tfs, dls))
+        metas.append(block_metadata(ids, tf_norm(tfs, dls, avgdl), 128))
+    idfs = rng.random(4) * 3 + 0.1
+    for k in (1, 10, 100):
+        ie, se = score_disjunctive(terms, idfs, avgdl, k)
+        ib, sb = score_disjunctive_blockmax(
+            terms, idfs, metas, avgdl, k, block_size=128
+        )
+        assert ie.tolist() == ib.tolist(), f"k={k} rank mismatch"
+        assert se.tolist() == sb.tolist(), f"k={k} score mismatch"
+
+
+def test_blockmax_prunes_something():
+    # one rare high-idf term + one huge low-idf term: pruning must engage
+    rng = np.random.default_rng(99)
+    n_docs = 20_000
+    rare_ids = np.sort(rng.choice(n_docs, 30, replace=False)).astype(np.int64)
+    rare = (rare_ids, np.full(30, 5, np.uint64), np.full(30, 100, np.int64))
+    com_ids = np.arange(0, n_docs, 2, dtype=np.int64)
+    common = (
+        com_ids,
+        np.ones(com_ids.size, np.uint64),
+        np.full(com_ids.size, 100, np.int64),
+    )
+    terms = [common, rare]
+    idfs = np.array([0.05, 6.0])
+    avgdl = 100.0
+    metas = [
+        block_metadata(t[0], tf_norm(t[1], t[2], avgdl), 128) for t in terms
+    ]
+    ie, se = score_disjunctive(terms, idfs, avgdl, 10)
+    ib, sb = score_disjunctive_blockmax(
+        terms, idfs, metas, avgdl, 10, block_size=128
+    )
+    assert ie.tolist() == ib.tolist()
+    assert se.tolist() == sb.tolist()
