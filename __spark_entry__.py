@@ -1,38 +1,778 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship index-backed BM25 top-k on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-pipeline extensions); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one. Column names and
+value quantization (integer micros, floor(x*s + 0.5)) are pinned
+identically on both sides so the driver's order-insensitive value-hash
+comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+TOKEN_RE_SQL = "[a-z0-9]+"
+BM25_QUERY_AND = "spark join"          # both terms common in `documents`
+BM25_QUERY_OR = "spark join vector"
+HASH_P = 2_147_483_647
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """FIXTURES.md §5 mapping: documents -> webtext page shape."""
+    return docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkfts.tokens import tokenize_docs
+
+    return tokenize_docs(_docs(spark, sf_dir))
+
+
+def _scan_stats(spark: SparkSession, sf_dir: str):
+    from sparkfts.stats import avgdl_of
+
+    docs = _docs(spark, sf_dir)
+    tokens = _doc_tokens(spark, sf_dir)
+    n_docs = docs.count()
+    return tokens, n_docs, avgdl_of(tokens, n_docs)
+
+
+def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) the inverted index over `documents`."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(REPO, ".scratch", f"entry_idx_{key}")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        from sparkfts.index import build_index
+
+        build_index(
+            _docs_as_pages(_docs(spark, sf_dir)),
+            idx,
+            n_shards=8,
+            n_tbuckets=16,
+            id_source="column",
+        )
+    return idx
+
+
+_SCORE_E4 = "CAST(floor(score * 10000 + 0.5) AS BIGINT)"
+
+
+def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10) -> str:
+    """DuckDB BM25 oracle over `documents` (pinned analyzer + formula)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id {having}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _score_e4_col() -> F.Column:
+    return F.floor(F.col("score") * 10000 + 0.5).cast("long").alias("score_e4")
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index-backed conjunctive BM25 top-10 over sf0.001 docs."""
+    from sparkfts.query import bm25_index_batch
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index_dir_for(spark, sf_dir)
+    return bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)]
+    ).select("rank", "doc_id", "score")
+
+
+def q_fts_corpus_stats(spark, sf_dir):
+    tokens, n_docs, _ = _scan_stats(spark, sf_dir)
+    return tokens.agg(
+        F.sum(F.col("tf").cast("long")).alias("total_tokens")
+    ).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "total_tokens",
+        F.expr(f"total_tokens * 1000000 div {n_docs}").alias("avgdl_micro"),
+    )
+
+
+def q_fts_term_df(spark, sf_dir):
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_fts_term_tf(spark, sf_dir):
+    return (
+        _doc_tokens(spark, sf_dir)
+        .where(F.col("term") == "the")
+        .select("doc_id", F.col("tf").cast("long").alias("tf"))
+    )
+
+
+def q_fts_doclen(spark, sf_dir):
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.col("doclen").cast("long").alias("doclen"))
+        .distinct()
+    )
+
+
+def q_fts_bm25_topk(spark, sf_dir):
+    from sparkfts.query import bm25_scan_batch
+
+    tokens, n_docs, avgdl = _scan_stats(spark, sf_dir)
+    res = bm25_scan_batch(tokens, [(0, BM25_QUERY_AND, 10)], n_docs, avgdl)
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_index_topk(spark, sf_dir):
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(spark, idx, [(0, BM25_QUERY_AND, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_or_wand_topk(spark, sf_dir):
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or", use_blockmax=True
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_threshold_filter(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("value") >= 0.9)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("value_e6"),
+        )
+    )
+
+
+def q_projection_rename(spark, sf_dir):
+    # reference getProps + propMap (answer -> name) + str() coercion
+    return _events(spark, sf_dir).select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("string").alias("user_str"),
+    )
+
+
+def q_type_lookup(spark, sf_dir):
+    # reference getType: entity key -> schema.org supertype (nodeType.py)
+    node_type = (
+        F.when(F.col("event_type").isin("signup"), "Person")
+        .when(F.col("event_type").isin("purchase", "error"), "Organization")
+        .otherwise("Thing")
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(node_type.alias("node_type"))
+        .groupBy("node_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_distinct_fields(spark, sf_dir):
+    return _events(spark, sf_dir).select("event_type").distinct()
+
+
+def q_batch_chunks(spark, sf_dir):
+    # reference dataPush chunking (flush every chunkSize rows)
+    return (
+        _events(spark, sf_dir)
+        .select(F.expr("event_id div 1000").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_graph_dyads(spark, sf_dir):
+    # reference buildGraphData: dyad shaping after threshold filter
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("value") >= 400.0)
+        .select(
+            F.lit("Person").alias("from_type"),
+            F.col("user_id").cast("string").alias("from_key"),
+            F.upper(F.col("event_type")).alias("edge_type"),
+            F.lit("Thing").alias("to_type"),
+            F.col("event_id").cast("string").alias("to_key"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select(
+            "event_type",
+            F.col("rnk").cast("long").alias("rnk"),
+            "event_id",
+            F.floor(F.col("value") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("value_e6"),
+        )
+    )
+
+
+def q_tumbling_window(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("sum_value_e2"),
+        )
+        .select(
+            # TIMESTAMP_NTZ -> epoch seconds (session TZ pinned to UTC, so
+            # this matches DuckDB's epoch(time_bucket(...)))
+            F.col("w.start").cast("timestamp").cast("long").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value_e2",
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from sparkfts.ops.dedup import exact_dup_groups
+
+    docs = _docs(spark, sf_dir)
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    return exact_dup_groups(dup)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from sparkfts.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.015, max_doc_id=120
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from sparkfts.ops.dedup import lsh_buckets
+
+    return lsh_buckets(_docs(spark, sf_dir), n_hashes=8, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from sparkfts.ops.dedup import simhash32
+
+    return simhash32(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from sparkfts.ops.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir):
+    from sparkfts.ops.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from sparkfts.ops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from sparkfts.ops.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from sparkfts.ops.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb, list(qvec), k=10)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from sparkfts.ops.similarity import lsh_bucket
+
+    return lsh_bucket(_emb(spark, sf_dir), n_planes=8)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from sparkfts.ops.multimodal import media_metadata
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return media_metadata(payloads, "payload").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_meta.container").alias("container"),
+        F.col("media_meta.content_hash31").alias("content_hash31"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    # rows-only check: Arrow decode plumbing with the deterministic fake
+    from sparkfts.ops.multimodal import decode_features
+
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = decode_features(payloads, "payload", "media_id", fake=True)
+    return feats.select(
+        "media_id", F.size("features").alias("feature_dim")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias(
+                "sum_qty_e2"
+            ),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_e2"),
+            F.count("*").alias("n_rows"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fts_corpus_stats": q_fts_corpus_stats,
+        "fts_term_df": q_fts_term_df,
+        "fts_term_tf": q_fts_term_tf,
+        "fts_doclen": q_fts_doclen,
+        "fts_bm25_topk": q_fts_bm25_topk,
+        "fts_index_topk": q_fts_index_topk,
+        "fts_or_wand_topk": q_fts_or_wand_topk,
+        "threshold_filter": q_threshold_filter,
+        "projection_rename": q_projection_rename,
+        "type_lookup": q_type_lookup,
+        "distinct_fields": q_distinct_fields,
+        "batch_chunks": q_batch_chunks,
+        "graph_dyads": q_graph_dyads,
+        "topk_per_group": q_topk_per_group,
+        "tumbling_window": q_tumbling_window,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}')) AS tok FROM documents"
+)
+
+_GRAMS = f"""
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS shingle
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') t
+        FROM documents)
+  WHERE len(t) >= 3
+"""
+
+_MINHASH = f"""
+WITH grams AS ({_GRAMS}),
+g31 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {HASH_P} AS g31
+  FROM grams
+),
+sig AS (
+  SELECT doc_id, i,
+         min(((1103515245 * (i + 1)) % {HASH_P} * g31
+              + (12345 * (i + 1)) % {HASH_P}) % {HASH_P}) AS minhash
+  FROM g31 CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+  GROUP BY doc_id, i
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["fts_corpus_stats"] = f"""
+WITH dl AS (SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS d
+            FROM documents)
+SELECT count(*) AS n_docs, sum(d) AS total_tokens,
+       sum(d) * 1000000 // count(*) AS avgdl_micro
+FROM dl
+"""
+
+    sqls["fts_term_df"] = f"""
+WITH t AS (SELECT doc_id,
+                  unnest(list_distinct(regexp_extract_all(lower(text),
+                         '{TOKEN_RE_SQL}'))) AS term
+           FROM documents)
+SELECT term, count(*) AS df FROM t GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+"""
+
+    sqls["fts_term_tf"] = f"""
+SELECT doc_id, count(*) AS tf FROM ({_TOKS}) WHERE tok = 'the'
+GROUP BY doc_id
+"""
+
+    sqls["fts_doclen"] = f"""
+SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS doclen
+FROM documents
+WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
+"""
+
+    bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
+    sqls["fts_bm25_topk"] = bm25_and
+    sqls["fts_index_topk"] = bm25_and
+    sqls["fts_or_wand_topk"] = _bm25_sql(
+        sorted(set(BM25_QUERY_OR.split())), False
+    )
+
+    sqls["threshold_filter"] = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_e6
+FROM events WHERE value >= 0.9
+"""
+
+    sqls["projection_rename"] = """
+SELECT event_id AS id, event_type AS name,
+       CAST(user_id AS VARCHAR) AS user_str
+FROM events
+"""
+
+    sqls["type_lookup"] = """
+SELECT CASE WHEN event_type IN ('signup') THEN 'Person'
+            WHEN event_type IN ('purchase', 'error') THEN 'Organization'
+            ELSE 'Thing' END AS node_type,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sqls["distinct_fields"] = "SELECT DISTINCT event_type FROM events"
+
+    sqls["batch_chunks"] = """
+SELECT event_id // 1000 AS batch_id, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sqls["graph_dyads"] = """
+SELECT 'Person' AS from_type, CAST(user_id AS VARCHAR) AS from_key,
+       upper(event_type) AS edge_type, 'Thing' AS to_type,
+       CAST(event_id AS VARCHAR) AS to_key
+FROM events WHERE value >= 400.0
+"""
+
+    sqls["topk_per_group"] = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+SELECT event_type, rnk, event_id,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_e6
+FROM r WHERE rnk <= 2
+"""
+
+    sqls["tumbling_window"] = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         AS window_epoch,
+       event_type, count(*) AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+"""
+
+    sqls["dedup_exact"] = """
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+SELECT md5(text) AS content_md5, count(*) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM dup GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+    sqls["dedup_jaccard"] = f"""
+WITH s AS ({_GRAMS.replace("FROM documents", "FROM documents")}),
+sf AS (SELECT * FROM s WHERE doc_id < 120),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sf a JOIN sf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       CAST(floor(n_inter * 1000000 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT)
+         AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE floor(n_inter * 1000000 / (sa.n_sh + sb.n_sh - n_inter)) >= 15000
+"""
+
+    sqls["dedup_minhash_lsh"] = f"""
+{_MINHASH}
+, keys AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 2)
+SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM keys GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2
+"""
+
+    sqls["dedup_simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM ({_TOKS}) GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {HASH_P} AS h
+  FROM tf),
+bits AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1)) AS vb
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN vb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY 1
+"""
+
+    lang_cases = []
+    for lang in ["de", "en", "es", "fr"]:
+        lang_cases.append(f"WHEN s_{lang} = best THEN '{lang}'")
+    markers = {
+        "de": "'der','die','das','und','ist','nicht','ein','mit'",
+        "en": "'the','of','and','to','a','in','is','it'",
+        "es": "'el','la','de','que','y','en','un','es'",
+        "fr": "'le','la','de','et','un','est','que','pour'",
+    }
+    sqls["lang_id"] = f"""
+WITH t AS ({_TOKS}),
+s AS (
+  SELECT doc_id,
+         sum(CASE WHEN tok IN ({markers['de']}) THEN 1 ELSE 0 END) AS s_de,
+         sum(CASE WHEN tok IN ({markers['en']}) THEN 1 ELSE 0 END) AS s_en,
+         sum(CASE WHEN tok IN ({markers['es']}) THEN 1 ELSE 0 END) AS s_es,
+         sum(CASE WHEN tok IN ({markers['fr']}) THEN 1 ELSE 0 END) AS s_fr
+  FROM t GROUP BY doc_id),
+g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {' '.join(lang_cases)} END AS lang_pred
+FROM g
+"""
+
+    sqls["quality_scores"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens,
+         length(text) AS n_chars,
+         list_aggregate(list_transform(
+             regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+             x -> length(x)), 'sum') AS tok_chars,
+         len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+             x -> x IN ('the','of','and','to','a','in','is','it','that',
+                        'for','on','as','with'))) AS stop_hits,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS non_alnum
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars,
+       CAST(floor(tok_chars * 1000000 / greatest(n_tokens, 1)) AS BIGINT)
+         AS mean_tok_len_micro,
+       CAST(floor(stop_hits * 1000000 / greatest(n_tokens, 1)) AS BIGINT)
+         AS stopword_ratio_micro,
+       CAST(floor(non_alnum * 1000000 / greatest(n_chars, 1)) AS BIGINT)
+         AS punct_ratio_micro,
+       (n_tokens >= 5
+        AND floor(tok_chars * 1000000 / greatest(n_tokens, 1))
+            BETWEEN 1500000 AND 12000000
+        AND floor(non_alnum * 1000000 / greatest(n_chars, 1)) < 300000)
+         AS keep
+FROM f
+"""
+
+    sqls["token_counts"] = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS bpe_tokens
+FROM documents
+"""
+
+    sqls["fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(lower(text),
+             '{TOKEN_RE_SQL}'), 1) - 1 AS pos,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id, pos % 29 AS s,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {HASH_P} AS h
+  FROM t),
+r AS (
+  SELECT doc_id,
+         ((h << s) | (h >> (32 - s))) & 4294967295 AS rh
+  FROM h)
+SELECT doc_id, bit_xor(rh) AS fingerprint FROM r GROUP BY doc_id
+"""
+
+    sqls["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dots, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    sqls["ann_lsh_buckets"] = f"""
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p,
+         sum(x * ((1103515245 * ((p * 1024 + d + 1) % {HASH_P}) + 12345)
+                  % {HASH_P} - {(HASH_P - 1) // 2})) AS dot
+  FROM ee CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
+  GROUP BY 1, 2)
+SELECT vec_id,
+       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+FROM dots GROUP BY 1
+"""
+
+    sqls["multimodal_meta"] = f"""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       'unknown' AS container,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+         % {HASH_P} AS content_hash31
+FROM documents
+"""
+
+    sqls["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS sum_price_e2,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+    # multimodal_decode intentionally has no oracle (rows-only check:
+    # Arrow decode plumbing with a stubbed codec is not SQL-expressible)
+    return sqls

@@ -193,6 +193,7 @@ def build_index(
     shard_filter: list[int] | None = None,
     segment: str | None = None,
     fixed_stats: tuple[int, float] | None = None,
+    id_source: str = "sha1",
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -214,7 +215,9 @@ def build_index(
             "re-running a failed batch is an idempotent overwrite"
         )
     spark = pages.sparkSession
-    prepared = prepare_pages(pages, validate_extraction=validate_extraction)
+    prepared = prepare_pages(
+        pages, validate_extraction=validate_extraction, id_source=id_source
+    )
     prepared = prepared.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )

@@ -125,15 +125,22 @@ def tokenize_docs(
 
 
 def prepare_pages(
-    pages: DataFrame, validate_extraction: bool = False
+    pages: DataFrame,
+    validate_extraction: bool = False,
+    id_source: str = "sha1",
 ) -> DataFrame:
     """Canonical webtext table -> ``(doc_id, url, text, lang, warc_ts)``.
 
-    Assigns hash doc ids; optionally re-extracts from ``html`` and asserts
-    byte-identity with the stored ``text`` column (the input_hint
+    ``id_source="sha1"`` assigns hash doc ids from url (the default for
+    webtext); ``"column"`` trusts an existing int64 ``doc_id`` column
+    (driver testdata tables). Optionally re-extracts from ``html`` and
+    asserts byte-identity with the stored ``text`` column (the input_hint
     invariant) by failing the job on the first mismatching url.
     """
-    out = pages.withColumn("doc_id", doc_id_udf(F.col("url")))
+    if id_source == "column":
+        out = pages.withColumn("doc_id", F.col("doc_id").cast("long"))
+    else:
+        out = pages.withColumn("doc_id", doc_id_udf(F.col("url")))
     if validate_extraction:
         out = out.withColumn("_re_extracted", extract_text_udf(F.col("html")))
         mismatch = out.where(F.col("_re_extracted") != F.col("text"))
