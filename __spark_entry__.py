@@ -22,6 +22,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 TOKEN_RE_SQL = "[a-z0-9]+"
 BM25_QUERY_AND = "spark join"          # both terms common in `documents`
 BM25_QUERY_OR = "spark join vector"
+BM25_QUERY_FUZZY = "spafk joun"        # typo'd "spark join" — exercises
+                                       # fuzziness:AUTO expansion (dist 1)
 HASH_P = 2_147_483_647
 
 
@@ -206,6 +208,27 @@ def q_fts_or_wand_topk(spark, sf_dir):
         spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or", use_blockmax=True
     )
     return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_fuzzy_topk(spark, sf_dir):
+    """Fuzzy (AUTO) conjunctive BM25 over a typo'd query (SURVEY.md §2.7;
+    reference emits fuzziness:AUTO at ElasticsearchToNeo4jSync.py:97)."""
+    from sparkfts.fuzzy import bm25_fuzzy_scan_batch
+
+    tokens, n_docs, avgdl = _scan_stats(spark, sf_dir)
+    res = bm25_fuzzy_scan_batch(tokens, [(0, BM25_QUERY_FUZZY, 10)], n_docs, avgdl)
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_match_all(spark, sf_dir):
+    """Empty query -> match-all top-k (reference returns {} for empty input,
+    ElasticsearchToNeo4jSync.py:102; ES treats {} as match_all, score 1.0)."""
+    from sparkfts.querybuilder import match_all_topk
+
+    docs = _docs(spark, sf_dir)
+    return match_all_topk(docs, k=10).select(
+        "rank", "doc_id", F.lit(10000).cast("long").alias("score_e4")
+    )
 
 
 def q_threshold_filter(spark, sf_dir):
@@ -441,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_index_topk": q_fts_index_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
+        "fts_fuzzy_topk": q_fts_fuzzy_topk,
+        "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
         "projection_rename": q_projection_rename,
         "type_lookup": q_type_lookup,
@@ -537,6 +562,51 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     sqls["fts_or_wand_topk"] = _bm25_sql(
         sorted(set(BM25_QUERY_OR.split())), False
     )
+
+    from sparkfts.analysis import auto_fuzz, tokenize_query
+
+    fterms = tokenize_query(BM25_QUERY_FUZZY)
+    qvals = ", ".join(
+        f"('{t}', {auto_fuzz(t)}, {len(t)})" for t in fterms
+    )
+    sqls["fts_fuzzy_topk"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(q_term, maxd, qlen) AS (VALUES {qvals}),
+exp AS (
+  SELECT q.q_term, d.term, d.df,
+         1.0 - levenshtein(d.term, q.q_term) * 1.0 / q.qlen AS boost
+  FROM dict d JOIN qterms q
+    ON abs(length(d.term) - q.qlen) <= q.maxd
+   AND levenshtein(d.term, q.q_term) <= q.maxd
+),
+contrib AS (
+  SELECT e.q_term, tf.doc_id,
+         max(e.boost * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+             * 2.2) AS best
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY e.q_term, tf.doc_id
+),
+scored AS (
+  SELECT doc_id, sum(best) AS score, count(*) AS nm FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["match_all"] = """
+SELECT row_number() OVER (ORDER BY doc_id) AS rank, doc_id,
+       CAST(10000 AS BIGINT) AS score_e4
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)
+"""
 
     sqls["threshold_filter"] = """
 SELECT event_id, user_id, event_type,

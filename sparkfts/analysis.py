@@ -100,6 +100,21 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def auto_fuzz(term: str) -> int:
+    """ES ``fuzziness: AUTO`` (AUTO:3,6) max edit distance by term length.
+
+    The reference requests this in every search (reference
+    ElasticsearchToNeo4jSync.py:97); pinned here so oracle and engine
+    share one definition: len 0-2 -> 0, 3-5 -> 1, >=6 -> 2.
+    """
+    n = len(term)
+    if n < 3:
+        return 0
+    if n < 6:
+        return 1
+    return 2
+
+
 def tokenize_query(query: str) -> list[str]:
     """Query-side analysis: tokenize, dedupe, sort.
 

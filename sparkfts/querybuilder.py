@@ -1,0 +1,178 @@
+"""Query compilation: cloud event -> typed Query IR -> Spark execution.
+
+Plane-A parity with the reference's ``elasticsearchQueryBuilder``
+(reference ElasticsearchToNeo4jSync.py:74-107), re-expressed as a typed IR
+instead of an Elasticsearch DSL dict:
+
+- consumes the query cloud event shape
+  ``{"searchQueries": [{"properties": [{"subject": s, "value": v}]}]}``
+  (reference ElasticsearchToNeo4jSync.py:90, README.md:82-88);
+- keeps only properties whose ``subject`` is in the configured allow-list
+  (default ``['name']``, reference ElasticsearchToNeo4jSync.py:26,100);
+- lowercases each value (reference ElasticsearchToNeo4jSync.py:94) — our
+  pinned analyzer re-lowercases anyway, so this is a no-op by construction;
+- one conjunctive fuzzy clause per kept property
+  (``multi_match(operator="and", fuzziness="AUTO")``,
+  reference ElasticsearchToNeo4jSync.py:92-99), deduped field list
+  (reference ElasticsearchToNeo4jSync.py:89);
+- all clauses AND-ed (``bool.must``, reference
+  ElasticsearchToNeo4jSync.py:102); zero clauses -> match-all
+  (the reference returns ``{}``, which ES treats as match_all);
+- malformed event -> ``None`` (reference ElasticsearchToNeo4jSync.py:103-105).
+
+Also ports ``equalizeListValues`` (reference
+ElasticsearchToNeo4jSync.py:61-71), the config canonicalizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PROPERTIES = ("name",)
+DEFAULT_FIELDS = ("text",)
+
+
+def equalize_list_values(data: dict) -> dict:
+    """Pad every list value to the longest list's length by repeating its
+    first element; non-list values pass through unchanged.
+
+    Parity with the reference's config canonicalizer (reference
+    ElasticsearchToNeo4jSync.py:61-71): parallel config lists are padded so
+    they zip cleanly. Pure function (the reference mutates in place).
+    """
+    lists = {k: v for k, v in data.items() if isinstance(v, list)}
+    if not lists:
+        return dict(data)
+    target = max(len(v) for v in lists.values())
+    out = dict(data)
+    for k, v in lists.items():
+        if v and len(v) < target:
+            out[k] = v + [v[0]] * (target - len(v))
+    return out
+
+
+@dataclass(frozen=True)
+class Clause:
+    """One conjunctive fuzzy full-text clause (one ``multi_match``)."""
+
+    query: str
+    fields: tuple[str, ...] = DEFAULT_FIELDS
+    operator: str = "and"
+    fuzziness: str = "AUTO"
+
+
+@dataclass(frozen=True)
+class SearchRequest:
+    """Typed IR for one search: AND of clauses; no clauses = match-all."""
+
+    clauses: tuple[Clause, ...] = field(default_factory=tuple)
+    k: int = 10  # ES default size the reference relies on
+    # (reference ElasticsearchHandler.py:52-74: no size/sort passed)
+
+    @property
+    def is_match_all(self) -> bool:
+        return not self.clauses
+
+
+def build_search_request(
+    cloud_event: dict,
+    properties: tuple[str, ...] = DEFAULT_PROPERTIES,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    k: int = 10,
+) -> SearchRequest | None:
+    """Cloud event -> :class:`SearchRequest`; ``None`` on a malformed event."""
+    try:
+        clauses = []
+        # dedupe fields preserving determinism: sorted like the reference's
+        # list(set(...)) intent (reference ElasticsearchToNeo4jSync.py:89)
+        fset = tuple(sorted(set(fields)))
+        for search_query in cloud_event["searchQueries"]:
+            for prop in search_query["properties"]:
+                if prop.get("subject") in properties:
+                    clauses.append(
+                        Clause(query=str(prop["value"]).lower(), fields=fset)
+                    )
+        return SearchRequest(clauses=tuple(clauses), k=k)
+    except (KeyError, TypeError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+
+def match_all_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Match-all: every doc scores 1.0; order = doc_id asc (pinned stand-in
+    for ES internal doc order) -> DataFrame(rank, doc_id, score).
+
+    Scale note: ``orderBy(doc_id).limit(k)`` is a TakeOrdered — per-
+    partition top-k then a k-row merge on the driver; no full sort.
+    """
+    return (
+        docs.select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("doc_id")),
+        )
+        .select("rank", "doc_id", F.lit(1.0).alias("score"))
+    )
+
+
+def run_search_request(
+    tokens: DataFrame,
+    docs: DataFrame,
+    request: SearchRequest,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Execute a :class:`SearchRequest` -> DataFrame(rank, doc_id, score).
+
+    ``bool.must`` semantics (reference ElasticsearchToNeo4jSync.py:102):
+    a doc qualifies iff EVERY clause matches it; its score is the sum of
+    clause scores (folded in clause-index order, deterministic float64).
+    Each clause runs with the pinned fuzzy-AND semantics
+    (:mod:`sparkfts.fuzzy`); all clauses execute in ONE Spark plan via the
+    batch API (clause index = query_id).
+    """
+    from sparkfts.fuzzy import bm25_fuzzy_scan_batch
+
+    if request.is_match_all:
+        return match_all_topk(docs, request.k)
+
+    batch = [
+        (i, c.query, n_docs)  # per-clause k = n_docs: need ALL matching
+        for i, c in enumerate(request.clauses)  # docs before the must-join
+    ]
+    per_clause = bm25_fuzzy_scan_batch(tokens, batch, n_docs, avgdl, mode="and")
+    n_clauses = len(request.clauses)
+    merged = (
+        per_clause.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_clauses_matched"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("query_id"), F.col("score")))
+            ).alias("parts"),
+        )
+        .where(F.col("n_clauses_matched") == F.lit(n_clauses))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.transform(F.col("parts"), lambda x: x["score"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(request.k))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )

@@ -1,0 +1,131 @@
+"""Query-builder parity (reference ElasticsearchToNeo4jSync.py:61-107).
+
+Covers: cloud-event parsing with subject allow-list + lowercasing, the
+empty-query -> match-all rule, None on malformed events, equalizeListValues
+config canonicalization, and end-to-end bool.must execution vs an oracle
+composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle.bm25 import BM25Oracle
+from oracle.fuzzy import fuzzy_search
+from sparkfts.querybuilder import (
+    Clause,
+    SearchRequest,
+    build_search_request,
+    equalize_list_values,
+    match_all_topk,
+    run_search_request,
+)
+from sparkfts.stats import avgdl_of
+from sparkfts.tokens import prepare_pages, sha1_doc_id, tokenize_docs
+
+EVENT = {
+    "searchQueries": [
+        {
+            "properties": [
+                {"subject": "name", "value": "Tom HANKS"},
+                {"subject": "age", "value": "42"},  # not in allow-list
+            ]
+        },
+        {"properties": [{"subject": "name", "value": "Rita Wilson"}]},
+    ]
+}
+
+
+def test_build_request_filters_and_lowercases():
+    req = build_search_request(EVENT)
+    assert req is not None and len(req.clauses) == 2
+    assert req.clauses[0].query == "tom hanks"  # lowercased (ref :94)
+    assert req.clauses[1].query == "rita wilson"
+    assert req.clauses[0].operator == "and"  # ref :96
+    assert req.clauses[0].fuzziness == "AUTO"  # ref :97
+    assert req.k == 10  # ES default size (ref ElasticsearchHandler.py:52-74)
+
+
+def test_build_request_empty_is_match_all():
+    req = build_search_request({"searchQueries": []})
+    assert req is not None and req.is_match_all
+    # all subjects filtered out -> also match-all (ref :100,102)
+    req2 = build_search_request(
+        {"searchQueries": [{"properties": [{"subject": "zzz", "value": "v"}]}]}
+    )
+    assert req2 is not None and req2.is_match_all
+
+
+def test_build_request_malformed_returns_none():
+    assert build_search_request({}) is None  # ref :103-105
+    assert build_search_request({"searchQueries": [{"nope": 1}]}) is None
+    assert build_search_request({"searchQueries": 7}) is None
+
+
+def test_equalize_list_values():
+    # parity with reference :61-71 — pad shorter lists with first element
+    out = equalize_list_values({"a": [1, 2, 3], "b": [9], "c": "scalar"})
+    assert out == {"a": [1, 2, 3], "b": [9, 9, 9], "c": "scalar"}
+    assert equalize_list_values({"x": "y"}) == {"x": "y"}
+    out2 = equalize_list_values({"a": [], "b": [1, 2]})
+    assert out2["a"] == [] and out2["b"] == [1, 2]  # empty list can't pad
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    pages = spark.createDataFrame(corpus.to_pandas())
+    prepared = prepare_pages(pages)
+    docs = prepared.select("doc_id").cache()
+    tokens = tokenize_docs(prepared).cache()
+    return tokens, docs, corpus.num_rows, avgdl_of(tokens, corpus.num_rows)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    import pandas as pd
+
+    ids = sha1_doc_id(pd.Series(corpus.column("url").to_pylist()))
+    return BM25Oracle(zip(ids.tolist(), corpus.column("text").to_pylist()))
+
+
+def test_match_all_topk(engine, oracle):
+    _, docs, n_docs, _ = engine
+    rows = match_all_topk(docs, k=5).collect()
+    exp = sorted(oracle.doclen)[:5]
+    assert [r["doc_id"] for r in rows] == exp
+    assert all(r["score"] == 1.0 for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def _oracle_must(oracle: BM25Oracle, clauses: list[str], k: int):
+    """bool.must composition: every clause matches; scores sum per clause."""
+    per = [dict(fuzzy_search(oracle, c, k=oracle.n_docs)) for c in clauses]
+    common = set(per[0])
+    for p in per[1:]:
+        common &= set(p)
+    scored = []
+    for d in sorted(common):
+        s = 0.0
+        for p in per:  # clause-index order, matches engine fold
+            s += p[d]
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_run_search_request_must_semantics(engine, oracle, queries):
+    tokens, docs, n_docs, avgdl = engine
+    c1, c2 = queries[0]["query"], queries[1]["query"]
+    req = SearchRequest(clauses=(Clause(query=c1), Clause(query=c2)), k=10)
+    got = run_search_request(tokens, docs, req, n_docs, avgdl).collect()
+    exp = _oracle_must(oracle, [c1, c2], k=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_run_search_request_match_all(engine):
+    tokens, docs, n_docs, avgdl = engine
+    req = SearchRequest(clauses=(), k=3)
+    rows = run_search_request(tokens, docs, req, n_docs, avgdl).collect()
+    assert len(rows) == 3 and all(r["score"] == 1.0 for r in rows)
