@@ -33,8 +33,7 @@ from pyspark.sql import functions as F
 
 from sparkfts import BLOCK_SIZE, BM25_B, BM25_K1
 from sparkfts.index import META_FILE, build_index
-from sparkfts.stats import avgdl_of
-from sparkfts.tokens import prepare_pages, tokenize_docs
+from sparkfts.tokens import prepare_pages
 
 STATS_FILE = "stats.json"
 
@@ -77,9 +76,17 @@ def global_stats(
         with open(path) as f:
             s = json.load(f)
         return int(s["n_docs"]), float(s["avgdl"])
+    # one cheap pass: vectorized regex COUNT per doc (sum(doclen) == total
+    # tokens, so avgdl is bit-identical to tokenizing), not a full
+    # tokenize+explode of the corpus
     prepared = prepare_pages(pages, validate_extraction=validate_extraction)
-    n_docs = prepared.count()
-    avgdl = avgdl_of(tokenize_docs(prepared), n_docs) if n_docs else 0.0
+    from sparkfts.tokens import build_docmap
+
+    row = build_docmap(prepared).agg(
+        F.count("*").alias("n"), F.sum(F.col("doclen").cast("long")).alias("t")
+    ).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = (int(row["t"] or 0) / n_docs) if n_docs else 0.0
     os.makedirs(index_dir, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

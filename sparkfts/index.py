@@ -49,7 +49,7 @@ from sparkfts.codec import (
     delta_encode_grouped,
     encode_varint_grouped,
 )
-from sparkfts.stats import avgdl_of, term_df
+from sparkfts.stats import term_df
 from sparkfts.tokens import build_docmap, prepare_pages, tokenize_docs
 
 POSTINGS_SCHEMA = (
@@ -228,11 +228,23 @@ def build_index(
     tokens = tokenize_docs(prepared).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
+    # stats come from the docmap pass (a vectorized regex COUNT per doc),
+    # not from a second full tokenization: sum(doclen) == total tokens, so
+    # avgdl is bit-identical to the oracle's and the expensive
+    # tokenize+shuffle pipeline below runs exactly ONCE per build
+    docmap = build_docmap(prepared).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    docmap = docmap.cache()
     if fixed_stats is not None:
         n_docs, avgdl = int(fixed_stats[0]), float(fixed_stats[1])
     else:
-        n_docs = prepared.count()
-        avgdl = avgdl_of(tokens, n_docs) if n_docs else 0.0
+        stats_row = docmap.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("doclen").cast("long")).alias("t"),
+        ).collect()[0]
+        n_docs = int(stats_row["n"])
+        avgdl = (int(stats_row["t"] or 0) / n_docs) if n_docs else 0.0
 
     if build_partitions is None:
         build_partitions = int(
@@ -253,9 +265,6 @@ def build_index(
         .partitionBy("tbucket")
         .parquet(os.path.join(seg, "postings"))
     )
-    docmap = build_docmap(prepared).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
-    )
     (
         docmap.repartition(n_shards, "shard")
         .sortWithinPartitions("doc_id")
@@ -263,6 +272,7 @@ def build_index(
         .partitionBy("shard")
         .parquet(os.path.join(seg, "docmap"))
     )
+    _write_terms(spark, seg, n_tbuckets)
 
     meta = {
         "version": 1,
@@ -280,8 +290,59 @@ def build_index(
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
     os.replace(tmp, os.path.join(seg, META_FILE))
+    docmap.unpersist()
     prepared.unpersist()
     return meta
+
+
+def _write_terms(spark: SparkSession, seg_dir: str, n_tbuckets: int) -> None:
+    """Write the segment's term dictionary: ``terms(term, df, tbucket)``.
+
+    The Lucene-style term dictionary, derived from the just-written
+    postings by a columnar read of (term, df_shard, tbucket) only — the
+    posting blobs are never touched (parquet column pruning). Query time
+    reads THIS tiny table for idf and fuzzy expansion instead of
+    re-aggregating postings.
+    """
+    src = spark.read.parquet(os.path.join(seg_dir, "postings")).select(
+        "term", "df_shard", "tbucket"
+    )
+    terms = src.groupBy("term").agg(
+        F.sum("df_shard").alias("df"), F.first("tbucket").alias("tbucket")
+    )
+    (
+        # one task per bucket -> one file per bucket dir (not shuffle.partitions
+        # x buckets tiny files)
+        terms.repartition(n_tbuckets, "tbucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(seg_dir, "terms"))
+    )
+
+
+def load_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Term dictionary across segments -> ``(term, df, tbucket)``.
+
+    df is summed across segments (disjoint doc spaces). Falls back to
+    deriving from postings for indexes built before the terms table
+    existed.
+    """
+    dirs = segment_dirs(index_dir)
+    if all(os.path.isdir(os.path.join(d, "terms")) for d in dirs):
+        per = [
+            spark.read.parquet(os.path.join(d, "terms")) for d in dirs
+        ]
+        from functools import reduce
+
+        unioned = reduce(lambda a, b: a.unionByName(b), per)
+    else:
+        unioned = load_postings(spark, index_dir).select(
+            "term", F.col("df_shard").alias("df"), "tbucket"
+        )
+    return unioned.groupBy("term").agg(
+        F.sum("df").alias("df"), F.first("tbucket").alias("tbucket")
+    )
 
 
 def salt_check(tokens: DataFrame, n_shards: int, top: int = 10) -> list[dict]:

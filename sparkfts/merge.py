@@ -136,6 +136,10 @@ def merge_segments(
         shutil.rmtree(segs)
     meta["segments"] = []
 
+    from sparkfts.index import _write_terms
+
+    _write_terms(spark, index_dir, meta["n_tbuckets"])
+
     import json
 
     tmppath = os.path.join(index_dir, "meta.json.tmp")

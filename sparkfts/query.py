@@ -178,7 +178,7 @@ def bm25_scan(
 
 def _make_shard_scorer(
     queries_analyzed: list[tuple[int, list[str], int]],
-    idf_map: dict[str, float],
+    n_docs: int,
     avgdl: float,
     mode: str,
     use_blockmax: bool,
@@ -190,6 +190,10 @@ def _make_shard_scorer(
     inlined in each posting row, so no doc-table lookup happens at query
     time. Batching every query into one kernel call amortizes decode: a
     term's postings are decoded once per shard per query *batch*.
+
+    Each posting row carries the term's GLOBAL ``df`` (broadcast-joined in
+    the same plan), so idf is computed here and the whole query is one
+    Spark action — no driver round-trip for stats.
     """
     import numpy as np
 
@@ -215,6 +219,10 @@ def _make_shard_scorer(
             rows_by_term: dict[str, list] = {}
             for _, r in pdf_postings.iterrows():
                 rows_by_term.setdefault(r["term"], []).append(r)
+            idf_map = {
+                t: idf_fn(n_docs, int(rows[0]["df"]))
+                for t, rows in rows_by_term.items()
+            }
             cache: dict[str, tuple] = {}
 
             def postings_of(term: str):
@@ -267,7 +275,11 @@ def _make_shard_scorer(
                     ids, tfs, dls, bm = postings_of(t)
                     tp.append((ids, tfs, dls))
                     bms.append(bm)
-                idfs = np.array([idf_map[t] for t in terms], np.float64)
+                # a term absent from this shard's rows has empty postings,
+                # so its idf value is never multiplied into anything
+                idfs = np.array(
+                    [idf_map.get(t, 0.0) for t in terms], np.float64
+                )
                 if mode == "and":
                     ids, scores = score_conjunctive(tp, idfs, avgdl, k)
                 elif use_blockmax:
@@ -317,7 +329,13 @@ def bm25_index_batch(
         intersect/WAND -> vectorized BM25 -> per-shard top-k
       global merge: window top-k per query over <= n_shards*k rows.
     """
-    from sparkfts.index import load_docmap, load_postings, read_meta, term_bucket
+    from sparkfts.index import (
+        load_docmap,
+        load_postings,
+        load_terms,
+        read_meta,
+        term_bucket,
+    )
 
     meta = read_meta(index_dir)
     analyzed = [
@@ -333,20 +351,36 @@ def bm25_index_batch(
     postings = load_postings(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
     )
+    # global df from the tiny term-dictionary table (partition-pruned on
+    # tbucket, predicate-pruned on term): a few-row collect off a scan
+    # that never touches posting blobs; idf ships to the kernel in its
+    # closure. Cheaper than a broadcast-join whose build side would block
+    # the main scan (measured: the collect round-trip wins at this size).
     df_rows = (
-        postings.groupBy("term")
-        .agg(F.sum("df_shard").alias("df"))
+        load_terms(spark, index_dir)
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
         .collect()
     )
     df_map = {r["term"]: int(r["df"]) for r in df_rows}
-    idf_map = {
-        t: idf_fn(meta["n_docs"], df_map.get(t, 0)) for t in all_terms
-    }
+    joined = postings.withColumn(
+        "df", F.element_at(
+            F.create_map(
+                *[x for t in all_terms for x in (F.lit(t), F.lit(df_map.get(t, 0)))]
+            ),
+            F.col("term"),
+        )
+    )
 
     scorer = _make_shard_scorer(
-        analyzed, idf_map, meta["avgdl"], mode, use_blockmax, meta["block_size"]
+        analyzed,
+        meta["n_docs"],
+        meta["avgdl"],
+        mode,
+        use_blockmax,
+        meta["block_size"],
     )
-    local = postings.groupby("shard").applyInPandas(
+    local = joined.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
     )
 

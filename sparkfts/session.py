@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local corpora are single small parquet files: without a low split
+        # size the whole scan (extract+tokenize, the expensive stage) lands
+        # in ONE task and added cores do nothing. 8 MB splits + cheap file
+        # open cost keep the scan parallel; on a real cluster with many
+        # input files these revert to larger values.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # AQE's 64 MB advisory size would coalesce our small shuffles to 1-2
+        # partitions and serialize the encode stage; 2 MB keeps local
+        # parallelism while still merging truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

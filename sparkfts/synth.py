@@ -131,7 +131,10 @@ def gen_corpus(n_docs: int, seed: int = 42) -> pa.Table:
 
 def write_corpus(path: str, n_docs: int, seed: int = 42) -> pa.Table:
     tbl = gen_corpus(n_docs, seed)
-    pq.write_table(tbl, path, row_group_size=8192)
+    # small row groups keep the file splittable: parquet scans can only
+    # split at row-group boundaries, and the build's expensive stage
+    # (extract+tokenize) parallelizes no finer than the scan does
+    pq.write_table(tbl, path, row_group_size=2048)
     return tbl
 
 

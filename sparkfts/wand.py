@@ -130,6 +130,80 @@ def _union_with_dls(nonempty: list[tuple[Postings, float]]):
     return union, dls
 
 
+def fuzzy_group(
+    expansions: list[tuple[Postings, float]],
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Collapse one query term's fuzzy expansions into a virtual posting.
+
+    ``expansions``: per expansion term, aligned ``(doc_ids, tfs, doclens)``
+    plus its weight ``boost * idf`` (:mod:`oracle.fuzzy` semantics — the
+    best expansion wins per document). Returns ``(union_ids, best)`` where
+    ``best[i] = max over expansions of weight * tf_norm * (k1+1)``.
+
+    ``max`` over float64 is order-independent, so this is deterministic
+    regardless of expansion enumeration order.
+    """
+    nonempty = [(p, w) for p, w in expansions if p[0].size > 0]
+    if not nonempty:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    union = np.unique(np.concatenate([p[0] for p, _ in nonempty]))
+    best = np.zeros(union.size, np.float64)
+    for (ids, tfs, dls), w in nonempty:
+        contrib = w * (
+            tfs.astype(np.float64)
+            / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+        ) * (k1 + 1.0)
+        pos = np.searchsorted(union, ids)
+        np.maximum.at(best, pos, contrib)
+    return union, best
+
+
+def score_grouped(
+    groups: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    mode: str = "and",
+):
+    """Top-k over per-query-term virtual postings (``fuzzy_group`` output).
+
+    ``groups`` in sorted-q_term order (pinned summation order). AND: doc
+    must appear in every group (the reference's ``bool.must`` +
+    ``operator:"and"``); OR: any group.
+    """
+    if not groups:
+        return _EMPTY
+    if mode == "and":
+        if any(g[0].size == 0 for g in groups):
+            return _EMPTY
+        order = np.argsort([g[0].size for g in groups], kind="stable")
+        inter = groups[order[0]][0]
+        for j in order[1:]:
+            if inter.size == 0:
+                return _EMPTY
+            other = groups[j][0]
+            pos = np.searchsorted(other, inter)
+            pos[pos >= other.size] = other.size - 1
+            inter = inter[other[pos] == inter]
+        if inter.size == 0:
+            return _EMPTY
+        scores = np.zeros(inter.size, np.float64)
+        for ids, best in groups:  # sorted-q_term fold order
+            scores += best[np.searchsorted(ids, inter)]
+        return _topk(inter, scores, k)
+    if mode != "or":
+        raise ValueError(f"unknown mode {mode!r}")
+    nonempty = [g for g in groups if g[0].size > 0]
+    if not nonempty:
+        return _EMPTY
+    union = np.unique(np.concatenate([g[0] for g in nonempty]))
+    scores = np.zeros(union.size, np.float64)
+    for ids, best in nonempty:
+        scores[np.searchsorted(union, ids)] += best
+    return _topk(union, scores, k)
+
+
 def score_disjunctive(
     term_postings: list[Postings],
     idfs: np.ndarray,
