@@ -220,6 +220,17 @@ def q_fts_fuzzy_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_fuzzy_index_topk(spark, sf_dir):
+    """Same fuzzy query answered from the inverted index (term-dictionary
+    Levenshtein expansion + grouped best-expansion kernel) — must be
+    rank-identical to the scan-mode path and the DuckDB oracle."""
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_fuzzy_batch(spark, idx, [(0, BM25_QUERY_FUZZY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_match_all(spark, sf_dir):
     """Empty query -> match-all top-k (reference returns {} for empty input,
     ElasticsearchToNeo4jSync.py:102; ES treats {} as match_all, score 1.0)."""
@@ -465,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_topk": q_fts_index_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
+        "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
         "projection_rename": q_projection_rename,
@@ -601,6 +613,7 @@ scored AS (
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
+    sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
 
     sqls["match_all"] = """
 SELECT row_number() OVER (ORDER BY doc_id) AS rank, doc_id,

@@ -83,17 +83,31 @@ def cmd_build(args: argparse.Namespace) -> None:
 
 def cmd_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-query")
-    from sparkfts.query import bm25_index_batch
+    from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    rows = bm25_index_batch(
-        spark,
-        args.index,
-        [(0, args.query, args.k)],
-        mode=args.mode,
-        use_blockmax=not args.no_blockmax,
-        resolve_urls=True,
-    ).collect()
+    if args.fuzzy:
+        from sparkfts.index import load_docmap
+
+        res = bm25_index_fuzzy_batch(
+            spark, args.index, [(0, args.query, args.k)], mode=args.mode
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+    else:
+        rows = bm25_index_batch(
+            spark,
+            args.index,
+            [(0, args.query, args.k)],
+            mode=args.mode,
+            use_blockmax=not args.no_blockmax,
+            resolve_urls=True,
+        ).collect()
     sec = time.time() - t0
     for r in rows:
         print(
@@ -138,6 +152,8 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["and", "or"], default="and")
     q.add_argument("--no-blockmax", action="store_true")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
     q.add_argument("--cores", default="*")
     q.set_defaults(fn=cmd_query)
 

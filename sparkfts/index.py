@@ -261,7 +261,16 @@ def build_index(
 
     seg = os.path.join(out_dir, "segments", segment) if segment else out_dir
     (
-        postings.write.mode("overwrite")
+        # consolidate to one writer task per term bucket BEFORE the write:
+        # without this, every (shuffle partition x tbucket) pair emits its
+        # own file — ~1000 tiny files whose listing/open cost dominates
+        # every later read (terms derivation, every query scan). The extra
+        # shuffle moves only the compressed index (~25x smaller than the
+        # token rows already shuffled above); at larger scale n_tbuckets
+        # grows with the cluster so writer parallelism is preserved.
+        postings.repartition(n_tbuckets, "tbucket")
+        .sortWithinPartitions("tbucket", "term", "shard")
+        .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(os.path.join(seg, "postings"))
     )

@@ -176,6 +176,65 @@ def bm25_scan(
 # ---------------------------------------------------------------------------
 
 
+def _postings_reader(pdf_postings: pd.DataFrame, avgdl: float, block_size: int):
+    """Per-shard decode machinery shared by the exact and fuzzy scorers.
+
+    Returns ``(rows_by_term, postings_of)`` where ``postings_of(term)``
+    lazily decodes (and caches) the term's shard postings as
+    ``(doc_ids, tfs, doclens, (block_first_doc, block_max_tfn))``,
+    sorted-merging multi-segment runs when present.
+    """
+    import numpy as np
+
+    from sparkfts.codec import decode_varint, delta_decode
+
+    _empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.uint64),
+        (np.empty(0, np.int64), np.empty(0, np.float64)),
+    )
+    rows_by_term: dict[str, list] = {}
+    for _, r in pdf_postings.iterrows():
+        rows_by_term.setdefault(r["term"], []).append(r)
+    cache: dict[str, tuple] = {}
+
+    def postings_of(term: str):
+        if term not in cache:
+            rows = rows_by_term.get(term)
+            if not rows:
+                cache[term] = _empty
+            elif len(rows) == 1:
+                r = rows[0]
+                ids = delta_decode(decode_varint(r["doc_ids"])).astype(np.int64)
+                tfs = decode_varint(r["tfs"])
+                dls = decode_varint(r["doclens"])
+                bm = (
+                    np.asarray(r["block_first_doc"], np.int64),
+                    np.asarray(r["block_max_tfn"], np.float64),
+                )
+                cache[term] = (ids, tfs, dls, bm)
+            else:
+                # multi-segment: sorted merge of per-segment runs
+                # (doc spaces disjoint across committed segments)
+                ids = np.concatenate(
+                    [delta_decode(decode_varint(r["doc_ids"])) for r in rows]
+                ).astype(np.int64)
+                tfs = np.concatenate([decode_varint(r["tfs"]) for r in rows])
+                dls = np.concatenate(
+                    [decode_varint(r["doclens"]) for r in rows]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                from sparkfts.wand import block_metadata, tf_norm
+
+                bm = block_metadata(ids, tf_norm(tfs, dls, avgdl), block_size)
+                cache[term] = (ids, tfs, dls, bm)
+        return cache[term]
+
+    return rows_by_term, postings_of
+
+
 def _make_shard_scorer(
     queries_analyzed: list[tuple[int, list[str], int]],
     n_docs: int,
@@ -197,18 +256,10 @@ def _make_shard_scorer(
     """
     import numpy as np
 
-    from sparkfts.codec import decode_varint, delta_decode
     from sparkfts.wand import (
         score_conjunctive,
         score_disjunctive,
         score_disjunctive_blockmax,
-    )
-
-    _empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.uint64),
-        np.empty(0, np.uint64),
-        (np.empty(0, np.int64), np.empty(0, np.float64)),
     )
 
     def scorer(pdf_postings: pd.DataFrame) -> pd.DataFrame:
@@ -216,56 +267,13 @@ def _make_shard_scorer(
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
         if len(pdf_postings):
-            rows_by_term: dict[str, list] = {}
-            for _, r in pdf_postings.iterrows():
-                rows_by_term.setdefault(r["term"], []).append(r)
+            rows_by_term, postings_of = _postings_reader(
+                pdf_postings, avgdl, block_size
+            )
             idf_map = {
                 t: idf_fn(n_docs, int(rows[0]["df"]))
                 for t, rows in rows_by_term.items()
             }
-            cache: dict[str, tuple] = {}
-
-            def postings_of(term: str):
-                if term not in cache:
-                    rows = rows_by_term.get(term)
-                    if not rows:
-                        cache[term] = _empty
-                    elif len(rows) == 1:
-                        r = rows[0]
-                        ids = delta_decode(decode_varint(r["doc_ids"])).astype(
-                            np.int64
-                        )
-                        tfs = decode_varint(r["tfs"])
-                        dls = decode_varint(r["doclens"])
-                        bm = (
-                            np.asarray(r["block_first_doc"], np.int64),
-                            np.asarray(r["block_max_tfn"], np.float64),
-                        )
-                        cache[term] = (ids, tfs, dls, bm)
-                    else:
-                        # multi-segment: sorted merge of per-segment runs
-                        # (doc spaces disjoint across committed segments)
-                        ids = np.concatenate(
-                            [
-                                delta_decode(decode_varint(r["doc_ids"]))
-                                for r in rows
-                            ]
-                        ).astype(np.int64)
-                        tfs = np.concatenate(
-                            [decode_varint(r["tfs"]) for r in rows]
-                        )
-                        dls = np.concatenate(
-                            [decode_varint(r["doclens"]) for r in rows]
-                        )
-                        order = np.argsort(ids, kind="stable")
-                        ids, tfs, dls = ids[order], tfs[order], dls[order]
-                        from sparkfts.wand import block_metadata, tf_norm
-
-                        bm = block_metadata(
-                            ids, tf_norm(tfs, dls, avgdl), block_size
-                        )
-                        cache[term] = (ids, tfs, dls, bm)
-                return cache[term]
 
             for qid, terms, k in queries_analyzed:
                 if mode == "and" and not all(t in rows_by_term for t in terms):
@@ -412,4 +420,206 @@ def bm25_index(
     """Single-query wrapper over :func:`bm25_index_batch`."""
     return bm25_index_batch(spark, index_dir, [(0, query, k)], mode, **kw).select(
         "rank", "doc_id", *(["url"] if kw.get("resolve_urls") else []), "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (AUTO) query over the inverted index
+# ---------------------------------------------------------------------------
+
+
+def _make_fuzzy_shard_scorer(
+    queries_grouped: list[tuple[int, list[tuple[str, list[tuple[str, float]]]], int]],
+    avgdl: float,
+    mode: str,
+    block_size: int,
+):
+    """Kernel: fuzzy-grouped scoring of one shard (oracle.fuzzy semantics).
+
+    ``queries_grouped``: per query ``(qid, groups, k)`` where ``groups``
+    is, in sorted-q_term order, ``(q_term, [(expansion_term, weight)])``
+    with ``weight = boost * idf`` precomputed on the driver from the term
+    dictionary. The best expansion wins per doc (max), groups combine
+    conjunctively/disjunctively (:func:`sparkfts.wand.score_grouped`).
+    """
+    import numpy as np
+
+    from sparkfts.wand import fuzzy_group, score_grouped
+
+    def scorer(pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        out_qid: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        if len(pdf_postings):
+            rows_by_term, postings_of = _postings_reader(
+                pdf_postings, avgdl, block_size
+            )
+            group_cache: dict[tuple, tuple] = {}
+            for qid, groups_spec, k in queries_grouped:
+                groups = []
+                for q_term, exps in groups_spec:
+                    # expansions are a function of q_term + dictionary, so
+                    # the virtual posting is shareable across queries
+                    key = q_term
+                    virt = group_cache.get(key)
+                    if virt is None:
+                        present = [
+                            (postings_of(t)[:3], w)
+                            for t, w in exps
+                            if t in rows_by_term
+                        ]
+                        virt = fuzzy_group(present, avgdl)
+                        group_cache[key] = virt
+                    groups.append(virt)
+                ids, scores = score_grouped(groups, k, mode)
+                if ids.size:
+                    out_qid.append(np.full(ids.size, qid, np.int32))
+                    out_doc.append(ids)
+                    out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return scorer
+
+
+def fuzzy_expand_index(
+    spark: SparkSession,
+    index_dir: str,
+    analyzed: list[tuple[int, list[str], int]],
+    n_docs: int,
+    n_tbuckets: int,
+    max_expansions: int | None = None,
+) -> dict[tuple[int, str], list[tuple[str, float]]]:
+    """Expand query terms against the index term dictionary (distributed).
+
+    A Levenshtein join of the (never-collected) ``terms`` table against the
+    broadcast query-term list, with a pushed-down term-length window
+    pre-filter. Returns ``(query_id, q_term) -> [(term, weight)]`` with
+    ``weight = (1 - dist/len(q_term)) * idf(df)`` per :mod:`oracle.fuzzy`.
+
+    ``max_expansions``: optional recall/cost cap (closest-first, then
+    term order) for web-scale dictionaries; ``None`` = exhaustive (the
+    correctness-path default, matching the oracle).
+    """
+    from sparkfts.analysis import auto_fuzz
+    from sparkfts.index import load_terms
+
+    qrows = [
+        (qid, t, auto_fuzz(t), len(t))
+        for qid, terms, _ in analyzed
+        for t in terms
+    ]
+    if not qrows:
+        return {}
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, q_term string, maxd int, qlen int"
+    )
+    lmin = min(ln - d for _, _, d, ln in qrows)
+    lmax = max(ln + d for _, _, d, ln in qrows)
+    terms = load_terms(spark, index_dir).where(
+        F.length("term").between(F.lit(lmin), F.lit(lmax))
+    )
+    dist = F.levenshtein(F.col("term"), F.col("q_term"))
+    rows = (
+        terms.join(
+            F.broadcast(qdf),
+            (F.abs(F.length("term") - F.col("qlen")) <= F.col("maxd"))
+            & (F.levenshtein(F.col("term"), F.col("q_term")) <= F.col("maxd")),
+        )
+        .select(
+            "query_id",
+            "q_term",
+            "term",
+            dist.alias("dist"),
+            "df",
+            "qlen",
+        )
+        .collect()
+    )
+    out: dict[tuple[int, str], list[tuple[str, float, int]]] = {}
+    for r in rows:
+        boost = 1.0 - r["dist"] / r["qlen"]
+        w = boost * idf_fn(n_docs, int(r["df"]))
+        out.setdefault((r["query_id"], r["q_term"]), []).append(
+            (r["term"], w, int(r["dist"]))
+        )
+    final: dict[tuple[int, str], list[tuple[str, float]]] = {}
+    for key, exps in out.items():
+        exps.sort(key=lambda x: (x[2], x[0]))  # closest-first, then term
+        if max_expansions is not None:
+            exps = exps[:max_expansions]
+        final[key] = [(t, w) for t, w, _ in exps]
+    return final
+
+
+def bm25_index_fuzzy_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    mode: str = "and",
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Fuzzy (AUTO) BM25 top-k from a built index, one Spark action to score.
+
+    Plan: term-dictionary Levenshtein expansion (small collect) ->
+    postings pruned to the expansion set -> per-shard grouped kernel ->
+    global window top-k. Rank-identical to :func:`oracle.fuzzy.fuzzy_search`
+    when ``max_expansions`` is None.
+    """
+    from sparkfts.index import load_postings, read_meta, term_bucket
+
+    meta = read_meta(index_dir)
+    analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
+    analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+    if not analyzed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    expansions = fuzzy_expand_index(
+        spark, index_dir, analyzed, meta["n_docs"], meta["n_tbuckets"],
+        max_expansions,
+    )
+    queries_grouped = []
+    for qid, terms, k in analyzed:
+        groups = [
+            (t, expansions.get((qid, t), [])) for t in terms
+        ]  # terms already sorted by tokenize_query
+        queries_grouped.append((qid, groups, k))
+
+    all_terms = sorted(
+        {t for exps in expansions.values() for t, _ in exps}
+    )
+    if not all_terms:
+        return _empty_results(spark)
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
+    postings = load_postings(spark, index_dir).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    scorer = _make_fuzzy_shard_scorer(
+        queries_grouped, meta["avgdl"], mode, meta["block_size"]
+    )
+    local = postings.groupby("shard").applyInPandas(
+        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
+    )
+    k_map = F.create_map(
+        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
     )

@@ -46,7 +46,7 @@ def get_spark(
         # in ONE task and added cores do nothing. 8 MB splits + cheap file
         # open cost keep the scan parallel; on a real cluster with many
         # input files these revert to larger values.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "1m")
         # AQE's 64 MB advisory size would coalesce our small shuffles to 1-2
         # partitions and serialize the encode stage; 2 MB keeps local

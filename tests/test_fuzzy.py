@@ -114,3 +114,43 @@ def test_spark_fuzzy_typo_query_recovers_docs(engine, oracle):
     exp = fuzzy_search(oracle, typo, k=10)
     assert [r["doc_id"] for r in got.collect()] == [d for d, _ in exp]
     assert exp, "typo expansion found no docs — fixture term choice broken"
+
+
+@pytest.fixture(scope="module")
+def fuzzy_index(spark, corpus, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("fuzzy_idx"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    build_index(pages, d, n_shards=4, n_tbuckets=8)
+    return d
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_index_fuzzy_rank_identical(spark, fuzzy_index, oracle, queries, mode):
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    batch = [(q["query_id"], q["query"], 10) for q in queries[:8]]
+    got = bm25_index_fuzzy_batch(spark, fuzzy_index, batch, mode=mode)
+    by_qid: dict[int, list] = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, text, k in batch:
+        exp = fuzzy_search(oracle, text, k=k, mode=mode)
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (
+            f"doc order mismatch q{qid} mode={mode}"
+        )
+        for r, (_, s) in zip(rows, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_index_fuzzy_typo_query(spark, fuzzy_index, oracle):
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    term = max(oracle.postings, key=lambda t: (len(t) >= 6, oracle.df(t)))
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    got = bm25_index_fuzzy_batch(spark, fuzzy_index, [(0, typo, 10)]).collect()
+    exp = fuzzy_search(oracle, typo, k=10)
+    assert exp, "fixture term choice produced no fuzzy hits"
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
