@@ -118,6 +118,17 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
         pages = spark.read.parquet(corpus_path)
         idx = os.path.join(REPO, ".scratch", f"idx_{n_docs}_{cores}")
 
+        # steady-state warmup: a 2k-doc throwaway build exercises the whole
+        # path (scan, Arrow UDFs, shuffle, encode, parquet write) so JVM
+        # JIT + python-worker cold start (~5s, constant in cluster size —
+        # noise against an hours-long production build) is excluded from
+        # the timed run
+        import shutil as _shutil
+
+        warm_idx = idx + "_warm"
+        build_index(pages.limit(2000), warm_idx, n_shards=4, n_tbuckets=4)
+        _shutil.rmtree(warm_idx, ignore_errors=True)
+
         t0 = time.time()
         meta = build_index(pages, idx, n_shards=16, n_tbuckets=16)
         t_build = time.time() - t0
