@@ -407,6 +407,14 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training-pipeline op): exact
+    integer-quantized pairwise cosine, threshold 0.40."""
+    from sparkfts.ops.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold_e6=400_000)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from sparkfts.ops.similarity import cosine_topk
 
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -803,6 +812,22 @@ r AS (
          ((h << s) | (h >> (32 - s))) & 4294967295 AS rh
   FROM h)
 SELECT doc_id, bit_xor(rh) AS fingerprint FROM r GROUP BY doc_id
+"""
+
+    sqls["dedup_embedding_cosine"] = """
+WITH ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+            FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+      FROM ee a JOIN ee b USING (pos) WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM p WHERE na > 0 AND nb > 0
+  AND CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+      >= 400000
 """
 
     sqls["ann_cosine_topk"] = """

@@ -178,3 +178,72 @@ def ann_cosine_topk(
         F.broadcast(cand), F.col(id_col) == F.col("__cand_id"), "left_semi"
     )
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold_e6: int = 400_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cos_e6).
+
+    ``id_a < id_b``; keeps pairs with quantized cosine >= threshold_e6/1e6.
+    Integer-quantized dot/norms (exact, order-free) make the result
+    engine-independent — same convention as :func:`cosine_topk`.
+
+    ``bucketed=False`` is the exact O(n^2) baseline (the oracle). At scale,
+    ``bucketed=True`` joins only vectors sharing a random-hyperplane LSH
+    bucket (:func:`lsh_bucket`): the self-join shrinks from n^2 to
+    sum over buckets of |bucket|^2 — the standard recall/cost trade; its
+    output is a subset of the exact pairs (tested), with recall rising in
+    ``n_planes`` disagreement tolerance and threshold.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    if bucketed:
+        b = lsh_bucket(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        q = q.join(b, "vec_id")
+        a = q.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("qv").alias("qa"),
+            "bucket",
+        )
+        bb = q.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("qv").alias("qb"),
+            "bucket",
+        )
+        pairs = a.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = q.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+        bb = q.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+        pairs = a.crossJoin(bb).where(F.col("id_a") < F.col("id_b"))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.col("qa"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    nb = F.aggregate(
+        F.col("qb"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    cos_e6 = F.floor(
+        dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        pairs.withColumn("na", na)
+        .withColumn("nb", nb)
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("cos_e6", cos_e6)
+        .where(F.col("cos_e6") >= F.lit(int(threshold_e6)))
+        .select("id_a", "id_b", "cos_e6")
+    )
