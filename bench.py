@@ -133,6 +133,17 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
         meta = build_index(pages, idx, n_shards=16, n_tbuckets=16)
         t_build = time.time() - t0
 
+        # north-star metrics: postings/sec + compression (BASELINE.md)
+        n_postings = spark.read.parquet(os.path.join(idx, "terms")).agg(
+            {"df": "sum"}
+        ).collect()[0][0]
+        idx_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(idx)
+            for f in fs
+        )
+        corpus_bytes = os.path.getsize(corpus_path)
+
         texts = [r["text"] for r in pages.select("text").collect()]
         # query generation is single-threaded driver python: sample the df
         # census at large corpus sizes (queries still span the spectrum);
@@ -183,6 +194,11 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
                 "p99_sec": round(p99, 4),
                 "latencies": lat,
                 "n_docs": n_docs,
+                "n_postings": int(n_postings),
+                "postings_per_sec": round(int(n_postings) / t_build, 1),
+                "index_bytes": idx_bytes,
+                "corpus_bytes": corpus_bytes,
+                "index_to_corpus_ratio": round(idx_bytes / corpus_bytes, 4),
                 "postings_meta": {k: meta[k] for k in ("n_shards", "n_tbuckets")},
             }
         import pandas as pd
@@ -213,6 +229,11 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             "p99_sec": round(p99, 4),
             "latencies": lat,
             "n_docs": n_docs,
+            "n_postings": int(n_postings),
+            "postings_per_sec": round(int(n_postings) / t_build, 1),
+            "index_bytes": idx_bytes,
+            "corpus_bytes": corpus_bytes,
+            "index_to_corpus_ratio": round(idx_bytes / corpus_bytes, 4),
             "postings_meta": {k: meta[k] for k in ("n_shards", "n_tbuckets")},
         }
     finally:
@@ -286,6 +307,8 @@ def main() -> None:
             "p99_sec": r["p99_sec"],
             "n_docs": r["n_docs"],
             "cores": r["cores"],
+            "postings_per_sec": r["postings_per_sec"],
+            "index_to_corpus_ratio": r["index_to_corpus_ratio"],
         }
     print(json.dumps(out))
 

@@ -123,6 +123,24 @@ def cmd_query(args: argparse.Namespace) -> None:
     print(json.dumps({"hits": len(rows), "sec": round(sec, 3)}), file=sys.stderr)
 
 
+def cmd_merge(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-merge")
+    from sparkfts.merge import merge_segments
+
+    t0 = time.time()
+    meta = merge_segments(spark, args.index)
+    print(
+        json.dumps(
+            {
+                "n_docs": meta["n_docs"],
+                "segments_remaining": len(meta.get("segments", [])),
+                "sec": round(time.time() - t0, 2),
+                "index": args.index,
+            }
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="sparkfts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +172,13 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--no-blockmax", action="store_true")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
+
+    m = sub.add_parser(
+        "merge", help="idempotent compaction of index segments into root"
+    )
+    m.add_argument("--index", required=True)
+    m.add_argument("--cores", default="*")
+    m.set_defaults(fn=cmd_merge)
     q.add_argument("--cores", default="*")
     q.set_defaults(fn=cmd_query)
 

@@ -40,39 +40,90 @@ from sparkfts.index import (
 from sparkfts.wand import block_metadata, tf_norm
 
 
-def _make_merge_kernel(avgdl: float, n_tbuckets: int, block_size: int):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        segs = pdf["segment_id"].to_numpy()
-        ids = np.concatenate(
-            [delta_decode(decode_varint(b)) for b in pdf["doc_ids"]]
-        ).astype(np.int64)
-        tfs = np.concatenate([decode_varint(b) for b in pdf["tfs"]])
-        dls = np.concatenate([decode_varint(b) for b in pdf["doclens"]])
-        seg_of = np.repeat(segs, [len(decode_varint(b)) for b in pdf["tfs"]])
-        # sort by (doc_id, segment_id); stable keep-last -> newest segment wins
-        order = np.lexsort((seg_of, ids))
-        ids, tfs, dls, seg_of = ids[order], tfs[order], dls[order], seg_of[order]
-        last = np.ones(ids.size, bool)
-        last[:-1] = ids[1:] != ids[:-1]
-        ids, tfs, dls = ids[last], tfs[last], dls[last]
-        tfn = tf_norm(tfs, dls, avgdl)
-        first, maxes = block_metadata(ids, tfn, block_size)
-        term = pdf["term"].iloc[0]
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "df_shard": [len(ids)],
-                "doc_ids": [encode_varint(delta_encode(ids.astype(np.uint64)))],
-                "tfs": [encode_varint(tfs)],
-                "doclens": [encode_varint(dls)],
-                "block_first_doc": [first.tolist()],
-                "block_max_tfn": [maxes.tolist()],
-                "tbucket": [term_bucket(term, n_tbuckets)],
-            }
-        )
+def _merge_one_group(
+    pdf: pd.DataFrame, avgdl: float, n_tbuckets: int, block_size: int
+) -> dict:
+    """Merge one (term, shard) group's segment runs -> one postings row."""
+    segs = pdf["segment_id"].to_numpy()
+    ids = np.concatenate(
+        [delta_decode(decode_varint(b)) for b in pdf["doc_ids"]]
+    ).astype(np.int64)
+    tfs = np.concatenate([decode_varint(b) for b in pdf["tfs"]])
+    dls = np.concatenate([decode_varint(b) for b in pdf["doclens"]])
+    seg_of = np.repeat(segs, [len(decode_varint(b)) for b in pdf["tfs"]])
+    # sort by (doc_id, segment_id); stable keep-last -> newest segment wins
+    order = np.lexsort((seg_of, ids))
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    last = np.ones(ids.size, bool)
+    last[:-1] = ids[1:] != ids[:-1]
+    ids, tfs, dls = ids[last], tfs[last], dls[last]
+    tfn = tf_norm(tfs, dls, avgdl)
+    first, maxes = block_metadata(ids, tfn, block_size)
+    term = pdf["term"].iloc[0]
+    return {
+        "term": term,
+        "shard": int(pdf["shard"].iloc[0]),
+        "df_shard": len(ids),
+        "doc_ids": encode_varint(delta_encode(ids.astype(np.uint64))),
+        "tfs": encode_varint(tfs),
+        "doclens": encode_varint(dls),
+        "block_first_doc": first.tolist(),
+        "block_max_tfn": maxes.tolist(),
+        "tbucket": term_bucket(term, n_tbuckets),
+    }
 
-    return kernel
+
+def _make_merge_stream(avgdl: float, n_tbuckets: int, block_size: int):
+    """Streaming merge over (term, shard)-sorted postings rows.
+
+    Same batched-group pattern as the build's encoder
+    (sparkfts.index._make_postings_stream): one Arrow batch carries MANY
+    groups, so per-group cost is the numpy merge itself, not a grouped-map
+    UDF invocation per (term, shard) — the difference between ~|vocab| x
+    n_shards UDF calls and ~n_partitions calls.
+    """
+
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            change = np.empty(len(pdf), bool)
+            change[0] = True
+            np.logical_or(
+                terms[1:] != terms[:-1], shards[1:] != shards[:-1],
+                out=change[1:],
+            )
+            starts = np.nonzero(change)[0]
+            pending = pdf.iloc[starts[-1]:]
+            if starts.size > 1:
+                rows = [
+                    _merge_one_group(
+                        pdf.iloc[s:e], avgdl, n_tbuckets, block_size
+                    )
+                    for s, e in zip(starts[:-1], starts[1:])
+                ]
+                yield pd.DataFrame(rows)
+        if pending is not None and len(pending):
+            yield pd.DataFrame(
+                [
+                    _merge_one_group(
+                        pending.reset_index(drop=True),
+                        avgdl,
+                        n_tbuckets,
+                        block_size,
+                    )
+                ]
+            )
+
+    return gen
 
 
 def merge_segments(
@@ -93,9 +144,18 @@ def merge_segments(
         return meta  # already compact
 
     postings = load_postings(spark, index_dir)  # carries segment_id
-    merged = postings.groupBy("term", "shard").applyInPandas(
-        _make_merge_kernel(meta["avgdl"], meta["n_tbuckets"], meta["block_size"]),
-        POSTINGS_SCHEMA,
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    merged = (
+        postings.repartition(n_parts, "term", "shard")
+        .sortWithinPartitions("term", "shard", "segment_id")
+        .mapInPandas(
+            _make_merge_stream(
+                meta["avgdl"], meta["n_tbuckets"], meta["block_size"]
+            ),
+            POSTINGS_SCHEMA,
+        )
     )
     tmp_postings = os.path.join(index_dir, "postings__merging")
     (
