@@ -141,6 +141,35 @@ def cmd_merge(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_ingest(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-ingest")
+    from sparkfts.index import read_meta
+    from sparkfts.streaming import start_incremental_index
+
+    t0 = time.time()
+    start_incremental_index(
+        spark,
+        args.input,
+        args.index,
+        args.checkpoint,
+        n_shards=args.shards,
+        n_tbuckets=args.tbuckets,
+        available_now=not args.follow,
+    )
+    meta = read_meta(args.index)
+    print(
+        json.dumps(
+            {
+                "n_docs": meta["n_docs"],
+                "avgdl": round(meta["avgdl"], 4),
+                "blockmax_safe": meta.get("blockmax_safe", True),
+                "sec": round(time.time() - t0, 2),
+                "index": args.index,
+            }
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="sparkfts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -179,6 +208,23 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--index", required=True)
     m.add_argument("--cores", default="*")
     m.set_defaults(fn=cmd_merge)
+
+    i = sub.add_parser(
+        "ingest",
+        help="incremental ingest: stream a page directory into segments",
+    )
+    i.add_argument("--input", required=True,
+                   help="parquet directory watched by readStream")
+    i.add_argument("--index", required=True)
+    i.add_argument("--checkpoint", required=True,
+                   help="streaming checkpoint dir (exactly-once batch ids)")
+    i.add_argument("--shards", type=int, default=8)
+    i.add_argument("--tbuckets", type=int, default=16)
+    i.add_argument("--cores", default="*")
+    i.add_argument("--follow", action="store_true",
+                   help="keep running and index new files as they land "
+                        "(default: drain what's present, then exit)")
+    i.set_defaults(fn=cmd_ingest)
     q.add_argument("--cores", default="*")
     q.set_defaults(fn=cmd_query)
 

@@ -195,6 +195,7 @@ def merge_segments(
     if os.path.isdir(segs):
         shutil.rmtree(segs)
     meta["segments"] = []
+    meta["blockmax_safe"] = True  # block maxima recomputed under final avgdl
 
     from sparkfts.index import _write_terms
 

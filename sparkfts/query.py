@@ -346,6 +346,10 @@ def bm25_index_batch(
     )
 
     meta = read_meta(index_dir)
+    # streaming appends carry block maxima computed under point-in-time
+    # avgdl; until a merge recomputes them, fall back to the exhaustive
+    # scorer (exact, just unpruned) — sparkfts.streaming sets this flag
+    use_blockmax = use_blockmax and meta.get("blockmax_safe", True)
     analyzed = [
         (qid, tokenize_query(text), k) for qid, text, k in queries
     ]

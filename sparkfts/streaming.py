@@ -1,0 +1,161 @@
+"""Incremental ingest: Structured Streaming micro-batches -> index segments.
+
+The reference is strictly batch (SURVEY.md §2.9) — its only nod to
+incrementality is a scroll-loop TODO (reference ElasticsearchHandler.py:5).
+This module is the engine-side growth path the north star implies
+("index builds are resumable … segment merge is an idempotent sorted-merge
+job"): a continuously-arriving page table (new crawl files landing in a
+directory / an Iceberg table's new snapshots) is consumed with
+``readStream``; every micro-batch becomes one immutable index segment via
+``foreachBatch``, and compaction folds segments into the root.
+
+Consistency model:
+- Global BM25 stats (N, total tokens -> avgdl) are maintained as running
+  sums in ``stats.json`` and updated atomically per batch; every segment
+  records the stats it was encoded under.
+- Conjunctive/OR *exact* scoring is correct at any time (scores use the
+  CURRENT meta avgdl; tf/doclen are stats-independent).
+- Block-max pruning metadata is only guaranteed consistent with the
+  root's avgdl after a merge, so appends mark ``blockmax_safe: false`` in
+  meta and :func:`sparkfts.query.bm25_index_batch` silently falls back to
+  the exhaustive scorer until :func:`sparkfts.merge.merge_segments`
+  (which recomputes block metadata under the final avgdl) resets it.
+- Batch replay after a crash overwrites the same ``stream_{batch_id}``
+  segment (idempotent); the streaming checkpoint dir gives exactly-once
+  batch ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from sparkfts.index import META_FILE, build_index, read_meta
+
+STATS_FILE = "stream_stats.json"
+
+
+def _read_running(index_dir: str) -> dict:
+    path = os.path.join(index_dir, STATS_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"n_docs": 0, "total_tokens": 0, "batches": []}
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_shards: int = 8,
+    n_tbuckets: int = 16,
+) -> dict | None:
+    """foreachBatch handler: one micro-batch -> one segment + stats update.
+
+    Safe to call directly for a batch-incremental (non-streaming) append.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkfts.tokens import build_docmap, prepare_pages
+
+    seg_name = f"stream_{int(batch_id):08d}"
+    running = _read_running(index_dir)
+    if seg_name in running["batches"]:
+        return None  # replay of a committed batch: segment already final
+
+    prepared = prepare_pages(batch_df).cache()
+    row = build_docmap(prepared).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("doclen").cast("long")).alias("t"),
+    ).collect()[0]
+    b_docs, b_tokens = int(row["n"]), int(row["t"] or 0)
+    if b_docs == 0:
+        prepared.unpersist()
+        return None
+
+    new_docs = running["n_docs"] + b_docs
+    new_tokens = running["total_tokens"] + b_tokens
+    new_avgdl = new_tokens / new_docs
+
+    meta = build_index(
+        batch_df,
+        index_dir,
+        n_shards=n_shards,
+        n_tbuckets=n_tbuckets,
+        segment=seg_name,
+        shard_filter=list(range(n_shards)),
+        fixed_stats=(new_docs, new_avgdl),
+    )
+    prepared.unpersist()
+
+    # commit order: segment (above) -> running stats -> root meta
+    running["n_docs"] = new_docs
+    running["total_tokens"] = new_tokens
+    running["batches"].append(seg_name)
+    _write_json_atomic(os.path.join(index_dir, STATS_FILE), running)
+
+    root_meta_path = os.path.join(index_dir, META_FILE)
+    if os.path.exists(root_meta_path):
+        root = read_meta(index_dir)
+    else:
+        root = dict(meta)
+    root.update(
+        {
+            "n_docs": new_docs,
+            "avgdl": new_avgdl,
+            "n_shards": n_shards,
+            "n_tbuckets": n_tbuckets,
+            "segment": None,
+            # appended segments carry block maxima computed under their
+            # own point-in-time avgdl: exhaustive scoring stays exact, but
+            # block-max pruning is only safe again after merge recomputes
+            "blockmax_safe": False,
+        }
+    )
+    _write_json_atomic(root_meta_path, root)
+    return root
+
+
+def start_incremental_index(
+    spark,
+    input_dir: str,
+    index_dir: str,
+    stream_checkpoint: str,
+    n_shards: int = 8,
+    n_tbuckets: int = 16,
+    available_now: bool = True,
+):
+    """Start the streaming ingest over a parquet directory source.
+
+    ``available_now=True`` drains everything currently present then stops
+    (the batch-incremental mode the tests use); ``False`` runs until
+    killed, indexing new files as they land.
+    """
+    from sparkfts.synth import PAGE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.option("checkpointLocation", stream_checkpoint)
+        .foreachBatch(
+            lambda df, bid: ingest_batch(
+                df, bid, index_dir, n_shards=n_shards, n_tbuckets=n_tbuckets
+            )
+        )
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

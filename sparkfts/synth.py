@@ -23,6 +23,12 @@ import pyarrow.parquet as pq
 
 from sparkfts.analysis import extract_text
 
+# canonical webtext page schema (BASELINE.json input_hint), importable by
+# streaming sources that must declare a schema up front
+PAGE_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
 VOCAB_SIZE = 10_000
 ZIPF_S = 1.07
 LOGNORM_MU = 4.5

@@ -1,0 +1,86 @@
+"""Incremental ingest: streaming micro-batches -> segments -> merged index.
+
+Covers SURVEY.md §2.9's engine-side growth path: file-source readStream
+with availableNow drain, per-batch segment commit + running global stats,
+blockmax_safe gating, idempotent batch replay, and post-merge
+rank-identity against the oracle over the full accumulated corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from oracle.bm25 import BM25Oracle
+from sparkfts.index import read_meta
+from sparkfts.merge import merge_segments
+from sparkfts.query import bm25_index_batch
+from sparkfts.streaming import ingest_batch, start_incremental_index
+from sparkfts.synth import gen_corpus
+from sparkfts.tokens import sha1_doc_id
+
+
+@pytest.fixture(scope="module")
+def two_waves(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    full = gen_corpus(200, seed=5)
+    pq.write_table(full.slice(0, 120), os.path.join(str(d), "wave1.parquet"))
+    return str(d), full
+
+
+def _oracle_of(table):
+    ids = sha1_doc_id(pd.Series(table.column("url").to_pylist()))
+    return BM25Oracle(zip(ids.tolist(), table.column("text").to_pylist()))
+
+
+def test_streaming_ingest_and_merge(spark, two_waves, tmp_path):
+    src, full = two_waves
+    idx = os.path.join(str(tmp_path), "idx")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    # wave 1: drain what's present
+    start_incremental_index(spark, src, idx, ckpt, n_shards=4, n_tbuckets=8)
+    meta = read_meta(idx)
+    assert meta["n_docs"] == 120
+    assert meta["blockmax_safe"] is False  # appended, not yet merged
+
+    # queries against the partial index are exact (exhaustive fallback)
+    oracle1 = _oracle_of(full.slice(0, 120))
+    term = max(oracle1.postings, key=oracle1.df)
+    got = bm25_index_batch(spark, idx, [(0, term, 10)], mode="or").collect()
+    exp = oracle1.search(term, k=10, mode="or")
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+
+    # wave 2 lands; drain again (new streaming query, same checkpoint)
+    pq.write_table(full.slice(120), os.path.join(src, "wave2.parquet"))
+    start_incremental_index(spark, src, idx, ckpt, n_shards=4, n_tbuckets=8)
+    meta = read_meta(idx)
+    assert meta["n_docs"] == 200
+
+    # compact; blockmax re-enabled, stats final
+    merge_segments(spark, idx)
+    meta = read_meta(idx)
+    assert meta["blockmax_safe"] is True and meta["segments"] == []
+
+    # full-corpus rank-identity incl. block-max OR path
+    oracle = _oracle_of(full)
+    for mode in ("and", "or"):
+        got = bm25_index_batch(spark, idx, [(0, term, 10)], mode=mode).collect()
+        exp = oracle.search(term, k=10, mode=mode)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], mode
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_ingest_batch_replay_is_noop(spark, two_waves, tmp_path):
+    src, full = two_waves
+    idx = os.path.join(str(tmp_path), "idx2")
+    batch = spark.createDataFrame(full.slice(0, 50).to_pandas())
+    assert ingest_batch(batch, 0, idx, n_shards=2, n_tbuckets=4) is not None
+    n1 = read_meta(idx)["n_docs"]
+    # replay of the same committed batch id must not double-count
+    assert ingest_batch(batch, 0, idx, n_shards=2, n_tbuckets=4) is None
+    assert read_meta(idx)["n_docs"] == n1 == 50
