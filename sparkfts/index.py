@@ -259,27 +259,27 @@ def build_index(
         )
     )
 
+    from sparkfts.storage import write_table
+
     seg = os.path.join(out_dir, "segments", segment) if segment else out_dir
-    (
-        # consolidate to one writer task per term bucket BEFORE the write:
-        # without this, every (shuffle partition x tbucket) pair emits its
-        # own file — ~1000 tiny files whose listing/open cost dominates
-        # every later read (terms derivation, every query scan). The extra
-        # shuffle moves only the compressed index (~25x smaller than the
-        # token rows already shuffled above); at larger scale n_tbuckets
-        # grows with the cluster so writer parallelism is preserved.
-        postings.repartition(n_tbuckets, "tbucket")
-        .sortWithinPartitions("tbucket", "term", "shard")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(os.path.join(seg, "postings"))
+    # consolidate to one writer task per term bucket BEFORE the write:
+    # without this, every (shuffle partition x tbucket) pair emits its
+    # own file — ~1000 tiny files whose listing/open cost dominates
+    # every later read (terms derivation, every query scan). The extra
+    # shuffle moves only the compressed index (~25x smaller than the
+    # token rows already shuffled above); at larger scale n_tbuckets
+    # grows with the cluster so writer parallelism is preserved.
+    write_table(
+        postings.repartition(n_tbuckets, "tbucket").sortWithinPartitions(
+            "tbucket", "term", "shard"
+        ),
+        os.path.join(seg, "postings"),
+        partition_by=["tbucket"],
     )
-    (
-        docmap.repartition(n_shards, "shard")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(seg, "docmap"))
+    write_table(
+        docmap.repartition(n_shards, "shard").sortWithinPartitions("doc_id"),
+        os.path.join(seg, "docmap"),
+        partition_by=["shard"],
     )
     _write_terms(spark, seg, n_tbuckets)
 
@@ -313,20 +313,20 @@ def _write_terms(spark: SparkSession, seg_dir: str, n_tbuckets: int) -> None:
     reads THIS tiny table for idf and fuzzy expansion instead of
     re-aggregating postings.
     """
-    src = spark.read.parquet(os.path.join(seg_dir, "postings")).select(
+    from sparkfts.storage import read_table, write_table
+
+    src = read_table(spark, os.path.join(seg_dir, "postings")).select(
         "term", "df_shard", "tbucket"
     )
     terms = src.groupBy("term").agg(
         F.sum("df_shard").alias("df"), F.first("tbucket").alias("tbucket")
     )
-    (
-        # one task per bucket -> one file per bucket dir (not shuffle.partitions
-        # x buckets tiny files)
-        terms.repartition(n_tbuckets, "tbucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(os.path.join(seg_dir, "terms"))
+    # one task per bucket -> one file per bucket dir (not shuffle.partitions
+    # x buckets tiny files)
+    write_table(
+        terms.repartition(n_tbuckets, "tbucket").sortWithinPartitions("term"),
+        os.path.join(seg_dir, "terms"),
+        partition_by=["tbucket"],
     )
 
 
@@ -339,9 +339,9 @@ def load_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     """
     dirs = segment_dirs(index_dir)
     if all(os.path.isdir(os.path.join(d, "terms")) for d in dirs):
-        per = [
-            spark.read.parquet(os.path.join(d, "terms")) for d in dirs
-        ]
+        from sparkfts.storage import read_table
+
+        per = [read_table(spark, os.path.join(d, "terms")) for d in dirs]
         from functools import reduce
 
         unioned = reduce(lambda a, b: a.unionByName(b), per)
@@ -401,8 +401,10 @@ def _load_union(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     dirs = segment_dirs(index_dir)
     if not dirs:
         raise FileNotFoundError(f"no {sub} under {index_dir}")
+    from sparkfts.storage import read_table
+
     dfs = [
-        spark.read.parquet(os.path.join(d, sub)).withColumn(
+        read_table(spark, os.path.join(d, sub)).withColumn(
             "segment_id", F.lit(i)
         )
         for i, d in enumerate(dirs)
