@@ -107,6 +107,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             mode=args.mode,
             use_blockmax=not args.no_blockmax,
             resolve_urls=True,
+            offset=args.offset,
         ).collect()
     sec = time.time() - t0
     for r in rows:
@@ -199,6 +200,8 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["and", "or"], default="and")
     q.add_argument("--no-blockmax", action="store_true")
+    q.add_argument("--offset", type=int, default=0,
+                   help="deep pagination: return ranks offset+1..offset+k")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
 

@@ -326,6 +326,7 @@ def bm25_index_batch(
     mode: str = "and",
     use_blockmax: bool = True,
     resolve_urls: bool = False,
+    offset: int = 0,
 ) -> DataFrame:
     """Answer a batch of BM25 top-k queries from a built index.
 
@@ -336,6 +337,12 @@ def bm25_index_batch(
       groupBy(shard) -> Arrow kernel: decode (doclens inlined) ->
         intersect/WAND -> vectorized BM25 -> per-shard top-k
       global merge: window top-k per query over <= n_shards*k rows.
+
+    ``offset``: deep pagination (the reference's acknowledged scroll TODO,
+    reference ElasticsearchHandler.py:5): returns ranks offset+1 ..
+    offset+k. Per-shard candidates widen to offset+k — exactly ES's
+    from+size cost model, which is why web-scale engines cap from+size
+    (10k default) and paginate deeper via search_after; same applies here.
     """
     from sparkfts.index import (
         load_docmap,
@@ -353,7 +360,11 @@ def bm25_index_batch(
     analyzed = [
         (qid, tokenize_query(text), k) for qid, text, k in queries
     ]
-    analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+    # the shard kernel keeps offset+k local winners per query; the global
+    # window slices the final page out of <= n_shards*(offset+k) rows
+    analyzed = [
+        (qid, t, k + int(offset)) for qid, t, k in analyzed if t
+    ]
     if not analyzed or meta["n_docs"] == 0:
         return _empty_results(spark)
 
@@ -402,7 +413,10 @@ def bm25_index_batch(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
         local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
     )
     if resolve_urls:

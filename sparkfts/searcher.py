@@ -91,12 +91,13 @@ class Searcher:
         mode: str = "and",
         use_blockmax: bool = True,
         resolve_urls: bool = False,
+        offset: int = 0,
     ) -> DataFrame:
         """Same plan + kernels as ``bm25_index_batch``, warm inputs."""
         analyzed = [
             (qid, tokenize_query(text), k) for qid, text, k in queries
         ]
-        analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+        analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
         if not analyzed or self.meta["n_docs"] == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -136,7 +137,10 @@ class Searcher:
         )
         out = (
             local.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            .where(
+                (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+                & (F.col("rank") > F.lit(int(offset)))
+            )
             .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
         )
         if resolve_urls:

@@ -44,3 +44,30 @@ def test_searcher_df_lru(spark, index_dir, queries):
         assert s.term_dfs(["zzqqxxnotaword"]) == {"zzqqxxnotaword": 0}
     finally:
         s.close()
+
+
+def test_pagination_offset(spark, index_dir, queries, oracle=None):
+    """offset pages tile the oracle's full ranking with no gaps/overlaps."""
+    from sparkfts.query import bm25_index_batch
+
+    q = queries[0]["query"]
+    full = bm25_index_batch(spark, index_dir, [(0, q, 30)]).collect()
+    pages = []
+    for off in (0, 10, 20):
+        page = bm25_index_batch(
+            spark, index_dir, [(0, q, 10)], offset=off
+        ).collect()
+        assert [r["rank"] for r in page] == list(range(off + 1, off + 1 + len(page)))
+        pages.extend(page)
+    assert [(r["rank"], r["doc_id"]) for r in pages] == [
+        (r["rank"], r["doc_id"]) for r in full[: len(pages)]
+    ]
+
+    s = Searcher(spark, index_dir)
+    try:
+        warm = s.search_batch([(0, q, 10)], offset=10).collect()
+    finally:
+        s.close()
+    assert [(r["rank"], r["doc_id"]) for r in warm] == [
+        (r["rank"], r["doc_id"]) for r in full[10:20]
+    ]
