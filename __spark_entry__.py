@@ -423,6 +423,21 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, list(qvec), k=10)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-probed ANN top-k (multi-probe hamming<=1): the scale path that
+    scans only the query's probe buckets instead of every vector."""
+    from sparkfts.ops.similarity import ann_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return ann_cosine_topk(emb, qvec, k=10, probe_hamming=1)
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     from sparkfts.ops.similarity import lsh_bucket
 
@@ -504,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -845,6 +861,42 @@ SELECT vec_id,
        CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
          AS cos_e6
 FROM dots, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    sqls["ann_lsh_topk"] = f"""
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p,
+         sum(x * ((1103515245 * ((p * 1024 + d + 1) % {HASH_P}) + 12345)
+                  % {HASH_P} - {(HASH_P - 1) // 2})) AS dot
+  FROM ee CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buckets b, qb
+  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+d2 AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ce e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM d2, nq WHERE na > 0
 ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
 

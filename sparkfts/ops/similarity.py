@@ -146,21 +146,8 @@ def lsh_bucket(
     )
 
 
-def ann_cosine_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-
-    (Recall can be raised by probing buckets at hamming distance 1 —
-    left as a knob; at scale the bucket is a partition-pruned scan.)
-    """
-    buckets = lsh_bucket(emb, n_planes, id_col, vec_col)
-    # compute the query's bucket on the driver with the same integer LCG
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
+    """Driver-side LSH bucket of a query vector (same integer LCG math)."""
     qint = [np_floor_half(float(x)) for x in query_vec]
     qb = 0
     for p in range(n_planes):
@@ -171,7 +158,45 @@ def ann_cosine_topk(
             dot += v * c
         if dot > 0:
             qb |= 1 << p
-    cand = buckets.where(F.col("bucket") == qb).select(
+    return qb
+
+
+def probe_buckets(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """Buckets within hamming distance <= probe_hamming of ``qb``."""
+    probes = {qb}
+    if probe_hamming >= 1:
+        probes |= {qb ^ (1 << p) for p in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qb ^ (1 << p) ^ (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        }
+    return sorted(probes)
+
+
+def ann_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's probe buckets.
+
+    ``probe_hamming`` is the multi-probe recall knob: 0 scans only the
+    query's own bucket (~n/2^planes vectors), 1 adds the n_planes
+    single-bit-flip neighbors (vectors that disagreed on exactly one
+    borderline hyperplane), 2 adds pairs. At scale the bucket is the
+    table's partition key, so probing h+1 buckets is a partition-pruned
+    scan of (1 + n_planes + C(n_planes,2))/2^planes of the data.
+    """
+    buckets = lsh_bucket(emb, n_planes, id_col, vec_col)
+    qb = query_bucket(query_vec, n_planes)
+    probes = probe_buckets(qb, n_planes, probe_hamming)
+    cand = buckets.where(F.col("bucket").isin(probes)).select(
         F.col("vec_id").alias("__cand_id")
     )
     pruned = emb.join(

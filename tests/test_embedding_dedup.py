@@ -45,3 +45,20 @@ def test_bucketed_is_subset_of_exact(emb_df):
     assert bucketed <= exact
     # near-identical vectors agree on all hyperplane signs -> high recall
     assert len(bucketed) >= len(exact) // 2
+
+
+def test_multiprobe_recall_monotone(emb_df):
+    """Probe widening can only add candidates; planted dup found at h<=1."""
+    from sparkfts.ops.similarity import ann_cosine_topk
+
+    q = [r["embedding"] for r in emb_df.where("vec_id = 0").collect()][0]
+    h0 = ann_cosine_topk(emb_df, list(q), k=5, n_planes=6, probe_hamming=0)
+    h1 = ann_cosine_topk(emb_df, list(q), k=5, n_planes=6, probe_hamming=1)
+    ids0 = {r["vec_id"] for r in h0.collect()}
+    ids1_rows = h1.collect()
+    ids1 = {r["vec_id"] for r in ids1_rows}
+    assert len(ids1) >= len(ids0)
+    # vec 100 is a tiny perturbation of vec 0: identical sign bits -> it
+    # shares the query's own bucket, so even h=0 must surface it at rank<=2
+    top2 = sorted(ids1_rows, key=lambda r: (-r["cos_e6"], r["vec_id"]))[:2]
+    assert {r["vec_id"] for r in top2} == {0, 100}
