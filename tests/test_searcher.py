@@ -71,3 +71,44 @@ def test_pagination_offset(spark, index_dir, queries, oracle=None):
     assert [(r["rank"], r["doc_id"]) for r in warm] == [
         (r["rank"], r["doc_id"]) for r in full[10:20]
     ]
+
+
+def test_local_fast_path_identical_to_distributed(spark, index_dir, queries):
+    """Coordinator fast path returns byte-identical results to the
+    distributed kernels for every query and both modes."""
+    batch = [(q["query_id"], q["query"], q["k"]) for q in queries[:10]]
+    fast = Searcher(spark, index_dir, local_threshold=10**9)
+    slow = Searcher(spark, index_dir, local_threshold=0)
+    try:
+        for mode in ("and", "or"):
+            a = fast.search_batch(batch, mode=mode).collect()
+            b = slow.search_batch(batch, mode=mode).collect()
+            assert [tuple(r) for r in a] == [tuple(r) for r in b], mode
+        # offset parity too
+        a = fast.search_batch(batch[:1], offset=5).collect()
+        b = slow.search_batch(batch[:1], offset=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    finally:
+        fast.close()
+        slow.close()
+
+
+def test_search_rows_fast_and_identical(spark, index_dir, queries):
+    import time
+
+    s = Searcher(spark, index_dir, local_threshold=10**9)
+    try:
+        q = queries[0]["query"]
+        rows = s.search_rows([(0, q, 10)])  # warm caches
+        via_df = [
+            tuple(r) for r in s.search_batch([(0, q, 10)]).collect()
+        ]
+        assert rows == via_df
+        t0 = time.time()
+        for _ in range(10):
+            s.search_rows([(0, q, 10)])
+        per = (time.time() - t0) / 10
+    finally:
+        s.close()
+    # warm repeats skip Spark jobs AND DataFrame wrapping entirely
+    assert per < 0.05, f"fast path took {per:.4f}s per query"
