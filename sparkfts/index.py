@@ -313,11 +313,16 @@ def _write_terms(spark: SparkSession, seg_dir: str, n_tbuckets: int) -> None:
     reads THIS tiny table for idf and fuzzy expansion instead of
     re-aggregating postings.
     """
-    from sparkfts.storage import read_table, write_table
+    from sparkfts.storage import is_table_identifier, write_table
 
-    src = read_table(spark, os.path.join(seg_dir, "postings")).select(
-        "term", "df_shard", "tbucket"
-    )
+    loc = os.path.join(seg_dir, "postings")
+    if is_table_identifier(loc):
+        src_df = spark.read.table(loc)
+    else:
+        # explicit schema: an empty corpus writes a data-file-less parquet
+        # dir, where schema inference would fail
+        src_df = spark.read.schema(POSTINGS_SCHEMA).parquet(loc)
+    src = src_df.select("term", "df_shard", "tbucket")
     terms = src.groupBy("term").agg(
         F.sum("df_shard").alias("df"), F.first("tbucket").alias("tbucket")
     )

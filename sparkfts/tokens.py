@@ -150,7 +150,13 @@ def prepare_pages(
                 f"extraction not byte-identical for url={bad[0][0]!r}"
             )
         out = out.drop("_re_extracted")
-    return out.select("doc_id", "url", "text", "lang", "warc_ts")
+    # lang/warc_ts are carried through when present but nothing downstream
+    # requires them (docmap + tokenize need doc_id/url/text only), so a
+    # minimal (url, text) table indexes fine
+    keep = ["doc_id", "url", "text"] + [
+        c for c in ("lang", "warc_ts") if c in out.columns
+    ]
+    return out.select(*keep)
 
 
 def build_docmap(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:
