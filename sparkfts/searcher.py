@@ -285,17 +285,32 @@ class Searcher:
             return []
         all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
         df_map = self.term_dfs(all_terms)
-        total_df = sum(df_map.get(t, 0) for t in all_terms)
-        if self.local_threshold and total_df <= self.local_threshold:
-            rows = self._search_local(analyzed, df_map, mode, int(offset))
-            rows.sort(key=lambda r: (r[0], r[1]))
-            return rows
-        out = self.search_batch(
-            queries, mode=mode, use_blockmax=use_blockmax, offset=offset
-        ).collect()
-        return [
-            (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in out
+        # per-query gating: a mixed batch splits — df-light queries run on
+        # the driver, df-heavy ones go to the cluster in ONE Spark batch
+        light = [
+            q
+            for q in analyzed
+            if self.local_threshold
+            and sum(df_map.get(t, 0) for t in q[1]) <= self.local_threshold
         ]
+        heavy_ids = {q[0] for q in analyzed} - {q[0] for q in light}
+        rows: list[tuple[int, int, int, float]] = []
+        if light:
+            rows.extend(self._search_local(light, df_map, mode, int(offset)))
+        if heavy_ids:
+            heavy_queries = [q for q in queries if q[0] in heavy_ids]
+            out = self.search_batch(
+                heavy_queries,
+                mode=mode,
+                use_blockmax=use_blockmax,
+                offset=offset,
+            ).collect()
+            rows.extend(
+                (r["query_id"], r["rank"], r["doc_id"], r["score"])
+                for r in out
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
 
     def search(
         self, query: str, k: int = 10, mode: str = "and", **kw

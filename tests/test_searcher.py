@@ -112,3 +112,31 @@ def test_search_rows_fast_and_identical(spark, index_dir, queries):
         s.close()
     # warm repeats skip Spark jobs AND DataFrame wrapping entirely
     assert per < 0.05, f"fast path took {per:.4f}s per query"
+
+
+def test_mixed_batch_splits_local_and_distributed(spark, index_dir, queries):
+    """A batch whose queries straddle the df threshold returns the same
+    rows as a fully-distributed run, in (query_id, rank) order."""
+    batch = [(q["query_id"], q["query"], q["k"]) for q in queries[:8]]
+    # threshold of 1: everything is "heavy" except empty-term queries
+    # pick a mid threshold so some queries go local, some distributed
+    dfs = []
+    ref = Searcher(spark, index_dir, local_threshold=0)
+    try:
+        expected = ref.search_rows(batch)
+        from sparkfts.analysis import tokenize_query
+
+        per_q = []
+        for qid, text, k in batch:
+            terms = tokenize_query(text)
+            dfm = ref.term_dfs(terms) if terms else {}
+            per_q.append(sum(dfm.values()))
+        mid = sorted(per_q)[len(per_q) // 2] or 1
+    finally:
+        ref.close()
+    mixed = Searcher(spark, index_dir, local_threshold=mid)
+    try:
+        got = mixed.search_rows(batch)
+    finally:
+        mixed.close()
+    assert got == expected
