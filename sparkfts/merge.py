@@ -27,7 +27,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from sparkfts import BLOCK_SIZE
 from sparkfts.codec import decode_varint, delta_decode, delta_encode, encode_varint
 from sparkfts.index import (
     POSTINGS_SCHEMA,
