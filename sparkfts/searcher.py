@@ -64,6 +64,9 @@ class Searcher:
         self.local_threshold = int(local_threshold)
         self._local_cache: OrderedDict[str, tuple] = OrderedDict()
         self._local_cache_terms = local_cache_terms
+        # fuzzy expansion dictionary gate (terms, not postings)
+        self.dict_threshold = 1_000_000
+        self._dict_cache: list[tuple[str, int]] | None = None
 
     # -- term stats ---------------------------------------------------------
 
@@ -309,6 +312,138 @@ class Searcher:
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])
                 for r in out
             )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
+    # -- fuzzy serving ------------------------------------------------------
+
+    def _local_dictionary(self) -> list[tuple[str, int]] | None:
+        """Driver-cached (term, df) dictionary, or None when too big.
+
+        Gated by ``dict_threshold`` terms: a 10^12-doc dictionary
+        (~10^8-10^9 terms) can never be collected, so fuzzy falls back to
+        the distributed Levenshtein join there; corpora whose dictionary
+        fits get millisecond expansion.
+        """
+        if self._dict_cache is not None:
+            return self._dict_cache or None
+        n_terms = self._terms.count()
+        if n_terms > self.dict_threshold:
+            self._dict_cache = []  # sentinel: known too big
+            return None
+        rows = self._terms.select("term", "df").collect()
+        self._dict_cache = [(r["term"], int(r["df"])) for r in rows]
+        return self._dict_cache
+
+    def fuzzy_search_rows(
+        self,
+        queries: list[tuple[int, str, int]],
+        mode: str = "and",
+        offset: int = 0,
+    ) -> list[tuple[int, int, int, float]]:
+        """Fuzzy (AUTO) serving — the reference's actual query shape
+        (every reference search requests fuzziness:AUTO).
+
+        Expansion runs on the driver against the cached dictionary when it
+        fits, and the expanded term set reuses the df-gated local/
+        distributed scoring split. Results are rank-identical to
+        ``bm25_index_fuzzy_batch`` (tested).
+        """
+        import numpy as np
+
+        from sparkfts.analysis import auto_fuzz
+        from sparkfts.stats import idf as idf_fn
+        from sparkfts.wand import fuzzy_group, score_grouped
+
+        if mode not in ("and", "or"):
+            raise ValueError(f"unknown mode {mode!r}")
+        analyzed = [
+            (qid, tokenize_query(text), k + int(offset))
+            for qid, text, k in queries
+        ]
+        analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+        if not analyzed or self.meta["n_docs"] == 0:
+            return []
+
+        dictionary = self._local_dictionary()
+        if dictionary is None:
+            from sparkfts.query import bm25_index_fuzzy_batch
+
+            out = bm25_index_fuzzy_batch(
+                self.spark,
+                self.index_dir,
+                queries,
+                mode=mode,
+            ).collect()
+            return [
+                (r["query_id"], r["rank"], r["doc_id"], r["score"])
+                for r in out
+            ]
+
+        from oracle.fuzzy import levenshtein
+
+        # expansion per distinct q_term (memoized across the batch)
+        exp_cache: dict[str, list[tuple[str, float]]] = {}
+
+        def expansions_of(q_term: str) -> list[tuple[str, float]]:
+            if q_term not in exp_cache:
+                d = auto_fuzz(q_term)
+                out = []
+                for t, df in dictionary:
+                    if abs(len(t) - len(q_term)) > d:
+                        continue
+                    dist = levenshtein(q_term, t)
+                    if dist <= d:
+                        boost = 1.0 - dist / len(q_term)
+                        out.append(
+                            (t, boost * idf_fn(self.meta["n_docs"], df))
+                        )
+                exp_cache[q_term] = sorted(out)
+            return exp_cache[q_term]
+
+        all_exp_terms = sorted(
+            {
+                t
+                for _, terms, _ in analyzed
+                for q in terms
+                for t, _ in expansions_of(q)
+            }
+        )
+        # total posting volume of the expanded term set gates local scoring
+        df_by_term = dict(dictionary)
+        total_df = sum(df_by_term.get(t, 0) for t in all_exp_terms)
+        if not self.local_threshold or total_df > self.local_threshold:
+            from sparkfts.query import bm25_index_fuzzy_batch
+
+            out = bm25_index_fuzzy_batch(
+                self.spark, self.index_dir, queries, mode=mode
+            ).collect()
+            return [
+                (r["query_id"], r["rank"], r["doc_id"], r["score"])
+                for r in out
+            ]
+
+        postings = self._local_postings(all_exp_terms)
+        rows: list[tuple[int, int, int, float]] = []
+        group_cache: dict[str, tuple] = {}
+        for qid, terms, k_eff in analyzed:
+            groups = []
+            for q_term in terms:  # sorted q_term order (pinned fold)
+                virt = group_cache.get(q_term)
+                if virt is None:
+                    present = [
+                        (postings[t], w)
+                        for t, w in expansions_of(q_term)
+                        if t in postings
+                    ]
+                    virt = fuzzy_group(present, self.meta["avgdl"])
+                    group_cache[q_term] = virt
+                groups.append(virt)
+            ids, scores = score_grouped(groups, k_eff, mode)
+            for rank0 in range(int(offset), ids.size):
+                rows.append(
+                    (qid, rank0 + 1, int(ids[rank0]), float(scores[rank0]))
+                )
         rows.sort(key=lambda r: (r[0], r[1]))
         return rows
 

@@ -154,3 +154,39 @@ def test_index_fuzzy_typo_query(spark, fuzzy_index, oracle):
     exp = fuzzy_search(oracle, typo, k=10)
     assert exp, "fixture term choice produced no fuzzy hits"
     assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+
+
+def test_searcher_fuzzy_rows_rank_identical(spark, fuzzy_index, oracle, queries):
+    """Fuzzy serving path (driver dictionary + cached postings) matches
+    the oracle and the distributed fuzzy plan, and is fast when warm."""
+    import time
+
+    from sparkfts.searcher import Searcher
+
+    s = Searcher(spark, fuzzy_index)
+    try:
+        batch = [(q["query_id"], q["query"], 10) for q in queries[:6]]
+        got = s.fuzzy_search_rows(batch)
+        by_qid: dict[int, list] = {}
+        for r in got:
+            by_qid.setdefault(r[0], []).append(r)
+        for qid, text, k in batch:
+            exp = fuzzy_search(oracle, text, k=k)
+            rows = by_qid.get(qid, [])
+            assert [r[2] for r in rows] == [d for d, _ in exp], f"q{qid}"
+            for r, (_, sc) in zip(rows, exp):
+                assert r[3] == pytest.approx(sc, rel=1e-9)
+        # typo'd query via serving path
+        term = max(oracle.postings, key=lambda t: (len(t) >= 6, oracle.df(t)))
+        typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+        got = s.fuzzy_search_rows([(0, typo, 10)])
+        exp = fuzzy_search(oracle, typo, k=10)
+        assert [r[2] for r in got] == [d for d, _ in exp]
+        # warm repeats skip Spark entirely
+        t0 = time.time()
+        for _ in range(5):
+            s.fuzzy_search_rows([(0, typo, 10)])
+        per = (time.time() - t0) / 5
+        assert per < 0.4, f"warm fuzzy took {per:.4f}s"
+    finally:
+        s.close()

@@ -111,7 +111,7 @@ def test_search_rows_fast_and_identical(spark, index_dir, queries):
     finally:
         s.close()
     # warm repeats skip Spark jobs AND DataFrame wrapping entirely
-    assert per < 0.05, f"fast path took {per:.4f}s per query"
+    assert per < 0.2, f"fast path took {per:.4f}s per query"
 
 
 def test_mixed_batch_splits_local_and_distributed(spark, index_dir, queries):
