@@ -179,6 +179,15 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             t0 = time.time()
             searcher.search_rows([(q["query_id"], q["query"], q["k"])])
             lat[f"q{q['query_id']:02d}"] = round(time.time() - t0, 4)
+        # fuzzy serving latency (the reference's query shape: every
+        # reference search requests fuzziness:AUTO)
+        searcher.fuzzy_search_rows([(0, qs[0]["query"], 10)])  # warm dict
+        fuzzy_lat = []
+        for q in qs[:10]:
+            t0 = time.time()
+            searcher.fuzzy_search_rows([(q["query_id"], q["query"], 10)])
+            fuzzy_lat.append(time.time() - t0)
+        fuzzy_p50 = statistics.median(fuzzy_lat)
         searcher.close()
         lats = sorted(lat.values())
         p50 = statistics.median(lats)
@@ -231,6 +240,7 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             "qps_batch": round(len(qs) / t_batch, 2),
             "p50_sec": round(p50, 4),
             "p99_sec": round(p99, 4),
+            "fuzzy_p50_sec": round(fuzzy_p50, 4),
             "latencies": lat,
             "n_docs": n_docs,
             "n_postings": int(n_postings),
@@ -309,6 +319,7 @@ def main() -> None:
             "qps_batch": r["qps_batch"],
             "p50_sec": r["p50_sec"],
             "p99_sec": r["p99_sec"],
+            "fuzzy_p50_sec": r.get("fuzzy_p50_sec"),
             "n_docs": r["n_docs"],
             "cores": r["cores"],
             "postings_per_sec": r["postings_per_sec"],
