@@ -21,6 +21,7 @@ k rows per query and the df values of queried terms.
 
 from __future__ import annotations
 
+import string
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -28,6 +29,9 @@ from pyspark.sql import functions as F
 
 from sparkfts.analysis import tokenize_query
 from sparkfts.query import RESULT_SCHEMA, _make_shard_scorer
+
+
+_CHAR_IDX = {c: i for i, c in enumerate(string.ascii_lowercase + string.digits)}
 
 
 class Searcher:
@@ -67,6 +71,8 @@ class Searcher:
         # fuzzy expansion dictionary gate (terms, not postings)
         self.dict_threshold = 1_000_000
         self._dict_cache: list[tuple[str, int]] | None = None
+        self._dict_by_len: dict = {}
+        self._exp_cache: dict[str, list[tuple[str, float]]] = {}
 
     # -- term stats ---------------------------------------------------------
 
@@ -333,6 +339,23 @@ class Searcher:
             return None
         rows = self._terms.select("term", "df").collect()
         self._dict_cache = [(r["term"], int(r["df"])) for r in rows]
+        # length buckets: expansion for a term of length L with max edit
+        # distance d only needs dictionary lengths [L-d, L+d]. Each bucket
+        # carries a [n_terms, 36] character-count matrix for the standard
+        # vectorized lower bound lev(a,b) >= max(|a|,|b|) - common_chars:
+        # the O(len^2) DP then runs on the few surviving candidates only.
+        import numpy as np
+
+        self._dict_by_len = {}
+        tmp: dict[int, list[tuple[str, int]]] = {}
+        for t, df in self._dict_cache:
+            tmp.setdefault(len(t), []).append((t, df))
+        for ln, entries in tmp.items():
+            counts = np.zeros((len(entries), 36), np.int16)
+            for i, (t, _) in enumerate(entries):
+                for ch in t:
+                    counts[i, _CHAR_IDX[ch]] += 1
+            self._dict_by_len[ln] = (entries, counts)
         return self._dict_cache
 
     def fuzzy_search_rows(
@@ -382,24 +405,34 @@ class Searcher:
 
         from oracle.fuzzy import levenshtein
 
-        # expansion per distinct q_term (memoized across the batch)
-        exp_cache: dict[str, list[tuple[str, float]]] = {}
+        # expansion per distinct q_term (memoized on the searcher — it is
+        # a function of the dictionary only)
+        qvec = np.zeros(36, np.int16)
 
         def expansions_of(q_term: str) -> list[tuple[str, float]]:
-            if q_term not in exp_cache:
+            if q_term not in self._exp_cache:
                 d = auto_fuzz(q_term)
+                qvec[:] = 0
+                for ch in q_term:
+                    qvec[_CHAR_IDX[ch]] += 1
                 out = []
-                for t, df in dictionary:
-                    if abs(len(t) - len(q_term)) > d:
+                for ln in range(len(q_term) - d, len(q_term) + d + 1):
+                    bucket = self._dict_by_len.get(ln)
+                    if bucket is None:
                         continue
-                    dist = levenshtein(q_term, t)
-                    if dist <= d:
-                        boost = 1.0 - dist / len(q_term)
-                        out.append(
-                            (t, boost * idf_fn(self.meta["n_docs"], df))
-                        )
-                exp_cache[q_term] = sorted(out)
-            return exp_cache[q_term]
+                    entries, counts = bucket
+                    common = np.minimum(counts, qvec).sum(axis=1)
+                    bound = max(ln, len(q_term)) - common
+                    for i in np.nonzero(bound <= d)[0]:
+                        t, df = entries[int(i)]
+                        dist = levenshtein(q_term, t)
+                        if dist <= d:
+                            boost = 1.0 - dist / len(q_term)
+                            out.append(
+                                (t, boost * idf_fn(self.meta["n_docs"], df))
+                            )
+                self._exp_cache[q_term] = sorted(out)
+            return self._exp_cache[q_term]
 
         all_exp_terms = sorted(
             {
