@@ -568,8 +568,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["fts_corpus_stats"] = f"""
 WITH dl AS (SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS d
             FROM documents)
-SELECT count(*) AS n_docs, sum(d) AS total_tokens,
-       sum(d) * 1000000 // count(*) AS avgdl_micro
+SELECT count(*) AS n_docs, CAST(sum(d) AS BIGINT) AS total_tokens,
+       CAST(sum(d) * 1000000 // count(*) AS BIGINT) AS avgdl_micro
 FROM dl
 """
 
@@ -747,7 +747,8 @@ bits AS (
   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
   GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN vb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
 FROM bits GROUP BY 1
 """
 
@@ -912,7 +913,8 @@ dots AS (
   FROM ee CROSS JOIN (SELECT unnest(range(0, 8)) AS p)
   GROUP BY 1, 2)
 SELECT vec_id,
-       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+         AS bucket
 FROM dots GROUP BY 1
 """
 
@@ -926,8 +928,9 @@ FROM documents
 
     sqls["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_price_e2,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -27,6 +27,15 @@ def norm_rows(rows) -> list[tuple]:
     return sorted(out)
 
 
+def pandas_rows(df, cols) -> list[list]:
+    """Render values the way the driver's hasher does: through pandas
+    dtypes. DuckDB HUGEINT (int128) becomes float64 in pandas and renders
+    as '6.0' while Spark BIGINT renders '6' — a mismatch str(int) hides.
+    """
+    sub = df[cols]
+    return [list(row) for row in sub.itertuples(index=False, name=None)]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -54,27 +63,27 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        spdf = sdf.toPandas()
+        srows = len(spdf)
         status = "rows-only"
         if name in sqls:
-            res = con.execute(sqls[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(sqls[name]).df()
+            dcols = list(dpdf.columns)
+            drows = len(dpdf)
             ok_cols = sorted(scols) == sorted(dcols)
-            # align column order by name before comparing values
+            # align column order by name before comparing values; render
+            # through pandas dtypes exactly like the driver's hasher
             if ok_cols:
-                sidx = [scols.index(c) for c in sorted(scols)]
-                didx = [dcols.index(c) for c in sorted(dcols)]
-                a = norm_rows([[r[i] for i in sidx] for r in srows])
-                b = norm_rows([[r[i] for i in didx] for r in drows])
+                a = norm_rows(pandas_rows(spdf, sorted(scols)))
+                b = norm_rows(pandas_rows(dpdf, sorted(dcols)))
                 ok_vals = a == b
             else:
                 ok_vals = False
             status = "MATCH" if (ok_cols and ok_vals) else "MISMATCH"
             if status == "MISMATCH":
                 failures.append(name)
-                print(f"  spark cols={scols} rows={len(srows)}")
-                print(f"  duck  cols={dcols} rows={len(drows)}")
+                print(f"  spark cols={scols} rows={srows}")
+                print(f"  duck  cols={dcols} rows={drows}")
                 if ok_cols:
                     sa = set(a) - set(b)
                     sb = set(b) - set(a)
@@ -83,7 +92,7 @@ def main() -> int:
                     for x in list(sb)[:3]:
                         print(f"    duck-only:  {x}")
         print(
-            f"{name:24s} {status:9s} rows={len(srows):6d} "
+            f"{name:24s} {status:9s} rows={srows:6d} "
             f"({time.time() - t0:.1f}s)"
         )
     print(f"\n{'FAILURES: ' + ', '.join(failures) if failures else 'ALL OK'}")
