@@ -90,7 +90,11 @@ def cmd_query(args: argparse.Namespace) -> None:
         from sparkfts.index import load_docmap
 
         res = bm25_index_fuzzy_batch(
-            spark, args.index, [(0, args.query, args.k)], mode=args.mode
+            spark,
+            args.index,
+            [(0, args.query, args.k)],
+            mode=args.mode,
+            offset=args.offset,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (

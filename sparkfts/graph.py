@@ -138,6 +138,20 @@ def build_dyads(docs: DataFrame, config: dict | None = None) -> DataFrame:
     entity pairs with every surviving to-entity for each spec.
     """
     cfg = equalize_list_values({**DEFAULT_CONFIG, **(config or {})})
+    # equalize_list_values pads to the LONGEST list, so an all-empty (or
+    # partially-empty with empty max) config yields zero dyad specs —
+    # name the problem instead of failing on parts[0] below
+    empty = [
+        k
+        for k in ("from", "fromProps", "to", "toProps",
+                  "relationship", "relationshipProps")
+        if not cfg[k]
+    ]
+    if empty:
+        raise ValueError(
+            f"build_dyads: empty dyad config list(s) {empty}; every "
+            "parallel list needs at least one entry"
+        )
     prop_map = cfg["propMap"]
     entity_cols = sorted(set(cfg["from"]) | set(cfg["to"]))
     filtered = filter_entities(docs, entity_cols, cfg["threshold"])

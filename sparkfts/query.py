@@ -589,6 +589,7 @@ def bm25_index_fuzzy_batch(
     queries: list[tuple[int, str, int]],
     mode: str = "and",
     max_expansions: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Fuzzy (AUTO) BM25 top-k from a built index, one Spark action to score.
 
@@ -596,12 +597,16 @@ def bm25_index_fuzzy_batch(
     postings pruned to the expansion set -> per-shard grouped kernel ->
     global window top-k. Rank-identical to :func:`oracle.fuzzy.fuzzy_search`
     when ``max_expansions`` is None.
+
+    ``offset``: deep pagination, same from+size model as
+    :func:`bm25_index_batch` — per-shard candidates widen to offset+k and
+    the global window returns ranks offset+1 .. offset+k.
     """
     from sparkfts.index import load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
     analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
-    analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+    analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
         return _empty_results(spark)
 
@@ -637,7 +642,10 @@ def bm25_index_fuzzy_batch(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
         .orderBy("query_id", "rank")
     )

@@ -45,6 +45,7 @@ class Searcher:
         df_cache_size: int = 100_000,
         local_threshold: int = 1_000_000,
         local_cache_terms: int = 10_000,
+        fuzzy_max_expansions: int | None = 50,
     ) -> None:
         from sparkfts.index import load_docmap, load_postings, load_terms, read_meta
 
@@ -73,6 +74,14 @@ class Searcher:
         self._dict_cache: list[tuple[str, int]] | None = None
         self._dict_by_len: dict = {}
         self._exp_cache: dict[str, list[tuple[str, float]]] = {}
+        # serving-side recall/cost cap on fuzzy expansion (ES default 50):
+        # a pathological dictionary (thousands of terms within edit
+        # distance) stays bounded. None = exhaustive — that is what the
+        # oracle-parity paths (bm25_index_fuzzy_batch default) use.
+        # Recall bound: only the `fuzzy_max_expansions` closest dictionary
+        # terms (ties by term) contribute; docs matching only dropped
+        # expansions are missed, exactly like ES's max_expansions.
+        self.fuzzy_max_expansions = fuzzy_max_expansions
 
     # -- term stats ---------------------------------------------------------
 
@@ -208,6 +217,9 @@ class Searcher:
 
         if mode not in ("and", "or"):
             raise ValueError(f"unknown mode {mode!r}")
+        # streamed, unmerged segments carry point-in-time block maxima;
+        # same safety fallback as bm25_index_batch (exact, just unpruned)
+        use_blockmax = use_blockmax and self.meta.get("blockmax_safe", True)
         all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
         df_map = self.term_dfs(all_terms)
 
@@ -397,6 +409,8 @@ class Searcher:
                 self.index_dir,
                 queries,
                 mode=mode,
+                max_expansions=self.fuzzy_max_expansions,
+                offset=offset,
             ).collect()
             return [
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])
@@ -429,9 +443,13 @@ class Searcher:
                         if dist <= d:
                             boost = 1.0 - dist / len(q_term)
                             out.append(
-                                (t, boost * idf_fn(self.meta["n_docs"], df))
+                                (dist, t, boost * idf_fn(self.meta["n_docs"], df))
                             )
-                self._exp_cache[q_term] = sorted(out)
+                # closest-first cap, same policy as fuzzy_expand_index
+                out.sort(key=lambda x: (x[0], x[1]))
+                if self.fuzzy_max_expansions is not None:
+                    out = out[: self.fuzzy_max_expansions]
+                self._exp_cache[q_term] = sorted((t, w) for _, t, w in out)
             return self._exp_cache[q_term]
 
         all_exp_terms = sorted(
@@ -449,7 +467,12 @@ class Searcher:
             from sparkfts.query import bm25_index_fuzzy_batch
 
             out = bm25_index_fuzzy_batch(
-                self.spark, self.index_dir, queries, mode=mode
+                self.spark,
+                self.index_dir,
+                queries,
+                mode=mode,
+                max_expansions=self.fuzzy_max_expansions,
+                offset=offset,
             ).collect()
             return [
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])

@@ -43,7 +43,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local corpora are single small parquet files: without a low split
         # size the whole scan (extract+tokenize, the expensive stage) lands
-        # in ONE task and added cores do nothing. 8 MB splits + cheap file
+        # in ONE task and added cores do nothing. 2 MB splits + cheap file
         # open cost keep the scan parallel; on a real cluster with many
         # input files these revert to larger values.
         .config("spark.sql.files.maxPartitionBytes", "2m")

@@ -190,3 +190,78 @@ def test_searcher_fuzzy_rows_rank_identical(spark, fuzzy_index, oracle, queries)
         assert per < 0.4, f"warm fuzzy took {per:.4f}s"
     finally:
         s.close()
+
+
+def test_fuzzy_offset_consistent_across_paths(spark, fuzzy_index, queries):
+    """offset pages identically on the distributed fuzzy plan and both
+    Searcher serving paths (ADVICE r1: fallbacks ignored offset)."""
+    from sparkfts.query import bm25_index_fuzzy_batch
+    from sparkfts.searcher import Searcher
+
+    q = [(0, queries[0]["query"], 4)]
+    full = bm25_index_fuzzy_batch(spark, fuzzy_index, [(0, q[0][1], 8)]).collect()
+    page2 = bm25_index_fuzzy_batch(spark, fuzzy_index, q, offset=4).collect()
+    assert [r["rank"] for r in page2] == [5, 6, 7, 8][: len(page2)]
+    assert [(r["rank"], r["doc_id"]) for r in page2] == [
+        (r["rank"], r["doc_id"]) for r in full[4:8]
+    ]
+
+    s = Searcher(spark, fuzzy_index, fuzzy_max_expansions=None)
+    try:
+        # driver-local path
+        local = s.fuzzy_search_rows(q, offset=4)
+        assert [(r[1], r[2]) for r in local] == [
+            (r["rank"], r["doc_id"]) for r in full[4:8]
+        ]
+        # distributed fallback path (df gate forced off)
+        s.local_threshold = 0
+        dist = s.fuzzy_search_rows(q, offset=4)
+        assert [(r[1], r[2]) for r in dist] == [
+            (r["rank"], r["doc_id"]) for r in full[4:8]
+        ]
+    finally:
+        s.close()
+
+
+def test_searcher_fuzzy_expansion_cap(spark, fuzzy_index, oracle):
+    """fuzzy_max_expansions bounds per-term expansion on the serving path
+    while the default-capped results stay sane (a subset of exhaustive)."""
+    from sparkfts.searcher import Searcher
+
+    term = max(oracle.postings, key=lambda t: (len(t) >= 6, oracle.df(t)))
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+
+    s = Searcher(spark, fuzzy_index, fuzzy_max_expansions=1)
+    try:
+        got = s.fuzzy_search_rows([(0, typo, 10)])
+        # cap enforced: at most 1 expansion cached per query term
+        assert all(len(v) <= 1 for v in s._exp_cache.values())
+        exp_docs = {d for d, _ in fuzzy_search(oracle, typo, k=400)}
+        assert {r[2] for r in got} <= exp_docs
+    finally:
+        s.close()
+
+
+def test_searcher_blockmax_gated_on_meta(spark, fuzzy_index, monkeypatch):
+    """search_batch must fall back to the exhaustive OR scorer when
+    meta says block maxima are stale (ADVICE r1, searcher.py:244)."""
+    import sparkfts.searcher as searcher_mod
+    from sparkfts.query import _make_shard_scorer
+    from sparkfts.searcher import Searcher
+
+    seen = {}
+
+    def spy(analyzed, n_docs, avgdl, mode, use_blockmax, block_size):
+        seen["use_blockmax"] = use_blockmax
+        return _make_shard_scorer(
+            analyzed, n_docs, avgdl, mode, use_blockmax, block_size
+        )
+
+    monkeypatch.setattr(searcher_mod, "_make_shard_scorer", spy)
+    s = Searcher(spark, fuzzy_index, local_threshold=0)  # force distributed
+    try:
+        s.meta = dict(s.meta, blockmax_safe=False)
+        s.search_batch([(0, "the quick", 5)], mode="or", use_blockmax=True).collect()
+        assert seen["use_blockmax"] is False
+    finally:
+        s.close()

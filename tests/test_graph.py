@@ -114,3 +114,10 @@ def test_search_to_dyads_end_to_end(spark, hits_df):
     assert rows[0]["from_props"] == {"name": "Acme Corp"}
     # malformed event -> None (reference error path)
     assert search_to_dyads(tokens, docs, hits_df, {}, 3, avgdl) is None
+
+
+def test_build_dyads_empty_config_list_raises(hits_df):
+    """An empty parallel config list names itself instead of an
+    IndexError on parts[0] (padding skips empty lists by design)."""
+    with pytest.raises(ValueError, match="from"):
+        build_dyads(hits_df, {"from": [], "fromProps": []})
