@@ -90,6 +90,74 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
 
 _SCORE_E4 = "CAST(floor(score * 10000 + 0.5) AS BIGINT)"
 
+MF_FIELDS = ["title^2", "text"]  # ES-style best_fields spec for the entry
+
+def _title_col() -> F.Column:
+    """title = first 8 analyzer tokens of text, synthesized identically
+    on the Spark side (array_join(slice(...))) and in DuckDB (tk[1:8])."""
+    return F.array_join(
+        F.slice(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}', 0)"),
+            1,
+            8,
+        ),
+        " ",
+    )
+
+
+def _mf_index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) the two-field (title, text) index."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(REPO, ".scratch", f"entry_mf_{key}")
+    if not os.path.exists(os.path.join(idx, "multifield.json")):
+        from sparkfts.multifield import build_multifield_index
+
+        pages = _docs_as_pages(_docs(spark, sf_dir)).withColumn(
+            "title", _title_col()
+        )
+        build_multifield_index(
+            pages,
+            idx,
+            fields=("title", "text"),
+            n_shards=8,
+            n_tbuckets=16,
+            id_source="column",
+        )
+    return idx
+
+
+def _bm25_field_ctes(
+    p: str, toks_src: str, terms: list[str], conjunctive: bool
+) -> str:
+    """CTE block scoring ONE field (prefix ``p``) -> ``{p}_scored``."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    return f"""
+{p}_toks AS ({toks_src}),
+{p}_dl AS (SELECT doc_id, count(*) AS doclen FROM {p}_toks GROUP BY doc_id),
+{p}_stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM {p}_dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+{p}_tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM {p}_toks
+  WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+{p}_df AS (SELECT term, count(*) AS df FROM {p}_tf GROUP BY term),
+{p}_cand AS (SELECT doc_id FROM {p}_tf GROUP BY doc_id {having}),
+{p}_scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM {p}_tf tf
+  JOIN {p}_df df USING (term) JOIN {p}_dl dl USING (doc_id)
+  CROSS JOIN {p}_stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM {p}_cand)
+  GROUP BY tf.doc_id
+)"""
+
 
 def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10) -> str:
     """DuckDB BM25 oracle over `documents` (pinned analyzer + formula)."""
@@ -197,6 +265,19 @@ def q_fts_index_topk(spark, sf_dir):
 
     idx = _index_dir_for(spark, sf_dir)
     res = bm25_index_batch(spark, idx, [(0, BM25_QUERY_AND, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_multifield_topk(spark, sf_dir):
+    """ES multi_match(best_fields, operator=and) over [title^2, text] —
+    the reference's actual query shape (field list at reference
+    ElasticsearchToNeo4jSync.py:89 feeding multi_match :92-99)."""
+    from sparkfts.multifield import bm25_multifield_batch
+
+    idx = _mf_index_dir_for(spark, sf_dir)
+    res = bm25_multifield_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], fields=MF_FIELDS
+    )
     return res.select("doc_id", _score_e4_col())
 
 
@@ -497,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doclen": q_fts_doclen,
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_index_topk": q_fts_index_topk,
+        "fts_multifield_topk": q_fts_multifield_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
@@ -596,6 +678,27 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
     sqls["fts_bm25_topk"] = bm25_and
     sqls["fts_index_topk"] = bm25_and
+
+    mf_terms = sorted(set(BM25_QUERY_AND.split()))
+    tx_src = (
+        "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}')) AS tok FROM documents"
+    )
+    ti_src = (
+        "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}')[1:8]) AS tok FROM documents"
+    )
+    sqls["fts_multifield_topk"] = f"""
+WITH {_bm25_field_ctes("tx", tx_src, mf_terms, True)},
+{_bm25_field_ctes("ti", ti_src, mf_terms, True)},
+u AS (
+  SELECT doc_id, score * 1.0 AS s FROM tx_scored
+  UNION ALL SELECT doc_id, score * 2.0 FROM ti_scored
+),
+best AS (SELECT doc_id, max(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM best ORDER BY score DESC, doc_id LIMIT 10
+"""
     sqls["fts_or_wand_topk"] = _bm25_sql(
         sorted(set(BM25_QUERY_OR.split())), False
     )

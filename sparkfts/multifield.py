@@ -1,0 +1,284 @@
+"""Multi-field BM25: ``multi_match(type=best_fields)`` over a field list.
+
+Every reference query is multi-field in form: the field list comes from
+``list(set(...))`` (reference ElasticsearchToNeo4jSync.py:89) feeding
+``multi_match`` (reference ElasticsearchToNeo4jSync.py:92-99). ES/Lucene
+keeps one inverted index per field inside a segment; this module mirrors
+that: a multi-field index is a directory of per-field single-field
+indexes (the whole existing build/merge/stream/query machinery applies
+unchanged per field), and best-fields combination happens at query time.
+
+Pinned semantics (ES ``multi_match`` defaults the reference relies on:
+``type=best_fields``, ``operator=and`` per clause, ``tie_breaker=0``):
+
+- each field is scored as its own BM25 index — per-field df, doclen and
+  avgdl (all docs carry every field here, so Lucene's per-field docCount
+  equals n_docs);
+- the operator applies WITHIN a field: a doc matches iff at least one
+  single field contains every query term;
+- doc score = max over matching fields of ``boost_f * field_score``,
+  where a per-field boost is given ES-style as ``"title^2"``.
+
+Scale shape: the per-field candidate sets are the existing pruned index
+plans (tbucket partition pruning + term pushdown, per-shard kernels,
+<= n_shards*(offset+k) rows each); combining them is a union of
+n_fields of those tiny results, one groupBy(query_id, doc_id).max and a
+window over the survivors — no new wide shuffle, nothing proportional to
+corpus size. The union of per-field top-(offset+k) provably contains the
+global top-(offset+k) under max combination: if a doc is in the global
+top-m, then in its argmax field fewer than m docs beat it, so it is in
+that field's top-m.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MF_META_FILE = "multifield.json"
+
+
+def parse_field_boosts(fields) -> list[tuple[str, float]]:
+    """ES field spec list -> ``[(field, boost)]``; ``"title^2"`` -> 2.0."""
+    out = []
+    for f in fields:
+        if "^" in f:
+            name, _, b = f.partition("^")
+            out.append((name, float(b)))
+        else:
+            out.append((f, 1.0))
+    return out
+
+
+def field_dir(index_dir: str, fld: str) -> str:
+    return os.path.join(index_dir, "fields", fld)
+
+
+def read_mf_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MF_META_FILE)) as f:
+        return json.load(f)
+
+
+def build_multifield_index(
+    pages: DataFrame,
+    out_dir: str,
+    fields: tuple[str, ...] = ("text",),
+    **build_kw,
+) -> dict:
+    """Build one single-field index per analyzed field under ``out_dir``.
+
+    ``pages`` must carry every column in ``fields`` (plus url / doc_id for
+    id assignment). Doc ids derive from url (or the doc_id column), so
+    they are identical across the per-field sub-indexes by construction.
+    """
+    from sparkfts.index import build_index
+
+    id_source = build_kw.get("id_source", "sha1")
+    carry = [c for c in ("doc_id", "url", "warc_ts", "lang") if c in pages.columns]
+    metas = {}
+    for fld in fields:
+        sub = pages.select(
+            *[F.col(c) for c in carry if c != fld],
+            F.col(fld).alias("text"),
+        )
+        if id_source != "column" and "url" not in sub.columns:
+            raise ValueError("sha1 id assignment needs a url column")
+        metas[fld] = build_index(sub, field_dir(out_dir, fld), **build_kw)
+
+    mf_meta = {
+        "version": 1,
+        "multifield": True,
+        "fields": list(fields),
+        "n_docs": metas[fields[0]]["n_docs"],
+        "per_field": {
+            f: {"avgdl": m["avgdl"], "n_docs": m["n_docs"]}
+            for f, m in metas.items()
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, MF_META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(mf_meta, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, MF_META_FILE))
+    return mf_meta
+
+
+def _combine_best_fields(
+    per_field: list[tuple[DataFrame, float]],
+    analyzed_k: list[tuple[int, int]],
+    offset: int,
+) -> DataFrame:
+    """Union per-field (query_id, doc_id, score) candidates -> best-fields
+    top-k page: max(boost * score) per doc, window rank, offset slice."""
+    parts = []
+    for res, boost in per_field:
+        scored = res.select(
+            "query_id",
+            "doc_id",
+            (F.col("score") * F.lit(float(boost))).alias("score"),
+        )
+        parts.append(scored)
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    best = combined.groupBy("query_id", "doc_id").agg(
+        F.max("score").alias("score")
+    )
+    k_map = F.create_map(
+        *[x for qid, k in analyzed_k for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_multifield_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    fields: list[str] | None = None,
+    mode: str = "and",
+    use_blockmax: bool = True,
+    offset: int = 0,
+) -> DataFrame:
+    """Best-fields BM25 top-k from a multi-field index, one Spark action.
+
+    ``fields``: ES-style specs (``["title^2", "text"]``); default = every
+    indexed field, boost 1.0. Each per-field slice is the standard pruned
+    single-field index plan widened to offset+k; the global page is cut
+    after max combination, so pagination is exact across fields.
+    """
+    from sparkfts.analysis import tokenize_query
+    from sparkfts.query import _empty_results, bm25_index_batch
+
+    meta = read_mf_meta(index_dir)
+    specs = parse_field_boosts(fields if fields is not None else meta["fields"])
+    unknown = [f for f, _ in specs if f not in meta["fields"]]
+    if unknown:
+        raise ValueError(f"fields not in index: {unknown}")
+
+    analyzed_k = [
+        (qid, k + int(offset))
+        for qid, text, k in queries
+        if tokenize_query(text)
+    ]
+    if not analyzed_k:
+        return _empty_results(spark)
+    widened = [(qid, text, k + int(offset)) for qid, text, k in queries]
+
+    per_field = [
+        (
+            bm25_index_batch(
+                spark,
+                field_dir(index_dir, fld),
+                widened,
+                mode=mode,
+                use_blockmax=use_blockmax,
+            ),
+            boost,
+        )
+        for fld, boost in specs
+    ]
+    return _combine_best_fields(per_field, analyzed_k, offset)
+
+
+def bm25_multifield_scan_batch(
+    docs: DataFrame,
+    fields: list[str],
+    queries: list[tuple[int, str, int]],
+    mode: str = "and",
+    offset: int = 0,
+) -> DataFrame:
+    """Index-less best-fields baseline (the oracle slice): tokenize each
+    field column on the fly, score per field, combine. Rank-identical to
+    :func:`bm25_multifield_batch` over the same data (tested)."""
+    from sparkfts.analysis import tokenize_query
+    from sparkfts.query import _empty_results, bm25_scan_batch
+    from sparkfts.stats import avgdl_of
+    from sparkfts.tokens import tokenize_docs
+
+    spark = docs.sparkSession
+    specs = parse_field_boosts(fields)
+    analyzed_k = [
+        (qid, k + int(offset))
+        for qid, text, k in queries
+        if tokenize_query(text)
+    ]
+    if not analyzed_k:
+        return _empty_results(spark)
+    widened = [(qid, text, k + int(offset)) for qid, text, k in queries]
+
+    n_docs = docs.count()
+    per_field = []
+    for fld, boost in specs:
+        tokens = tokenize_docs(docs, text_col=fld)
+        avgdl = avgdl_of(tokens, n_docs)
+        per_field.append(
+            (bm25_scan_batch(tokens, widened, n_docs, avgdl, mode=mode), boost)
+        )
+    return _combine_best_fields(per_field, analyzed_k, offset)
+
+
+class MultiFieldSearcher:
+    """Warm best-fields serving: one :class:`sparkfts.searcher.Searcher`
+    per field, driver-side max combination of the per-field pages."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, **searcher_kw):
+        from sparkfts.searcher import Searcher
+
+        self.meta = read_mf_meta(index_dir)
+        self.searchers = {
+            f: Searcher(spark, field_dir(index_dir, f), **searcher_kw)
+            for f in self.meta["fields"]
+        }
+
+    def search_rows(
+        self,
+        queries: list[tuple[int, str, int]],
+        fields: list[str] | None = None,
+        mode: str = "and",
+        offset: int = 0,
+    ) -> list[tuple[int, int, int, float]]:
+        specs = parse_field_boosts(
+            fields if fields is not None else self.meta["fields"]
+        )
+        widened = [(qid, text, k + int(offset)) for qid, text, k in queries]
+        ks = {qid: k + int(offset) for qid, _, k in queries}
+        best: dict[tuple[int, int], float] = {}
+        for fld, boost in specs:
+            rows = self.searchers[fld].search_rows(widened, mode=mode)
+            for qid, _rank, doc_id, score in rows:
+                key = (qid, doc_id)
+                s = score * boost
+                if key not in best or s > best[key]:
+                    best[key] = s
+        out: list[tuple[int, int, int, float]] = []
+        by_qid: dict[int, list[tuple[float, int]]] = {}
+        for (qid, doc_id), s in best.items():
+            by_qid.setdefault(qid, []).append((s, doc_id))
+        for qid, entries in by_qid.items():
+            entries.sort(key=lambda e: (-e[0], e[1]))
+            for rank0, (s, doc_id) in enumerate(entries[: ks[qid]]):
+                if rank0 >= int(offset):
+                    out.append((qid, rank0 + 1, doc_id, s))
+        out.sort(key=lambda r: (r[0], r[1]))
+        return out
+
+    def warmup(self) -> int:
+        return sum(s.warmup() for s in self.searchers.values())
+
+    def close(self) -> None:
+        for s in self.searchers.values():
+            s.close()
