@@ -1,0 +1,117 @@
+"""Round-2 dedup-plane additions: Jaccard hot-shingle cap, duplicate
+cluster resolution, SimHash explode removal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfts.ops.dedup import (
+    duplicate_clusters,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash32,
+)
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_docs(spark):
+    """Every doc shares one ubiquitous lead-in phrase (a stop-shingle with
+    df = n_docs); pairs (2i, 2i+1) additionally share real content."""
+    rows = []
+    for i in range(30):
+        body = (
+            f"unique{i} content{i} piece{i} number{i} "
+            f"alpha{i} beta{i} gamma{i} delta{i}"
+        )
+        rows.append((2 * i, f"of the and {body} one"))
+        rows.append((2 * i + 1, f"of the and {body} two"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_cap_same_pairs_bounded_join(hot_shingle_docs):
+    uncapped = ngram_jaccard_pairs(hot_shingle_docs, threshold=0.5).collect()
+    capped = ngram_jaccard_pairs(
+        hot_shingle_docs, threshold=0.5, shingle_df_cap=5
+    ).collect()
+    assert sorted((r["a_id"], r["b_id"], r["jaccard_e6"]) for r in uncapped) == \
+        sorted((r["a_id"], r["b_id"], r["jaccard_e6"]) for r in capped)
+    # the planted twins must survive with their EXACT jaccard (hot
+    # shingles counted back into the intersection)
+    found = {(r["a_id"], r["b_id"]) for r in capped}
+    assert all((2 * i, 2 * i + 1) in found for i in range(30))
+
+    # bound actually bites: the ubiquitous shingles exceed the cap, so
+    # candidate generation excludes them — its join input is the rare
+    # rows only (60 docs x a few rare shingles, not df^2 = 3600+ rows
+    # per hot shingle)
+    s = shingles(hot_shingle_docs)
+    sdf = s.groupBy("shingle").agg(F.count("*").alias("d"))
+    hot_rows = (
+        s.join(sdf.where(F.col("d") > 5), "shingle").count()
+    )
+    rare_rows = s.count() - hot_rows
+    assert hot_rows > 0, "fixture failed to create a hot shingle"
+    # every hot-bucket pair the uncapped join would enumerate:
+    hot_pairs = (
+        sdf.where(F.col("d") > 5)
+        .select((F.col("d") * (F.col("d") - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .collect()[0][0]
+    )
+    assert hot_pairs > rare_rows, (
+        "cap is load-bearing: the avoided hot-bucket pair count dwarfs "
+        "the rare join input"
+    )
+
+
+def test_jaccard_cap_drops_hot_only_pairs(spark):
+    """Docs sharing ONLY the ubiquitous shingle are not emitted under the
+    cap (the documented recall trade) but are also below any sane
+    threshold in the uncapped result."""
+    rows = [(i, f"of the and item{i} x{i} y{i} z{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.05, shingle_df_cap=5).collect()
+    assert capped == []
+
+
+def test_duplicate_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 12-node path graph converges to one cluster (diameter rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "a_id long, b_id long"
+    )
+    rows = duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {100}
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_simhash_no_bit_explode(spark, corpus):
+    """The plan must contain exactly ONE Generate (the token explode) —
+    the 32x per-bit explode is gone (round-1 VERDICT perf fix #7)."""
+    docs = spark.createDataFrame(corpus.to_pandas()).limit(50)
+    docs = docs.withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).select("doc_id", "text")
+    sh = simhash32(docs)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+    # and it still produces one row per doc with a 32-bit value
+    rows = sh.collect()
+    assert len(rows) == 50
+    assert all(0 <= r["simhash"] < 2**32 for r in rows)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparkfts.ops.similarity import embedding_dup_pairs
 
@@ -62,3 +63,52 @@ def test_multiprobe_recall_monotone(emb_df):
     # shares the query's own bucket, so even h=0 must surface it at rank<=2
     top2 = sorted(ids1_rows, key=lambda r: (-r["cos_e6"], r["vec_id"]))[:2]
     assert {r["vec_id"] for r in top2} == {0, 100}
+
+
+def test_ann_materialized_index_partition_pruned(spark, emb_df, tmp_path):
+    """write_ann_index makes bucket a partition column; probe queries are
+    partition-pruned scans with results identical to the in-memory path
+    (round-1 VERDICT gap #3)."""
+    from sparkfts.ops.similarity import (
+        ann_cosine_topk,
+        ann_index_topk,
+        load_ann_index,
+        probe_buckets,
+        query_bucket,
+        read_ann_meta,
+        write_ann_index,
+    )
+
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(emb_df, path, n_planes=6)
+    assert read_ann_meta(path)["n_planes"] == 6
+
+    q = [float(x) for x in
+         emb_df.where("vec_id = 0").collect()[0]["embedding"]]
+    for h in (0, 1):
+        via_index = ann_index_topk(spark, path, q, k=5, probe_hamming=h)
+        via_mem = ann_cosine_topk(emb_df, q, k=5, n_planes=6, probe_hamming=h)
+        assert [(r["vec_id"], r["cos_e6"]) for r in via_index.collect()] == [
+            (r["vec_id"], r["cos_e6"]) for r in via_mem.collect()
+        ]
+
+    # the probe scan prunes partitions: the file-source relation reports
+    # a PartitionFilters entry on bucket and reads fewer partitions than
+    # exist
+    qb = query_bucket(q, 6)
+    probes = probe_buckets(qb, 6, 0)
+    pruned = load_ann_index(spark, path).where(F.col("bucket").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    n_all = load_ann_index(spark, path).select("bucket").distinct().count()
+    n_scanned = pruned.select("bucket").distinct().count()
+    assert n_scanned <= len(probes) < n_all
+
+
+def test_bucketed_pairs_plan_has_no_cross_join(emb_df):
+    """The driver-checked bucketed variant must join within buckets only
+    (no CartesianProduct / nested-loop join anywhere in the plan)."""
+    df = embedding_dup_pairs(emb_df, threshold_e6=400_000, bucketed=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
