@@ -214,6 +214,35 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
                 "index_to_corpus_ratio": round(idx_bytes / corpus_bytes, 4),
                 "postings_meta": {k: meta[k] for k in ("n_shards", "n_tbuckets")},
             }
+        # multifield: the reference's actual query shape (multi_match over
+        # a field list). Two-field build + 20-query best-fields batch.
+        from pyspark.sql import functions as F
+
+        from sparkfts.multifield import (
+            bm25_multifield_batch,
+            build_multifield_index,
+        )
+
+        toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        mf_pages = pages.withColumn(
+            "title", F.array_join(F.slice(toks, 1, 8), " ")
+        )
+        mf_idx = os.path.join(REPO, ".scratch", f"mfidx_{n_docs}_{cores}")
+        t0 = time.time()
+        build_multifield_index(
+            mf_pages, mf_idx, fields=("title", "text"),
+            n_shards=16, n_tbuckets=16,
+        )
+        t_mf_build = time.time() - t0
+        t0 = time.time()
+        bm25_multifield_batch(
+            spark,
+            mf_idx,
+            [(q["query_id"], q["query"], q["k"]) for q in qs[:20]],
+            fields=["title^2", "text"],
+        ).collect()
+        t_mf_batch = time.time() - t0
+
         import pandas as pd
 
         from oracle.bm25 import BM25Oracle
@@ -241,6 +270,8 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             "p50_sec": round(p50, 4),
             "p99_sec": round(p99, 4),
             "fuzzy_p50_sec": round(fuzzy_p50, 4),
+            "mf_build_sec": round(t_mf_build, 3),
+            "mf_batch20_sec": round(t_mf_batch, 3),
             "latencies": lat,
             "n_docs": n_docs,
             "n_postings": int(n_postings),
@@ -320,6 +351,8 @@ def main() -> None:
             "p50_sec": r["p50_sec"],
             "p99_sec": r["p99_sec"],
             "fuzzy_p50_sec": r.get("fuzzy_p50_sec"),
+            "mf_build_sec": r.get("mf_build_sec"),
+            "mf_batch20_sec": r.get("mf_batch20_sec"),
             "n_docs": r["n_docs"],
             "cores": r["cores"],
             "postings_per_sec": r["postings_per_sec"],
