@@ -67,7 +67,7 @@ def _ensure_corpus(sf: float, n_docs: int | None = None) -> tuple[str, int]:
     return path, n_docs
 
 
-def _run_pinned(cores: int, n_docs: int) -> dict:
+def _run_pinned(cores: int, n_docs: int, multifield: bool = False) -> dict:
     """Run one bench leg as a subprocess pinned to ``cores`` CPUs."""
     import shutil
     import subprocess
@@ -76,6 +76,8 @@ def _run_pinned(cores: int, n_docs: int) -> dict:
         sys.executable, os.path.abspath(__file__),
         "--cores", str(cores), "--docs", str(n_docs),
     ]
+    if multifield:
+        cmd.append("--multifield")
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
@@ -96,8 +98,19 @@ def _run_pinned(cores: int, n_docs: int) -> dict:
     }
 
 
-def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
-    """One full cycle: build index, run the 50-query set, collect timings."""
+def _run_once(
+    cores: int,
+    corpus_path: str,
+    n_docs: int,
+    sf: float,
+    multifield: bool = False,
+) -> dict:
+    """One full cycle: build index, run the 50-query set, collect timings.
+
+    ``multifield=True`` swaps the build for the two-field (title, text)
+    multi-field index and the query batch for best-fields multi_match —
+    the scaling-evidence mode for feature growth (round-1 VERDICT #9).
+    """
     from pyspark.sql import SparkSession
 
     from sparkfts.index import build_index
@@ -129,14 +142,43 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
         build_index(pages.limit(2000), warm_idx, n_shards=4, n_tbuckets=4)
         _shutil.rmtree(warm_idx, ignore_errors=True)
 
-        t0 = time.time()
-        meta = build_index(pages, idx, n_shards=16, n_tbuckets=16)
-        t_build = time.time() - t0
+        if multifield:
+            from pyspark.sql import functions as F
 
-        # north-star metrics: postings/sec + compression (BASELINE.md)
-        n_postings = spark.read.parquet(os.path.join(idx, "terms")).agg(
-            {"df": "sum"}
-        ).collect()[0][0]
+            from sparkfts.multifield import (
+                bm25_multifield_batch,
+                build_multifield_index,
+                field_dir,
+            )
+
+            toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            pages = pages.withColumn(
+                "title", F.array_join(F.slice(toks, 1, 8), " ")
+            )
+            t0 = time.time()
+            build_multifield_index(
+                pages, idx, fields=("title", "text"),
+                n_shards=16, n_tbuckets=16,
+            )
+            t_build = time.time() - t0
+            from sparkfts.index import read_meta
+
+            meta = read_meta(field_dir(idx, "text"))
+            n_postings = sum(
+                spark.read.parquet(os.path.join(field_dir(idx, f), "terms"))
+                .agg({"df": "sum"})
+                .collect()[0][0]
+                for f in ("title", "text")
+            )
+        else:
+            t0 = time.time()
+            meta = build_index(pages, idx, n_shards=16, n_tbuckets=16)
+            t_build = time.time() - t0
+
+            # north-star metrics: postings/sec + compression (BASELINE.md)
+            n_postings = spark.read.parquet(os.path.join(idx, "terms")).agg(
+                {"df": "sum"}
+            ).collect()[0][0]
         idx_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(idx)
@@ -155,18 +197,31 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             n_queries=200 if big else 50,
         )
 
-        # batch throughput: all 50 queries in one job
+        # batch throughput: all queries in one job
         t0 = time.time()
-        batch_rows = bm25_index_batch(
-            spark, idx, [(q["query_id"], q["query"], q["k"]) for q in qs]
-        ).collect()
+        if multifield:
+            batch_rows = bm25_multifield_batch(
+                spark,
+                idx,
+                [(q["query_id"], q["query"], q["k"]) for q in qs],
+                fields=["title^2", "text"],
+            ).collect()
+        else:
+            batch_rows = bm25_index_batch(
+                spark, idx, [(q["query_id"], q["query"], q["k"]) for q in qs]
+            ).collect()
         t_batch = time.time() - t0
 
         # per-query latency: warm-searcher serving (the reference's ES keeps
         # its index open between requests; Searcher is that shape here)
-        from sparkfts.searcher import Searcher
+        if multifield:
+            from sparkfts.multifield import MultiFieldSearcher
 
-        searcher = Searcher(spark, idx)
+            searcher = MultiFieldSearcher(spark, idx)
+        else:
+            from sparkfts.searcher import Searcher
+
+            searcher = Searcher(spark, idx)
         searcher.warmup()
         # serving API: coordinator fast path for df-light queries (cached
         # decoded postings + the same numpy kernels, no Spark job), with
@@ -180,14 +235,17 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             searcher.search_rows([(q["query_id"], q["query"], q["k"])])
             lat[f"q{q['query_id']:02d}"] = round(time.time() - t0, 4)
         # fuzzy serving latency (the reference's query shape: every
-        # reference search requests fuzziness:AUTO)
-        searcher.fuzzy_search_rows([(0, qs[0]["query"], 10)])  # warm dict
-        fuzzy_lat = []
-        for q in qs[:10]:
-            t0 = time.time()
-            searcher.fuzzy_search_rows([(q["query_id"], q["query"], 10)])
-            fuzzy_lat.append(time.time() - t0)
-        fuzzy_p50 = statistics.median(fuzzy_lat)
+        # reference search requests fuzziness:AUTO); single-field only
+        if multifield:
+            fuzzy_p50 = None
+        else:
+            searcher.fuzzy_search_rows([(0, qs[0]["query"], 10)])  # warm dict
+            fuzzy_lat = []
+            for q in qs[:10]:
+                t0 = time.time()
+                searcher.fuzzy_search_rows([(q["query_id"], q["query"], 10)])
+                fuzzy_lat.append(time.time() - t0)
+            fuzzy_p50 = statistics.median(fuzzy_lat)
         searcher.close()
         lats = sorted(lat.values())
         p50 = statistics.median(lats)
@@ -214,34 +272,38 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
                 "index_to_corpus_ratio": round(idx_bytes / corpus_bytes, 4),
                 "postings_meta": {k: meta[k] for k in ("n_shards", "n_tbuckets")},
             }
-        # multifield: the reference's actual query shape (multi_match over
-        # a field list). Two-field build + 20-query best-fields batch.
-        from pyspark.sql import functions as F
+        if multifield:
+            t_mf_build, t_mf_batch = None, None
+        else:
+            # multifield extras in single-field mode: the reference's
+            # actual query shape (multi_match over a field list).
+            # Two-field build + 20-query best-fields batch.
+            from pyspark.sql import functions as F
 
-        from sparkfts.multifield import (
-            bm25_multifield_batch,
-            build_multifield_index,
-        )
+            from sparkfts.multifield import (
+                bm25_multifield_batch,
+                build_multifield_index,
+            )
 
-        toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-        mf_pages = pages.withColumn(
-            "title", F.array_join(F.slice(toks, 1, 8), " ")
-        )
-        mf_idx = os.path.join(REPO, ".scratch", f"mfidx_{n_docs}_{cores}")
-        t0 = time.time()
-        build_multifield_index(
-            mf_pages, mf_idx, fields=("title", "text"),
-            n_shards=16, n_tbuckets=16,
-        )
-        t_mf_build = time.time() - t0
-        t0 = time.time()
-        bm25_multifield_batch(
-            spark,
-            mf_idx,
-            [(q["query_id"], q["query"], q["k"]) for q in qs[:20]],
-            fields=["title^2", "text"],
-        ).collect()
-        t_mf_batch = time.time() - t0
+            toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            mf_pages = pages.withColumn(
+                "title", F.array_join(F.slice(toks, 1, 8), " ")
+            )
+            mf_idx = os.path.join(REPO, ".scratch", f"mfidx_{n_docs}_{cores}")
+            t0 = time.time()
+            build_multifield_index(
+                mf_pages, mf_idx, fields=("title", "text"),
+                n_shards=16, n_tbuckets=16,
+            )
+            t_mf_build = time.time() - t0
+            t0 = time.time()
+            bm25_multifield_batch(
+                spark,
+                mf_idx,
+                [(q["query_id"], q["query"], q["k"]) for q in qs[:20]],
+                fields=["title^2", "text"],
+            ).collect()
+            t_mf_batch = time.time() - t0
 
         import pandas as pd
 
@@ -250,16 +312,39 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
 
         urls = [r["url"] for r in pages.select("url").collect()]
         ids = sha1_doc_id(pd.Series(urls))
-        oracle = BM25Oracle(zip(ids.tolist(), texts))
         by_qid: dict[int, list] = {}
         for r in batch_rows:
             by_qid.setdefault(r["query_id"], []).append(r)
-        for q in qs[:5]:
-            exp = oracle.search(q["query"], k=q["k"])
-            got = sorted(by_qid.get(q["query_id"], []), key=lambda r: r["rank"])
-            assert [d for d, _ in exp] == [r["doc_id"] for r in got], (
-                f"bench correctness check failed on q{q['query_id']}"
-            )
+        if multifield:
+            # best-fields spot-check: per-field oracles, max of boosted
+            from sparkfts.analysis import tokenize
+            titles = [" ".join(tokenize(t)[:8]) for t in texts]
+            o_title = BM25Oracle(zip(ids.tolist(), titles))
+            o_text = BM25Oracle(zip(ids.tolist(), texts))
+            for q in qs[:5]:
+                best: dict[int, float] = {}
+                for o, boost in ((o_title, 2.0), (o_text, 1.0)):
+                    for d, s in o.search(q["query"], k=o.n_docs):
+                        if d not in best or s * boost > best[d]:
+                            best[d] = s * boost
+                exp = sorted(best.items(), key=lambda e: (-e[1], e[0]))
+                exp = exp[: q["k"]]
+                got = sorted(
+                    by_qid.get(q["query_id"], []), key=lambda r: r["rank"]
+                )
+                assert [d for d, _ in exp] == [r["doc_id"] for r in got], (
+                    f"bench mf correctness check failed on q{q['query_id']}"
+                )
+        else:
+            oracle = BM25Oracle(zip(ids.tolist(), texts))
+            for q in qs[:5]:
+                exp = oracle.search(q["query"], k=q["k"])
+                got = sorted(
+                    by_qid.get(q["query_id"], []), key=lambda r: r["rank"]
+                )
+                assert [d for d, _ in exp] == [r["doc_id"] for r in got], (
+                    f"bench correctness check failed on q{q['query_id']}"
+                )
 
         return {
             "cores": cores,
@@ -269,9 +354,15 @@ def _run_once(cores: int, corpus_path: str, n_docs: int, sf: float) -> dict:
             "qps_batch": round(len(qs) / t_batch, 2),
             "p50_sec": round(p50, 4),
             "p99_sec": round(p99, 4),
-            "fuzzy_p50_sec": round(fuzzy_p50, 4),
-            "mf_build_sec": round(t_mf_build, 3),
-            "mf_batch20_sec": round(t_mf_batch, 3),
+            "fuzzy_p50_sec": (
+                round(fuzzy_p50, 4) if fuzzy_p50 is not None else None
+            ),
+            "mf_build_sec": (
+                round(t_mf_build, 3) if t_mf_build is not None else None
+            ),
+            "mf_batch20_sec": (
+                round(t_mf_batch, 3) if t_mf_batch is not None else None
+            ),
             "latencies": lat,
             "n_docs": n_docs,
             "n_postings": int(n_postings),
@@ -291,6 +382,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--docs", type=int, default=None,
                     help="override corpus size (scaling subprocess legs)")
+    ap.add_argument("--multifield", action="store_true",
+                    help="bench the two-field best-fields index instead")
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
@@ -307,8 +400,8 @@ def main() -> None:
         # efficiency ratio. Pinning makes N cores mean N cores — the honest
         # stand-in for an N-executor cluster in this sandbox.
         s_path, s_docs = _ensure_corpus(sf * SCALE_MULT)
-        lo = _run_pinned(SCALE_LO, s_docs)
-        hi = _run_pinned(SCALE_HI, s_docs)
+        lo = _run_pinned(SCALE_LO, s_docs, args.multifield)
+        hi = _run_pinned(SCALE_HI, s_docs, args.multifield)
         n_docs = s_docs
         # efficiency = (T_N / T_4N) / 4 for the build job
         eff_build = (lo["build_sec"] / hi["build_sec"]) / 4
@@ -337,7 +430,7 @@ def main() -> None:
             },
         }
     else:
-        r = _run_once(args.cores, corpus_path, n_docs, sf)
+        r = _run_once(args.cores, corpus_path, n_docs, sf, args.multifield)
         out = {
             "metric": "sparkfts_build_plus_query",
             "value": round(r["build_sec"] + r["batch50_sec"], 3),

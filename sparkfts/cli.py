@@ -46,6 +46,34 @@ def cmd_build(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-build")
     t0 = time.time()
     pages = spark.read.parquet(args.input)
+    if args.fields:
+        if args.resume:
+            raise SystemExit("--resume is per-field; rerun without --fields")
+        from sparkfts.multifield import build_multifield_index
+
+        mf = build_multifield_index(
+            pages,
+            args.index,
+            fields=tuple(args.fields.split(",")),
+            n_shards=args.shards,
+            n_tbuckets=args.tbuckets,
+            validate_extraction=args.validate,
+        )
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "n_docs": mf["n_docs"],
+                    "fields": mf["fields"],
+                    "sec": round(sec, 2),
+                    "docs_per_sec": (
+                        round(mf["n_docs"] / sec, 1) if sec else None
+                    ),
+                    "index": args.index,
+                }
+            )
+        )
+        return
     if args.resume:
         from sparkfts.checkpoint import resumable_build
 
@@ -86,7 +114,36 @@ def cmd_query(args: argparse.Namespace) -> None:
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    if args.fuzzy:
+    if args.fields:
+        if args.fuzzy:
+            raise SystemExit("--fuzzy with --fields is not supported yet")
+        from sparkfts.index import load_docmap
+        from sparkfts.multifield import (
+            bm25_multifield_batch,
+            field_dir,
+            parse_field_boosts,
+        )
+
+        res = bm25_multifield_batch(
+            spark,
+            args.index,
+            [(0, args.query, args.k)],
+            fields=args.fields.split(","),
+            mode=args.mode,
+            use_blockmax=not args.no_blockmax,
+            offset=args.offset,
+        )
+        first_field = parse_field_boosts(args.fields.split(","))[0][0]
+        urls = load_docmap(
+            spark, field_dir(args.index, first_field)
+        ).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+    elif args.fuzzy:
         from sparkfts.index import load_docmap
 
         res = bm25_index_fuzzy_batch(
@@ -196,6 +253,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--shards-per-job", type=int, default=2)
     b.add_argument("--validate", action="store_true",
                    help="assert extract_text(html) == text per url")
+    b.add_argument("--fields", default=None,
+                   help="comma list of page columns to index as separate "
+                        "fields (multi-field index), e.g. title,text")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
@@ -208,6 +268,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="deep pagination: return ranks offset+1..offset+k")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
+    q.add_argument("--fields", default=None,
+                   help="ES-style multi_match field specs over a "
+                        "multi-field index, e.g. 'title^2,text'")
 
     m = sub.add_parser(
         "merge", help="idempotent compaction of index segments into root"
