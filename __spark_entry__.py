@@ -24,6 +24,8 @@ BM25_QUERY_AND = "spark join"          # both terms common in `documents`
 BM25_QUERY_OR = "spark join vector"
 BM25_QUERY_FUZZY = "spafk joun"        # typo'd "spark join" — exercises
                                        # fuzziness:AUTO expansion (dist 1)
+PHRASE_QUERY = "table hash"            # adjacent-bigram phrase, df(phrase)=46
+                                       # at sf0.01 — exercises positions
 HASH_P = 2_147_483_647
 
 
@@ -268,6 +270,20 @@ def q_fts_index_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_phrase_topk(spark, sf_dir):
+    """match_phrase top-k from the positional index (ES positional-query
+    family; oracle.phrase pins the Lucene PhraseQuery scoring shape)."""
+    from sparkfts.phrase import build_positions, match_phrase_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = match_phrase_batch(spark, idx, [(0, PHRASE_QUERY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_multifield_topk(spark, sf_dir):
     """ES multi_match(best_fields, operator=and) over [title^2, text] —
     the reference's actual query shape (field list at reference
@@ -468,6 +484,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash32(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: 8-gram overlap of the corpus against a
+    deterministic eval slice (doc_id % 97 == 0) — the standard
+    contamination check of large-scale training-data pipelines."""
+    from sparkfts.ops.decontam import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_overlap(docs, eval_df, n=8)
+
+
 def q_lang_id(spark, sf_dir):
     from sparkfts.ops.textstats import lang_id
 
@@ -558,6 +585,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_index_topk(spark, idx, qvec, k=10, probe_hamming=1)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: probe the 2 nearest centroid PARTITIONS of the
+    materialized inverted-file index (deterministic sampled centroids,
+    integer-L2 assignment — engine-reproducible in DuckDB)."""
+    from sparkfts.ops.similarity import ivf_topk, write_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(REPO, ".scratch", f"entry_ivf_{key}")
+    if not os.path.exists(os.path.join(idx, "_ivfmeta.json")):
+        write_ivf_index(emb, idx, n_centroids=16)
+    return ivf_topk(spark, idx, qvec, k=10, n_probe=2)
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     from sparkfts.ops.similarity import lsh_bucket
 
@@ -617,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doclen": q_fts_doclen,
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_index_topk": q_fts_index_topk,
+        "fts_phrase_topk": q_fts_phrase_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
@@ -637,12 +685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -719,6 +769,41 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
     sqls["fts_bm25_topk"] = bm25_and
     sqls["fts_index_topk"] = bm25_and
+
+    p_terms = PHRASE_QUERY.split()
+    p_vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(p_terms))
+    p_in = ", ".join(f"'{t}'" for t in sorted(set(p_terms)))
+    sqls["fts_phrase_topk"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+pterms(term, i) AS (VALUES {p_vals}),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ({p_in}) GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN dfs d USING (term) CROSS JOIN stats s),
+hits AS (
+  SELECT tk.doc_id, tk.pos - p.i AS st
+  FROM toks tk JOIN pterms p ON tk.tok = p.term
+  WHERE tk.pos - p.i >= 0
+  GROUP BY 1, 2 HAVING count(*) = {len(p_terms)}),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     mf_terms = sorted(set(BM25_QUERY_AND.split()))
     tx_src = (
@@ -955,6 +1040,24 @@ SELECT doc_id,
 FROM bits GROUP BY 1
 """
 
+    sqls["decontaminate"] = f"""
+WITH tg AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                               for i in range(1, len(t) - 6)])) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') t
+        FROM documents)),
+th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {HASH_P}
+           AS gram31
+  FROM tg),
+eh AS (SELECT doc_id AS eval_id, gram31 FROM th WHERE doc_id % 97 = 0)
+SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+FROM th t JOIN eh e USING (gram31)
+GROUP BY 1, 2
+"""
+
     lang_cases = []
     for lang in ["de", "en", "es", "fr"]:
         lang_cases.append(f"WHEN s_{lang} = best THEN '{lang}'")
@@ -1101,6 +1204,45 @@ SELECT vec_id,
        CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
          AS cos_e6
 FROM d2, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    sqls["ann_ivf_topk"] = """
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS src_id, row_number() OVER (ORDER BY vec_id) - 1
+           AS centroid_id
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+cvec AS (SELECT c.centroid_id, e.pos, e.v
+         FROM cent c JOIN ee e ON e.vec_id = c.src_id),
+d2 AS (
+  SELECT e.vec_id, c.centroid_id, sum((e.v - c.v) * (e.v - c.v)) AS d2
+  FROM ee e JOIN cvec c USING (pos) GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, centroid_id) AS rn
+    FROM d2) WHERE rn = 1),
+probes AS (
+  SELECT centroid_id FROM d2 WHERE vec_id = 0
+  ORDER BY d2, centroid_id LIMIT 2),
+cand AS (SELECT vec_id FROM assign
+         WHERE centroid_id IN (SELECT centroid_id FROM probes)),
+qq AS (SELECT pos, v FROM ee WHERE vec_id = 0),
+ce AS (SELECT vec_id, pos, v FROM ee
+       WHERE vec_id IN (SELECT vec_id FROM cand)),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ce e JOIN qq q USING (pos) GROUP BY 1),
+nq AS (SELECT sum(v * v) AS nq FROM qq)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dots, nq WHERE na > 0
 ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
 

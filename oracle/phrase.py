@@ -1,0 +1,94 @@
+"""Pure-Python phrase-query oracle (``match_phrase`` semantics pinned).
+
+ES/Lucene ``match_phrase`` (the positional-query family the reference's
+ES backend supports; its DSL never emits one — SURVEY.md §2 "optional"
+gap, closed here): a document matches iff the query terms occur at
+consecutive positions in order. Scoring pins Lucene's PhraseQuery shape:
+the phrase acts as ONE pseudo-term whose frequency is the number of
+phrase occurrences, weighted by the sum of the member terms' idfs:
+
+    tfp(d)   = |{p : t_i at position p+i for all i}|
+    score(d) = (sum_i idf(t_i)) * tfp / (tfp + k1*(1-b+b*dl/avgdl))
+               * (k1 + 1)
+
+idf/df are per-TERM corpus statistics (same as BM25); summation of idfs
+runs in phrase order (deterministic); ties break (-score, doc_id asc).
+Duplicate terms in the phrase are kept (unlike the conjunctive
+``tokenize_query`` set semantics) — "buffalo buffalo" is a real phrase.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+from sparkfts import BM25_B, BM25_K1
+from sparkfts.analysis import tokenize
+
+
+class PhraseOracle:
+    """In-memory positional index + phrase scorer over (doc_id, text)."""
+
+    def __init__(
+        self,
+        docs: Iterable[tuple[int, str]],
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> None:
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.doclen: dict[int, int] = {}
+        # term -> {doc_id: sorted positions}
+        self.positions: dict[str, dict[int, list[int]]] = {}
+        for doc_id, text in docs:
+            doc_id = int(doc_id)
+            if doc_id in self.doclen:
+                raise ValueError(f"duplicate doc_id {doc_id}")
+            terms = tokenize(text)
+            self.doclen[doc_id] = len(terms)
+            for pos, term in enumerate(terms):
+                self.positions.setdefault(term, {}).setdefault(
+                    doc_id, []
+                ).append(pos)
+        self.n_docs = len(self.doclen)
+        total = sum(self.doclen.values())
+        self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.positions.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def phrase_freq(self, terms: list[str], doc_id: int) -> int:
+        """Count of positions p with terms[i] at p+i for every i."""
+        pos_sets = []
+        for i, t in enumerate(terms):
+            plist = self.positions.get(t, {}).get(doc_id)
+            if not plist:
+                return 0
+            pos_sets.append({p - i for p in plist})
+        starts = set.intersection(*pos_sets)
+        return len(starts)
+
+    def search(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k ``(doc_id, score)`` documents containing the exact phrase."""
+        terms = tokenize(phrase)  # order + duplicates preserved
+        if not terms or self.n_docs == 0:
+            return []
+        # candidates: docs containing the rarest term (correct and cheap)
+        rare = min(terms, key=self.df)
+        idf_sum = sum(self.idf(t) for t in terms)  # phrase-order fold
+        scored = []
+        for doc_id in self.positions.get(rare, {}):
+            tfp = self.phrase_freq(terms, doc_id)
+            if tfp == 0:
+                continue
+            dl = self.doclen[doc_id]
+            norm = self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+            scored.append(
+                (doc_id, idf_sum * (tfp / (tfp + norm)) * (self.k1 + 1))
+            )
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

@@ -205,6 +205,141 @@ def ann_cosine_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat: inverted-file ANN with sampled centroids
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` smallest
+    vec_ids' quantized vectors become the centroids (random-sample
+    init — the standard IVF bootstrap — made reproducible by using the
+    id order instead of an RNG). -> (centroid_id, cvec array<long>).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("src_id"))
+    return (
+        emb.select(
+            F.col(id_col).alias("src_id"),
+            quantize_vec(F.col(vec_col)).alias("cvec"),
+        )
+        .orderBy("src_id")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", "cvec")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by EXACT integer
+    squared L2 over the quantized vectors (||v-c||^2 = |v|^2 - 2 v.c +
+    |c|^2 — all int64, so ties and ordering are engine-independent;
+    ties break on the smaller centroid_id). -> (vec_id, centroid_id).
+
+    Shape: vectors x centroids is a broadcast nested product with
+    n_centroids tiny — a narrow map per vector, no shuffle.
+    """
+    cent = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    q = emb.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = q.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    # argmin by (d2, centroid_id): min over a struct orders lexicographically
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("best")
+    )
+    return best.select(
+        "vec_id", F.col("best.centroid_id").alias("centroid_id")
+    ).orderBy("vec_id")
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF table partitioned by centroid_id (+ sidecar
+    with the centroid vectors). Probe queries scan only their n_probe
+    nearest centroid partitions — partition-pruned like the LSH index."""
+    import json
+    import os
+
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    tbl = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign, "vec_id")
+    (
+        tbl.repartition("centroid_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col).collect()
+    meta = {
+        "version": 1,
+        "n_centroids": int(n_centroids),
+        "centroids": {
+            int(r["centroid_id"]): [int(x) for x in r["cvec"]] for r in cents
+        },
+    }
+    tmp = os.path.join(path, "_ivfmeta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_ivfmeta.json"))
+    return meta
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe: rank centroids by integer L2 to the quantized query on
+    the driver (centroid table is tiny), scan the ``n_probe`` nearest
+    centroid PARTITIONS, exact cosine within. Recall grows with n_probe;
+    n_probe = n_centroids degrades gracefully to exact brute force."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfmeta.json")) as f:
+        meta = json.load(f)
+    qint = [np_floor_half(float(x)) for x in query_vec]
+    ranked = sorted(
+        (
+            (sum((a - b) ** 2 for a, b in zip(qint, cvec)), int(cid))
+            for cid, cvec in meta["centroids"].items()
+        )
+    )
+    probes = [cid for _, cid in ranked[: int(n_probe)]]
+    pruned = spark.read.parquet(path).where(
+        F.col("centroid_id").isin(probes)
+    )
+    return cosine_topk(pruned, query_vec, k, "vec_id", "embedding")
+
+
 # leading underscore: Spark's file listing skips _-prefixed files,
 # so the sidecar never confuses the parquet reader (like _SUCCESS)
 ANN_META_FILE = "_annmeta.json"

@@ -52,16 +52,68 @@ def _write_json_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+SEEN_DIR = "seen_hashes"
+
+
+def _dedup_against_seen(
+    batch_df: DataFrame, batch_id: int, index_dir: str
+) -> DataFrame:
+    """Streaming dedup-on-ingest: drop pages whose exact content was
+    already indexed by an EARLIER batch, and within-batch duplicates
+    (deterministic keep: smallest url per content hash).
+
+    State is a parquet table of (content_md5, url) per ingest batch under
+    ``<index>/seen_hashes/batch=<id>``; the anti-join reads only batches
+    < the current id, so replaying a crashed batch sees exactly the state
+    it saw the first time (idempotent with the segment overwrite). At
+    scale this is one hash-keyed shuffle join per micro-batch against a
+    16-bytes/doc table — the standard shape (a bloom filter in front
+    would cut the probe volume; not needed at sandbox sizes).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    hashed = batch_df.withColumn("content_md5", F.md5(F.col("text")))
+    w = Window.partitionBy("content_md5").orderBy("url")
+    hashed = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seen_root = os.path.join(index_dir, SEEN_DIR)
+    earlier = [
+        d
+        for d in (os.listdir(seen_root) if os.path.isdir(seen_root) else [])
+        if d.startswith("batch=") and int(d.split("=")[1]) < int(batch_id)
+    ]
+    if earlier:
+        seen = spark.read.parquet(
+            *[os.path.join(seen_root, d) for d in earlier]
+        ).select("content_md5")
+        hashed = hashed.join(seen, "content_md5", "left_anti")
+    # commit this batch's hash set (overwrite => replay-idempotent)
+    (
+        hashed.select("content_md5", "url")
+        .write.mode("overwrite")
+        .parquet(os.path.join(seen_root, f"batch={int(batch_id)}"))
+    )
+    return hashed.drop("content_md5")
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
     index_dir: str,
     n_shards: int = 8,
     n_tbuckets: int = 16,
+    dedup: bool = False,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
     Safe to call directly for a batch-incremental (non-streaming) append.
+    ``dedup=True`` drops exact-content duplicates against everything an
+    earlier batch indexed (see :func:`_dedup_against_seen`).
     """
     from pyspark.sql import functions as F
 
@@ -72,6 +124,8 @@ def ingest_batch(
     if seg_name in running["batches"]:
         return None  # replay of a committed batch: segment already final
 
+    if dedup:
+        batch_df = _dedup_against_seen(batch_df, batch_id, index_dir)
     prepared = prepare_pages(batch_df).cache()
     row = build_docmap(prepared).agg(
         F.count("*").alias("n"),
@@ -133,6 +187,7 @@ def start_incremental_index(
     n_shards: int = 8,
     n_tbuckets: int = 16,
     available_now: bool = True,
+    dedup: bool = False,
 ):
     """Start the streaming ingest over a parquet directory source.
 
@@ -150,7 +205,12 @@ def start_incremental_index(
         stream.writeStream.option("checkpointLocation", stream_checkpoint)
         .foreachBatch(
             lambda df, bid: ingest_batch(
-                df, bid, index_dir, n_shards=n_shards, n_tbuckets=n_tbuckets
+                df,
+                bid,
+                index_dir,
+                n_shards=n_shards,
+                n_tbuckets=n_tbuckets,
+                dedup=dedup,
             )
         )
     )

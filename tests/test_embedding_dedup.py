@@ -112,3 +112,37 @@ def test_bucketed_pairs_plan_has_no_cross_join(emb_df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_index_probe_and_recall(spark, emb_df, tmp_path):
+    """IVF-flat: partition-pruned probe scans; full probe == exact
+    brute force; recall monotone in n_probe."""
+    from sparkfts.ops.similarity import cosine_topk, ivf_topk, write_ivf_index
+
+    path = str(tmp_path / "ivf_idx")
+    meta = write_ivf_index(emb_df, path, n_centroids=8)
+    assert meta["n_centroids"] == 8 and len(meta["centroids"]) == 8
+
+    q = [float(x) for x in
+         emb_df.where("vec_id = 0").collect()[0]["embedding"]]
+    exact = [(r["vec_id"], r["cos_e6"])
+             for r in cosine_topk(emb_df, q, k=5).collect()]
+    # probing every centroid degrades to exact brute force
+    full = [(r["vec_id"], r["cos_e6"])
+            for r in ivf_topk(spark, path, q, k=5, n_probe=8).collect()]
+    assert full == exact
+    # monotone recall vs exact as n_probe grows
+    last = -1
+    for np_ in (1, 2, 4, 8):
+        got = {r["vec_id"]
+               for r in ivf_topk(spark, path, q, k=5, n_probe=np_).collect()}
+        hits = len(got & {v for v, _ in exact})
+        assert hits >= last
+        last = hits
+    # vec 0 is centroid 0's seed: probe 1 must already find it on top
+    p1 = ivf_topk(spark, path, q, k=1, n_probe=1).collect()
+    assert p1[0]["vec_id"] == 0
+
+    pruned = spark.read.parquet(path).where(F.col("centroid_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan

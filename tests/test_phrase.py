@@ -1,0 +1,146 @@
+"""match_phrase: positional index + phrase scoring vs the Python oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle.phrase import PhraseOracle
+from sparkfts.analysis import tokenize
+
+
+def test_phrase_freq_counts_occurrences():
+    o = PhraseOracle([(1, "a b a b a b"), (2, "a a a"), (3, "b a")])
+    assert o.phrase_freq(["a", "b"], 1) == 3
+    assert o.phrase_freq(["a", "b"], 2) == 0
+    assert o.phrase_freq(["a", "b"], 3) == 0
+    assert o.phrase_freq(["b", "a"], 3) == 1
+    # repeated-term phrase
+    assert o.phrase_freq(["a", "a"], 2) == 2
+    assert o.phrase_freq(["a", "a"], 1) == 0
+
+
+def test_phrase_search_orders_and_scores():
+    o = PhraseOracle(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown quick brown quick brown"),
+            (3, "brown quick"),
+            (4, "nothing here"),
+        ]
+    )
+    got = o.search("quick brown", k=10)
+    assert [d for d, _ in got] == [2, 1]  # higher tfp wins (same idf sum)
+    assert got[0][1] > got[1][1]
+    assert o.search("missing phrase", k=10) == []
+    assert o.search("", k=10) == []
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    from sparkfts.index import build_index
+    from sparkfts.phrase import build_positions
+
+    d = str(tmp_path_factory.mktemp("pos_idx"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    build_index(pages, d, n_shards=4, n_tbuckets=8)
+    build_positions(pages, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def phrase_oracle(corpus):
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    urls = pd.Series(corpus.column("url").to_pylist())
+    ids = sha1_doc_id(urls)
+    texts = corpus.column("text").to_pylist()
+    return PhraseOracle(zip(ids.tolist(), texts))
+
+
+def _corpus_phrases(corpus, n_phrases=10):
+    """Deterministic 2-3 word phrases sampled from real doc texts."""
+    texts = corpus.column("text").to_pylist()
+    out = []
+    for i, t in enumerate(texts[: n_phrases * 3]):
+        toks = tokenize(t)
+        if len(toks) < 10:
+            continue
+        ln = 2 + (i % 2)
+        start = (i * 7) % (len(toks) - ln)
+        out.append(" ".join(toks[start : start + ln]))
+        if len(out) == n_phrases:
+            break
+    return out
+
+
+def test_spark_phrase_rank_identical(spark, pos_index, phrase_oracle, corpus):
+    from sparkfts.phrase import match_phrase_batch
+
+    phrases = _corpus_phrases(corpus)
+    batch = [(i, p, 10) for i, p in enumerate(phrases)]
+    got = match_phrase_batch(spark, pos_index, batch)
+    by_qid: dict[int, list] = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], []).append(r)
+    nonempty = 0
+    for qid, p, k in batch:
+        exp = phrase_oracle.search(p, k=k)
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (
+            f"phrase {p!r} mismatch"
+        )
+        for r, (_, s) in zip(rows, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+        nonempty += bool(exp)
+    assert nonempty >= 8, "sampled phrases barely matched — fixture broken"
+
+
+def test_spark_phrase_vs_conjunctive_is_stricter(
+    spark, pos_index, phrase_oracle, corpus
+):
+    """Every phrase match must also be a conjunctive BM25 match (phrase
+    semantics are a strict subset of AND)."""
+    from sparkfts.phrase import match_phrase_batch
+    from sparkfts.query import bm25_index_batch
+
+    phrase = _corpus_phrases(corpus)[0]
+    ph = {r["doc_id"] for r in
+          match_phrase_batch(spark, pos_index, [(0, phrase, 400)]).collect()}
+    assert ph
+    conj = {r["doc_id"] for r in
+            bm25_index_batch(spark, pos_index, [(0, phrase, 400)]).collect()}
+    assert ph <= conj
+
+
+def test_phrase_offset_pagination(spark, pos_index, corpus):
+    from sparkfts.phrase import match_phrase_batch
+
+    phrase = _corpus_phrases(corpus)[1]
+    full = match_phrase_batch(spark, pos_index, [(0, phrase, 8)]).collect()
+    page2 = match_phrase_batch(
+        spark, pos_index, [(0, phrase, 4)], offset=4
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in page2] == [
+        (r["rank"], r["doc_id"]) for r in full[4:8]
+    ]
+
+
+def test_phrase_term_pruned_scan(spark, pos_index, corpus):
+    """The positions scan must partition-prune on tbucket and push the
+    term filter down to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.index import read_meta, term_bucket
+    from sparkfts.phrase import load_positions
+
+    meta = read_meta(pos_index)
+    terms = tokenize(_corpus_phrases(corpus)[0])
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in terms})
+    pruned = load_positions(spark, pos_index).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(sorted(terms))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan, plan
+    assert "PushedFilters" in plan and "term" in plan, plan

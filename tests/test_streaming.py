@@ -84,3 +84,52 @@ def test_ingest_batch_replay_is_noop(spark, two_waves, tmp_path):
     # replay of the same committed batch id must not double-count
     assert ingest_batch(batch, 0, idx, n_shards=2, n_tbuckets=4) is None
     assert read_meta(idx)["n_docs"] == n1 == 50
+
+
+def test_ingest_dedup_across_batches(spark, tmp_path):
+    """dedup=True drops exact-content repeats across micro-batches and
+    within a batch, with deterministic keep and replay idempotence."""
+    idx = os.path.join(str(tmp_path), "dedup_idx")
+    full = gen_corpus(60, seed=9)
+    pdf = full.to_pandas()
+
+    b1 = spark.createDataFrame(pdf.iloc[:40])
+    r1 = ingest_batch(b1, 0, idx, n_shards=4, n_tbuckets=8, dedup=True)
+    assert r1["n_docs"] == 40
+
+    # batch 2: 20 new docs + 10 exact repeats of batch 1 under new urls
+    rep = pdf.iloc[:10].copy()
+    rep["url"] = ["https://mirror.example/" + str(i) for i in range(10)]
+    b2 = spark.createDataFrame(
+        pd.concat([pdf.iloc[40:], rep], ignore_index=True)
+    )
+    r2 = ingest_batch(b2, 1, idx, n_shards=4, n_tbuckets=8, dedup=True)
+    assert r2["n_docs"] == 60  # repeats dropped, only 20 new docs added
+
+    # the mirrored urls never got indexed
+    from sparkfts.index import load_docmap
+
+    urls = {r["url"] for r in load_docmap(spark, idx).collect()}
+    assert not any(u.startswith("https://mirror.example/") for u in urls)
+
+    # replay of a committed batch stays a no-op
+    assert ingest_batch(b2, 1, idx, n_shards=4, n_tbuckets=8, dedup=True) is None
+    assert read_meta(idx)["n_docs"] == 60
+
+
+def test_ingest_dedup_within_batch(spark, tmp_path):
+    idx = os.path.join(str(tmp_path), "dedup_idx2")
+    full = gen_corpus(20, seed=13)
+    pdf = full.to_pandas()
+    dup = pdf.iloc[:5].copy()
+    dup["url"] = ["https://dup.example/" + str(i) for i in range(5)]
+    batch = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True))
+    r = ingest_batch(batch, 0, idx, n_shards=4, n_tbuckets=8, dedup=True)
+    assert r["n_docs"] == 20
+    # deterministic keep: the lexicographically-smallest url survives
+    from sparkfts.index import load_docmap
+
+    kept = {r["url"] for r in load_docmap(spark, idx).collect()}
+    for i in range(5):
+        a, b = pdf.iloc[i]["url"], f"https://dup.example/{i}"
+        assert min(a, b) in kept and max(a, b) not in kept
