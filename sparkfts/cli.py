@@ -161,6 +161,10 @@ def cmd_query(args: argparse.Namespace) -> None:
             .collect()
         )
     else:
+        search_after = None
+        if args.search_after:
+            s, _, d = args.search_after.partition(",")
+            search_after = {0: (float(s), int(d))}
         rows = bm25_index_batch(
             spark,
             args.index,
@@ -169,6 +173,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             use_blockmax=not args.no_blockmax,
             resolve_urls=True,
             offset=args.offset,
+            search_after=search_after,
         ).collect()
     sec = time.time() - t0
     for r in rows:
@@ -266,6 +271,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--no-blockmax", action="store_true")
     q.add_argument("--offset", type=int, default=0,
                    help="deep pagination: return ranks offset+1..offset+k")
+    q.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
+                   help="cursor pagination: the previous page's last "
+                        "(score, doc_id); O(k) pages at any depth")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
     q.add_argument("--fields", default=None,

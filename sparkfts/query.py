@@ -242,6 +242,7 @@ def _make_shard_scorer(
     mode: str,
     use_blockmax: bool,
     block_size: int,
+    afters: dict[int, tuple[float, int]] | None = None,
 ):
     """Kernel factory: scores ALL queries against ONE shard's postings.
 
@@ -288,14 +289,22 @@ def _make_shard_scorer(
                 idfs = np.array(
                     [idf_map.get(t, 0.0) for t in terms], np.float64
                 )
+                after = (afters or {}).get(qid)
                 if mode == "and":
-                    ids, scores = score_conjunctive(tp, idfs, avgdl, k)
-                elif use_blockmax:
+                    ids, scores = score_conjunctive(
+                        tp, idfs, avgdl, k, after=after
+                    )
+                elif use_blockmax and after is None:
+                    # block-max θ seeds from the k-th best GLOBAL lower
+                    # bound; with a cursor the page's winners may sit
+                    # below θ, so cursor pages use the exhaustive scorer
                     ids, scores = score_disjunctive_blockmax(
                         tp, idfs, bms, avgdl, k, block_size=block_size
                     )
                 else:
-                    ids, scores = score_disjunctive(tp, idfs, avgdl, k)
+                    ids, scores = score_disjunctive(
+                        tp, idfs, avgdl, k, after=after
+                    )
                 if ids.size:
                     out_qid.append(np.full(ids.size, qid, np.int32))
                     out_doc.append(ids)
@@ -327,6 +336,7 @@ def bm25_index_batch(
     use_blockmax: bool = True,
     resolve_urls: bool = False,
     offset: int = 0,
+    search_after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Answer a batch of BM25 top-k queries from a built index.
 
@@ -343,7 +353,16 @@ def bm25_index_batch(
     offset+k. Per-shard candidates widen to offset+k — exactly ES's
     from+size cost model, which is why web-scale engines cap from+size
     (10k default) and paginate deeper via search_after; same applies here.
+
+    ``search_after``: THE scalable alternative — per query_id, the
+    ``(score, doc_id)`` of the previous page's last hit. The cursor
+    filter applies inside the shard kernels BEFORE top-k selection, so
+    page cost stays O(k) at any depth (no offset widening). Mutually
+    exclusive with ``offset``; returned ranks are 1..k within the page
+    (ES semantics: search_after responses carry no global rank).
     """
+    if search_after and offset:
+        raise ValueError("offset and search_after are mutually exclusive")
     from sparkfts.index import (
         load_docmap,
         load_postings,
@@ -402,6 +421,7 @@ def bm25_index_batch(
         mode,
         use_blockmax,
         meta["block_size"],
+        afters=search_after,
     )
     local = joined.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"

@@ -166,6 +166,7 @@ class Searcher:
         df_map: dict[str, int],
         mode: str,
         offset: int,
+        afters: dict[int, tuple[float, int]] | None = None,
     ) -> list[tuple]:
         """Driver-side scoring with the SAME kernels as the shard UDF."""
         import numpy as np
@@ -183,13 +184,14 @@ class Searcher:
                 [idf_fn(self.meta["n_docs"], df_map.get(t, 0)) for t in terms],
                 np.float64,
             )
+            after = (afters or {}).get(qid)
             if mode == "and":
                 ids, scores = score_conjunctive(
-                    tp, idfs, self.meta["avgdl"], k_eff
+                    tp, idfs, self.meta["avgdl"], k_eff, after=after
                 )
             else:
                 ids, scores = score_disjunctive(
-                    tp, idfs, self.meta["avgdl"], k_eff
+                    tp, idfs, self.meta["avgdl"], k_eff, after=after
                 )
             for rank0 in range(offset, ids.size):
                 out_rows.append(
@@ -206,8 +208,11 @@ class Searcher:
         use_blockmax: bool = True,
         resolve_urls: bool = False,
         offset: int = 0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """Same plan + kernels as ``bm25_index_batch``, warm inputs."""
+        if search_after and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         analyzed = [
             (qid, tokenize_query(text), k) for qid, text, k in queries
         ]
@@ -230,7 +235,9 @@ class Searcher:
             and not resolve_urls
             and total_df <= self.local_threshold
         ):
-            rows = self._search_local(analyzed, df_map, mode, int(offset))
+            rows = self._search_local(
+                analyzed, df_map, mode, int(offset), afters=search_after
+            )
             rows.sort(key=lambda r: (r[0], r[1]))
             return self.spark.createDataFrame(rows, RESULT_SCHEMA)
 
@@ -255,6 +262,7 @@ class Searcher:
             mode,
             use_blockmax,
             self.meta["block_size"],
+            afters=search_after,
         )
         local = joined.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
@@ -286,6 +294,7 @@ class Searcher:
         mode: str = "and",
         use_blockmax: bool = True,
         offset: int = 0,
+        search_after: dict[int, tuple[float, int]] | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """Serving API: ``(query_id, rank, doc_id, score)`` tuples.
 
@@ -294,9 +303,15 @@ class Searcher:
         postings, no Spark job, no DataFrame wrapping (measured ~0.5s of
         pure overhead at this result size). Heavy queries transparently
         run the distributed plan and collect.
+
+        ``search_after``: per query_id cursor ``(score, doc_id)`` — O(k)
+        pages at any depth (see :func:`sparkfts.query.bm25_index_batch`);
+        mutually exclusive with ``offset``.
         """
         if mode not in ("and", "or"):
             raise ValueError(f"unknown mode {mode!r}")
+        if search_after and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         analyzed = [
             (qid, tokenize_query(text), k + int(offset))
             for qid, text, k in queries
@@ -317,7 +332,11 @@ class Searcher:
         heavy_ids = {q[0] for q in analyzed} - {q[0] for q in light}
         rows: list[tuple[int, int, int, float]] = []
         if light:
-            rows.extend(self._search_local(light, df_map, mode, int(offset)))
+            rows.extend(
+                self._search_local(
+                    light, df_map, mode, int(offset), afters=search_after
+                )
+            )
         if heavy_ids:
             heavy_queries = [q for q in queries if q[0] in heavy_ids]
             out = self.search_batch(
@@ -325,6 +344,7 @@ class Searcher:
                 mode=mode,
                 use_blockmax=use_blockmax,
                 offset=offset,
+                search_after=search_after,
             ).collect()
             rows.extend(
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])

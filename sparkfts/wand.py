@@ -58,8 +58,30 @@ def tf_norm(
     return tf / (tf + norm)
 
 
-def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    """Exact local top-k with (-score, doc_id) order; tie-safe prefilter."""
+def _after_mask(
+    doc_ids: np.ndarray, scores: np.ndarray, after: tuple[float, int]
+):
+    """search_after cursor: keep docs strictly AFTER (score, doc_id) in
+    the pinned (-score, doc_id asc) order. Cursor scores come from the
+    same kernels, so float equality is bit-exact across pages."""
+    s, d = float(after[0]), int(after[1])
+    keep = (scores < s) | ((scores == s) & (doc_ids > d))
+    return doc_ids[keep], scores[keep]
+
+
+def _topk(
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    after: tuple[float, int] | None = None,
+):
+    """Exact local top-k with (-score, doc_id) order; tie-safe prefilter.
+
+    ``after`` applies the search_after cursor BEFORE selection (ES's
+    scalable deep-pagination model: page cost is O(k), not O(offset+k)).
+    """
+    if after is not None:
+        doc_ids, scores = _after_mask(doc_ids, scores, after)
     n = doc_ids.size
     if n == 0:
         return doc_ids[:0], scores[:0]
@@ -89,6 +111,7 @@ def score_conjunctive(
     k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    after: tuple[float, int] | None = None,
 ):
     """AND query over one shard.
 
@@ -119,7 +142,7 @@ def score_conjunctive(
     for (ids, tfs, _), idf in zip(term_postings, idfs):  # sorted-term order
         tf = tfs[np.searchsorted(ids, inter)]
         scores += _contribution(tf, dls, idf, avgdl, k1, b)
-    return _topk(inter, scores, k)
+    return _topk(inter, scores, k, after)
 
 
 def _union_with_dls(nonempty: list[tuple[Postings, float]]):
@@ -211,6 +234,7 @@ def score_disjunctive(
     k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    after: tuple[float, int] | None = None,
 ):
     """Exhaustive OR scorer (the always-available oracle mode)."""
     nonempty = [(p, i) for p, i in zip(term_postings, idfs) if p[0].size > 0]
@@ -221,7 +245,7 @@ def score_disjunctive(
     for (ids, tfs, d), idf in nonempty:  # sorted-term order preserved
         pos = np.searchsorted(union, ids)
         scores[pos] += _contribution(tfs, d, idf, avgdl, k1, b)
-    return _topk(union, scores, k)
+    return _topk(union, scores, k, after)
 
 
 def score_disjunctive_blockmax(

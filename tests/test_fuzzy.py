@@ -251,10 +251,10 @@ def test_searcher_blockmax_gated_on_meta(spark, fuzzy_index, monkeypatch):
 
     seen = {}
 
-    def spy(analyzed, n_docs, avgdl, mode, use_blockmax, block_size):
+    def spy(analyzed, n_docs, avgdl, mode, use_blockmax, block_size, **kw):
         seen["use_blockmax"] = use_blockmax
         return _make_shard_scorer(
-            analyzed, n_docs, avgdl, mode, use_blockmax, block_size
+            analyzed, n_docs, avgdl, mode, use_blockmax, block_size, **kw
         )
 
     monkeypatch.setattr(searcher_mod, "_make_shard_scorer", spy)

@@ -140,3 +140,52 @@ def test_mixed_batch_splits_local_and_distributed(spark, index_dir, queries):
     finally:
         mixed.close()
     assert got == expected
+
+
+def test_search_after_pages_match_offset(spark, index_dir, queries):
+    """search_after cursor pages must reproduce offset pages exactly, on
+    the distributed path and the coordinator fast path, both modes."""
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.searcher import Searcher
+
+    q = queries[0]["query"]
+    for mode in ("and", "or"):
+        full = bm25_index_batch(
+            spark, index_dir, [(0, q, 12)], mode=mode
+        ).collect()
+        if len(full) < 6:
+            continue
+        cursor = (full[3]["score"], full[3]["doc_id"])
+        page2 = bm25_index_batch(
+            spark, index_dir, [(0, q, 4)], mode=mode,
+            search_after={0: cursor},
+        ).collect()
+        assert [r["doc_id"] for r in page2] == [
+            r["doc_id"] for r in full[4:8]
+        ], f"distributed mode={mode}"
+        assert [r["rank"] for r in page2] == [1, 2, 3, 4][: len(page2)]
+
+        s = Searcher(spark, index_dir)
+        try:
+            local = s.search_rows([(0, q, 4)], mode=mode,
+                                  search_after={0: cursor})
+            assert [r[2] for r in local] == [r["doc_id"] for r in full[4:8]]
+            # distributed serving path too (force past the df gate)
+            s.local_threshold = 0
+            dist = s.search_rows([(0, q, 4)], mode=mode,
+                                 search_after={0: cursor})
+            assert [r[2] for r in dist] == [r["doc_id"] for r in full[4:8]]
+        finally:
+            s.close()
+
+
+def test_search_after_offset_mutually_exclusive(spark, index_dir):
+    import pytest as _pytest
+
+    from sparkfts.query import bm25_index_batch
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        bm25_index_batch(
+            spark, index_dir, [(0, "x", 5)], offset=5,
+            search_after={0: (1.0, 2)},
+        )
