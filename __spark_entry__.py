@@ -328,6 +328,32 @@ def q_fts_fuzzy_index_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_terms_facet(spark, sf_dir):
+    """ES terms aggregation: lang buckets over the FULL match set of an
+    OR query (aggregations run over all matches, not the top-k page)."""
+    from sparkfts.aggs import terms_facet
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return terms_facet(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "lang"), "lang",
+        mode="or", size=10,
+    )
+
+
+def q_highlight_spans(spark, sf_dir):
+    """Highlighting span summary (token-level, SQL-expressible half of
+    the ES highlight spec; the fragment text itself is pytest-pinned)."""
+    from sparkfts.highlight import highlight
+
+    res = highlight(_docs(spark, sf_dir), BM25_QUERY_AND)
+    return res.where(F.col("first_tok_pos").isNotNull()).select(
+        "doc_id",
+        F.col("first_tok_pos").cast("long").alias("first_tok_pos"),
+        F.col("n_hit_tokens").cast("long").alias("n_hit_tokens"),
+    )
+
+
 def q_match_all(spark, sf_dir):
     """Empty query -> match-all top-k (reference returns {} for empty input,
     ElasticsearchToNeo4jSync.py:102; ES treats {} as match_all, score 1.0)."""
@@ -669,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
+        "terms_facet": q_terms_facet,
+        "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
         "projection_rename": q_projection_rename,
@@ -868,6 +896,26 @@ SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
+
+    or_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
+    sqls["terms_facet"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT d.lang AS value, count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, value LIMIT 10
+"""
+
+    and_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_AND.split())))
+    sqls["highlight_spans"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS p, unnest(tk) AS tok
+        FROM t)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS first_tok_pos,
+       count(*) AS n_hit_tokens
+FROM pos WHERE tok IN ({and_terms}) GROUP BY doc_id
+"""
 
     sqls["match_all"] = """
 SELECT row_number() OVER (ORDER BY doc_id) AS rank, doc_id,

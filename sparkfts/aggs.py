@@ -1,0 +1,147 @@
+"""Search aggregations: ES ``terms`` facet over the matching doc set.
+
+ES runs aggregations over ALL documents matching the query (not the
+top-k page). The equivalent here: a score-free match kernel (posting
+intersection/union only — no tf decode, no scoring, no heap) produces
+``(query_id, doc_id)`` for every match, then the facet is one join to a
+doc-values table + groupBy(count). ES keeps field doc-values inside the
+index; here the caller passes any ``(doc_id, <field>)`` DataFrame (the
+corpus table itself, or a docmap enriched at build time) — same join
+either way, and the engine stays storage-agnostic.
+
+Facet ordering pins ES's: count desc, then key asc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfts.analysis import tokenize_query
+
+
+def _make_match_kernel(queries_analyzed: list[tuple[int, list[str]]], mode: str):
+    """Kernel: emit (query_id, doc_id) for every matching doc in a shard.
+
+    Decodes ONLY the doc_id streams (tfs/doclens stay compressed — the
+    facet path never touches them).
+    """
+    from sparkfts.codec import decode_varint, delta_decode
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_qid: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        if len(pdf):
+            by_term: dict[str, list[np.ndarray]] = {}
+            for _, r in pdf.iterrows():
+                ids = delta_decode(decode_varint(r["doc_ids"])).astype(
+                    np.int64
+                )
+                by_term.setdefault(r["term"], []).append(ids)
+            decoded = {
+                t: (
+                    runs[0]
+                    if len(runs) == 1
+                    else np.sort(np.concatenate(runs), kind="stable")
+                )
+                for t, runs in by_term.items()
+            }
+            for qid, terms in queries_analyzed:
+                lists = [decoded.get(t) for t in terms]
+                if mode == "and":
+                    if any(x is None or x.size == 0 for x in lists):
+                        continue
+                    lists.sort(key=lambda x: x.size)
+                    cur = lists[0]
+                    for other in lists[1:]:
+                        if cur.size == 0:
+                            break
+                        pos = np.searchsorted(other, cur)
+                        pos[pos >= other.size] = other.size - 1
+                        cur = cur[other[pos] == cur]
+                else:
+                    parts = [x for x in lists if x is not None and x.size]
+                    cur = (
+                        np.unique(np.concatenate(parts))
+                        if parts
+                        else np.empty(0, np.int64)
+                    )
+                if cur.size:
+                    out_qid.append(np.full(cur.size, qid, np.int32))
+                    out_doc.append(cur)
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+            }
+        )
+
+    return kernel
+
+
+def match_docs_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    mode: str = "and",
+) -> DataFrame:
+    """All matching ``(query_id, doc_id)`` for each query — no scores,
+    no top-k. Plan: tbucket-pruned, term-pushed postings scan reading
+    ONLY the doc_ids blobs (column pruning drops tfs/doclens/blockmax),
+    per-shard set kernel, no global shuffle."""
+    from sparkfts.index import load_postings, read_meta, term_bucket
+
+    meta = read_meta(index_dir)
+    analyzed = [(qid, tokenize_query(text)) for qid, text in queries]
+    analyzed = [(qid, t) for qid, t in analyzed if t]
+    if not analyzed or meta["n_docs"] == 0:
+        return spark.createDataFrame([], "query_id int, doc_id long")
+
+    all_terms = sorted({t for _, terms in analyzed for t in terms})
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
+    postings = (
+        load_postings(spark, index_dir)
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "shard", "doc_ids")
+    )
+    kernel = _make_match_kernel(analyzed, mode)
+    return postings.groupby("shard").applyInPandas(
+        lambda pdf: kernel(pdf), "query_id int, doc_id long"
+    )
+
+
+def terms_facet(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+    size: int = 10,
+) -> DataFrame:
+    """ES ``terms`` aggregation -> (value, doc_count), count desc, key asc.
+
+    ``doc_values``: any (doc_id, <field>) DataFrame. The matched-id set
+    joins it (broadcast when small via AQE) and one partial-aggregated
+    groupBy produces the buckets; ``orderBy().limit(size)`` is a
+    TakeOrdered, no full sort.
+    """
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    return (
+        matched.join(doc_values.select("doc_id", field), "doc_id")
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("value"))
+        .limit(size)
+    )

@@ -1,0 +1,119 @@
+"""ES terms aggregation (facets over the full match set) + highlighting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25 import BM25Oracle
+from sparkfts.aggs import match_docs_batch, terms_facet
+from sparkfts.analysis import tokenize, tokenize_query
+from sparkfts.highlight import highlight
+
+
+@pytest.fixture(scope="module")
+def agg_index(spark, pages_df, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("agg_idx"))
+    build_index(pages_df, d, n_shards=4, n_tbuckets=8)
+    return d
+
+
+@pytest.fixture(scope="module")
+def py_oracle(corpus):
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(pd.Series(corpus.column("url").to_pylist()))
+    return BM25Oracle(zip(ids.tolist(), corpus.column("text").to_pylist()))
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_match_docs_full_set(spark, agg_index, py_oracle, queries, mode):
+    batch = [(q["query_id"], q["query"]) for q in queries[:6]]
+    got = match_docs_batch(spark, agg_index, batch, mode=mode)
+    by_qid: dict[int, set] = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, text in batch:
+        exp = {d for d, _ in py_oracle.search(text, k=py_oracle.n_docs,
+                                              mode=mode)}
+        assert by_qid.get(qid, set()) == exp, f"q{qid} mode={mode}"
+
+
+def test_match_kernel_reads_only_doc_ids(spark, agg_index, queries):
+    got = match_docs_batch(spark, agg_index, [(0, queries[0]["query"])])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "doc_ids" in plan
+    # column pruning must drop the unused posting payloads from the scan
+    assert "doclens" not in plan, plan
+    assert "block_max_tfn" not in plan, plan
+
+
+def test_terms_facet_counts(spark, agg_index, pages_df, py_oracle, queries):
+    q = queries[0]["query"]
+    from sparkfts.tokens import prepare_pages
+
+    dv = prepare_pages(pages_df).select("doc_id", "url").join(
+        pages_df.select("url", "lang"), "url"
+    )
+    got = terms_facet(spark, agg_index, q, dv, "lang", mode="or").collect()
+    # python expectation
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    urls = pages_df.select("url", "lang").collect()
+    lang_of = {
+        int(sha1_doc_id(pd.Series([r["url"]]))[0]): r["lang"] for r in urls
+    }
+    matched = {d for d, _ in py_oracle.search(q, k=py_oracle.n_docs, mode="or")}
+    exp: dict[str, int] = {}
+    for d in matched:
+        exp[lang_of[d]] = exp.get(lang_of[d], 0) + 1
+    exp_rows = sorted(exp.items(), key=lambda e: (-e[1], e[0]))[:10]
+    assert [(r["value"], r["doc_count"]) for r in got] == exp_rows
+
+
+def test_highlight_fragment_and_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The Quick brown fox jumps over the quick dog"),
+            (2, "nothing relevant here at all"),
+            (3, "x " * 50 + "quick win " + "y " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in highlight(docs, "quick").collect()}
+    # doc 1: first hit is token 1 ('quick'), two hits, casing preserved
+    assert got[1]["first_tok_pos"] == 1
+    assert got[1]["n_hit_tokens"] == 2
+    assert "<em>Quick</em>" in got[1]["fragment"]
+    # doc 2: no hits -> null spans
+    assert got[2]["first_tok_pos"] is None and got[2]["fragment"] is None
+    # doc 3: deep-in-text hit gets ellipses on both sides
+    frag = got[3]["fragment"]
+    assert frag.startswith("...") and frag.endswith("...")
+    assert "<em>quick</em>" in frag
+    assert len(frag) < 120
+
+
+def test_highlight_first_pos_matches_tokenizer(spark, corpus, queries):
+    docs = spark.createDataFrame(corpus.to_pandas()).limit(40)
+    docs = docs.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    q = queries[0]["query"]
+    terms = set(tokenize_query(q))
+    got = highlight(docs, q).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        toks = tokenize(texts[r["doc_id"]])
+        hits = [i for i, t in enumerate(toks) if t in terms]
+        if hits:
+            assert r["first_tok_pos"] == hits[0]
+            assert r["n_hit_tokens"] == len(hits)
+        else:
+            assert r["first_tok_pos"] is None
