@@ -161,10 +161,17 @@ def _bm25_field_ctes(
 )"""
 
 
-def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10) -> str:
+def _bm25_sql(
+    terms: list[str],
+    conjunctive: bool,
+    k: int = 10,
+    min_match: int | None = None,
+) -> str:
     """DuckDB BM25 oracle over `documents` (pinned analyzer + formula)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    if min_match is not None:
+        having = f"HAVING count(*) >= {int(min_match)}"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
@@ -303,6 +310,17 @@ def q_fts_or_wand_topk(spark, sf_dir):
     idx = _index_dir_for(spark, sf_dir)
     res = bm25_index_batch(
         spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or", use_blockmax=True
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_min_should_match(spark, sf_dir):
+    """ES minimum_should_match: OR query requiring >= 2 of 3 terms."""
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or", min_should_match=2
     )
     return res.select("doc_id", _score_e4_col())
 
@@ -693,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase_topk": q_fts_phrase_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
+        "fts_min_should_match": q_fts_min_should_match,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
         "terms_facet": q_terms_facet,
@@ -855,6 +874,9 @@ FROM best ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_or_wand_topk"] = _bm25_sql(
         sorted(set(BM25_QUERY_OR.split())), False
+    )
+    sqls["fts_min_should_match"] = _bm25_sql(
+        sorted(set(BM25_QUERY_OR.split())), False, min_match=2
     )
 
     from sparkfts.analysis import auto_fuzz, tokenize_query

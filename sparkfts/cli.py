@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -114,7 +115,25 @@ def cmd_query(args: argparse.Namespace) -> None:
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    if args.fields:
+    if args.phrase:
+        from sparkfts.index import load_docmap
+        from sparkfts.phrase import match_phrase_batch
+
+        if not os.path.isdir(os.path.join(args.index, "positions")):
+            raise SystemExit(
+                "no positions table; run `positions --input ... --index ...`"
+            )
+        res = match_phrase_batch(
+            spark, args.index, [(0, args.query, args.k)], offset=args.offset
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+    elif args.fields:
         if args.fuzzy:
             raise SystemExit("--fuzzy with --fields is not supported yet")
         from sparkfts.index import load_docmap
@@ -174,6 +193,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             resolve_urls=True,
             offset=args.offset,
             search_after=search_after,
+            min_should_match=args.min_should_match,
         ).collect()
     sec = time.time() - t0
     for r in rows:
@@ -188,6 +208,34 @@ def cmd_query(args: argparse.Namespace) -> None:
             )
         )
     print(json.dumps({"hits": len(rows), "sec": round(sec, 3)}), file=sys.stderr)
+
+
+def cmd_positions(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-positions")
+    from sparkfts.phrase import build_positions
+
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    build_positions(pages, args.index)
+    print(json.dumps({"sec": round(time.time() - t0, 2), "index": args.index}))
+
+
+def cmd_facet(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-facet")
+    from sparkfts.aggs import terms_facet
+
+    t0 = time.time()
+    dv = spark.read.parquet(args.values).select("doc_id", args.field)
+    rows = terms_facet(
+        spark, args.index, args.query, dv, args.field,
+        mode=args.mode, size=args.size,
+    ).collect()
+    for r in rows:
+        print(json.dumps({"value": r["value"], "doc_count": r["doc_count"]}))
+    print(
+        json.dumps({"buckets": len(rows), "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
 
 
 def cmd_merge(args: argparse.Namespace) -> None:
@@ -274,11 +322,36 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
                    help="cursor pagination: the previous page's last "
                         "(score, doc_id); O(k) pages at any depth")
+    q.add_argument("--min-should-match", type=int, default=1,
+                   help="OR mode: require >= N distinct query terms")
+    q.add_argument("--phrase", action="store_true",
+                   help="match_phrase over the positions table")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
     q.add_argument("--fields", default=None,
                    help="ES-style multi_match field specs over a "
                         "multi-field index, e.g. 'title^2,text'")
+
+    pp = sub.add_parser(
+        "positions", help="build the positions table for phrase queries"
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--index", required=True)
+    pp.add_argument("--cores", default="*")
+    pp.set_defaults(fn=cmd_positions)
+
+    fa = sub.add_parser(
+        "facet", help="terms aggregation over the full match set"
+    )
+    fa.add_argument("--index", required=True)
+    fa.add_argument("--query", required=True)
+    fa.add_argument("--values", required=True,
+                    help="parquet with (doc_id, <field>) doc values")
+    fa.add_argument("--field", required=True)
+    fa.add_argument("--mode", choices=["and", "or"], default="and")
+    fa.add_argument("--size", type=int, default=10)
+    fa.add_argument("--cores", default="*")
+    fa.set_defaults(fn=cmd_facet)
 
     m = sub.add_parser(
         "merge", help="idempotent compaction of index segments into root"

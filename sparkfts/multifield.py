@@ -78,15 +78,20 @@ def build_multifield_index(
 
     id_source = build_kw.get("id_source", "sha1")
     carry = [c for c in ("doc_id", "url", "warc_ts", "lang") if c in pages.columns]
+    # one source materialization feeds every per-field build job
+    pages = pages.cache()
     metas = {}
-    for fld in fields:
-        sub = pages.select(
-            *[F.col(c) for c in carry if c != fld],
-            F.col(fld).alias("text"),
-        )
-        if id_source != "column" and "url" not in sub.columns:
-            raise ValueError("sha1 id assignment needs a url column")
-        metas[fld] = build_index(sub, field_dir(out_dir, fld), **build_kw)
+    try:
+        for fld in fields:
+            sub = pages.select(
+                *[F.col(c) for c in carry if c != fld],
+                F.col(fld).alias("text"),
+            )
+            if id_source != "column" and "url" not in sub.columns:
+                raise ValueError("sha1 id assignment needs a url column")
+            metas[fld] = build_index(sub, field_dir(out_dir, fld), **build_kw)
+    finally:
+        pages.unpersist()
 
     mf_meta = {
         "version": 1,

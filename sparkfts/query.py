@@ -52,6 +52,7 @@ def bm25_scan_batch(
     n_docs: int,
     avgdl: float,
     mode: str = "and",
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Score a batch of queries in ONE Spark plan over the tokens table.
 
@@ -129,7 +130,13 @@ def bm25_scan_batch(
     )
     if mode == "and":
         matched = matched.where(F.col("n_matched") == F.col("n_terms"))
-    elif mode != "or":
+    elif mode == "or":
+        if min_should_match > 1:
+            # ES minimum_should_match: >= N distinct terms must hit
+            matched = matched.where(
+                F.col("n_matched") >= F.lit(int(min_should_match))
+            )
+    else:
         raise ValueError(f"unknown mode {mode!r}")
 
     scored = matched.withColumn(
@@ -243,6 +250,7 @@ def _make_shard_scorer(
     use_blockmax: bool,
     block_size: int,
     afters: dict[int, tuple[float, int]] | None = None,
+    min_should_match: int = 1,
 ):
     """Kernel factory: scores ALL queries against ONE shard's postings.
 
@@ -294,6 +302,13 @@ def _make_shard_scorer(
                     ids, scores = score_conjunctive(
                         tp, idfs, avgdl, k, after=after
                     )
+                elif min_should_match > 1:
+                    # block-max theta-seeding assumes plain OR; the
+                    # count-filtered variant scores exhaustively
+                    ids, scores = score_disjunctive(
+                        tp, idfs, avgdl, k, after=after,
+                        min_match=min_should_match,
+                    )
                 elif use_blockmax and after is None:
                     # block-max θ seeds from the k-th best GLOBAL lower
                     # bound; with a cursor the page's winners may sit
@@ -337,8 +352,12 @@ def bm25_index_batch(
     resolve_urls: bool = False,
     offset: int = 0,
     search_after: dict[int, tuple[float, int]] | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Answer a batch of BM25 top-k queries from a built index.
+
+    ``min_should_match`` (OR mode): ES ``minimum_should_match`` — docs
+    must contain at least this many distinct query terms.
 
     Plan (zero wide shuffles on the big side at query time):
       postings scan with PARTITION pruning on tbucket + row-group pruning
@@ -422,6 +441,7 @@ def bm25_index_batch(
         use_blockmax,
         meta["block_size"],
         afters=search_after,
+        min_should_match=min_should_match,
     )
     local = joined.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"

@@ -235,16 +235,27 @@ def score_disjunctive(
     k1: float = BM25_K1,
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
+    min_match: int = 1,
 ):
-    """Exhaustive OR scorer (the always-available oracle mode)."""
+    """Exhaustive OR scorer (the always-available oracle mode).
+
+    ``min_match``: ES ``minimum_should_match`` — a doc qualifies only if
+    it contains at least this many distinct query terms (1 = plain OR;
+    len(terms) = conjunctive).
+    """
     nonempty = [(p, i) for p, i in zip(term_postings, idfs) if p[0].size > 0]
-    if not nonempty:
+    if not nonempty or len(nonempty) < min_match:
         return _EMPTY
     union, dls = _union_with_dls(nonempty)
     scores = np.zeros(union.size, np.float64)
+    counts = np.zeros(union.size, np.int32)
     for (ids, tfs, d), idf in nonempty:  # sorted-term order preserved
         pos = np.searchsorted(union, ids)
         scores[pos] += _contribution(tfs, d, idf, avgdl, k1, b)
+        counts[pos] += 1
+    if min_match > 1:
+        keep = counts >= min_match
+        union, scores = union[keep], scores[keep]
     return _topk(union, scores, k, after)
 
 

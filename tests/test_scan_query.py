@@ -111,3 +111,65 @@ def test_tokenize_docs_matches_pure(spark):
         assert mine == dict(Counter(toks))
         dls = {r["doclen"] for r in rows if r["doc_id"] == i}
         assert dls == ({len(toks)} if toks else set())
+
+
+def test_min_should_match_semantics(spark, corpus):
+    """ES minimum_should_match: scan and index paths agree; results nest
+    monotonically (msm=1 >= msm=2 >= msm=3 == AND); every hit contains
+    >= msm distinct query terms."""
+    import pytest as _pytest
+
+    from sparkfts.analysis import tokenize, tokenize_query
+    from sparkfts.index import build_index
+    from sparkfts.query import bm25_index_batch, bm25_scan_batch
+    from sparkfts.stats import avgdl_of
+    from sparkfts.tokens import prepare_pages, tokenize_docs
+
+    pages = spark.createDataFrame(corpus.to_pandas())
+    prepared = prepare_pages(pages)
+    tokens = tokenize_docs(prepared)
+    n_docs = corpus.num_rows
+    avgdl = avgdl_of(tokens, n_docs)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        build_index(pages, d, n_shards=4, n_tbuckets=8)
+        # pick 3 real corpus terms so every msm level has hits
+        from collections import Counter
+
+        cnt = Counter(
+            t for txt in corpus.column("text").to_pylist()[:50]
+            for t in set(tokenize(txt))
+        )
+        q = " ".join(t for t, _ in cnt.most_common(3))
+        terms = set(tokenize_query(q))
+        text_of = {}
+        for r in prepared.select("doc_id", "text").collect():
+            text_of[r["doc_id"]] = r["text"]
+
+        prev_docs = None
+        for msm in (1, 2, 3):
+            via_scan = bm25_scan_batch(
+                tokens, [(0, q, 400)], n_docs, avgdl, mode="or",
+                min_should_match=msm,
+            ).collect()
+            via_index = bm25_index_batch(
+                spark, d, [(0, q, 400)], mode="or", min_should_match=msm
+            ).collect()
+            assert [(r["rank"], r["doc_id"]) for r in via_scan] == [
+                (r["rank"], r["doc_id"]) for r in via_index
+            ], f"msm={msm} scan/index divergence"
+            for a, b in zip(via_scan, via_index):
+                assert a["score"] == _pytest.approx(b["score"], rel=1e-9)
+            docs = {r["doc_id"] for r in via_index}
+            for did in docs:
+                n_present = len(terms & set(tokenize(text_of[did])))
+                assert n_present >= msm, (did, msm, n_present)
+            if prev_docs is not None:
+                assert docs <= prev_docs, f"msm={msm} not nested"
+            prev_docs = docs
+        # msm == n_terms is exactly conjunctive
+        conj = {r["doc_id"] for r in bm25_index_batch(
+            spark, d, [(0, q, 400)], mode="and").collect()}
+        assert prev_docs == conj
