@@ -683,6 +683,62 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: filtered fact-fact join with a broadcast filtered
+    dimension, integer-quantized revenue, TakeOrdered top-10."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias(
+                "o_epoch"
+            ),
+        )
+        .agg(F.sum(rev).alias("revenue_e2"))
+        .orderBy(F.desc("revenue_e2"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: broadcast dimension chain (region -> nation) into
+    customer -> orders -> lineitem, revenue per nation."""
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).where(
+        F.col("r_name") == "ASIA"
+    )
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    dims = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e2"))
+        .orderBy(F.desc("revenue_e2"), F.asc("n_name"))
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -744,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
     }
 
 
@@ -1350,6 +1408,31 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
+"""
+    sqls["shipping_priority"] = """
+SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2 ORDER BY revenue_e2 DESC, o_orderkey LIMIT 10
+"""
+
+    sqls["region_revenue"] = """
+SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_e2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1 ORDER BY revenue_e2 DESC, n_name
 """
     # multimodal_decode intentionally has no oracle (rows-only check:
     # Arrow decode plumbing with a stubbed codec is not SQL-expressible)
