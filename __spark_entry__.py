@@ -494,6 +494,14 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """Gap-based session windows (30-min) over the events stream — the
+    batch form of the applyInPandasWithState stateful operator."""
+    from sparkfts.sessions import session_windows
+
+    return session_windows(_events(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from sparkfts.ops.dedup import exact_dup_groups
 
@@ -781,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyads": q_graph_dyads,
         "topk_per_group": q_topk_per_group,
         "tumbling_window": q_tumbling_window,
+        "session_windows": q_session_windows,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1054,6 +1063,28 @@ SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
        event_type, count(*) AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY 1, 2
+"""
+
+    sqls["session_windows"] = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep
+           FROM events),
+m AS (
+  SELECT user_id, event_id, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+s AS (
+  SELECT user_id, ep,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+           AS session_id
+  FROM m)
+SELECT user_id, session_id,
+       CAST(min(ep) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events,
+       CAST(max(ep) - min(ep) AS BIGINT) AS duration_sec
+FROM s GROUP BY 1, 2
 """
 
     sqls["dedup_exact"] = """
