@@ -289,3 +289,152 @@ def match_phrase(
     return match_phrase_batch(spark, index_dir, [(0, phrase, k)], **kw).select(
         "rank", "doc_id", "score"
     )
+
+
+class PhraseSearcher:
+    """Warm phrase serving — the positional sibling of
+    :class:`sparkfts.searcher.Searcher`'s coordinator fast path.
+
+    Phrases whose member-term posting volume (sum of df, known from the
+    terms dictionary BEFORE any scan) fits ``local_threshold`` are
+    answered on the driver from an LRU of collected position lists with
+    the same intersection math as the shard kernel; heavier phrases run
+    the distributed plan transparently. Results are identical either way
+    (tested).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache_positions: bool = True,
+        local_threshold: int = 1_000_000,
+        cache_terms: int = 10_000,
+    ) -> None:
+        from sparkfts.index import load_terms, read_meta
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self._positions = load_positions(spark, index_dir)
+        if cache_positions:
+            self._positions = self._positions.cache()
+        self._terms = load_terms(spark, index_dir)
+        self.local_threshold = int(local_threshold)
+        self._df_lru: dict[str, int] = {}
+        self._pos_lru: dict[str, dict[int, tuple[np.ndarray, int]]] = {}
+        self._cache_terms = cache_terms
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        from sparkfts.index import term_bucket
+
+        missing = [t for t in terms if t not in self._df_lru]
+        if missing:
+            buckets = sorted(
+                {term_bucket(t, self.meta["n_tbuckets"]) for t in missing}
+            )
+            rows = (
+                self._terms.where(
+                    F.col("tbucket").isin(buckets)
+                    & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_lru[t] = found.get(t, 0)
+        return {t: self._df_lru[t] for t in terms}
+
+    def _local_positions(self, terms: list[str]):
+        missing = [t for t in terms if t not in self._pos_lru]
+        if missing:
+            rows = (
+                self._positions.where(F.col("term").isin(missing))
+                .select("term", "doc_id", "positions", "doclen")
+                .collect()
+            )
+            for t in missing:
+                self._pos_lru[t] = {}
+            for r in rows:
+                self._pos_lru[r["term"]][int(r["doc_id"])] = (
+                    np.asarray(r["positions"], np.int64),
+                    int(r["doclen"]),
+                )
+            while len(self._pos_lru) > self._cache_terms:
+                self._pos_lru.pop(next(iter(self._pos_lru)))
+        return {t: self._pos_lru[t] for t in terms}
+
+    def phrase_rows(
+        self, queries: list[tuple[int, str, int]], offset: int = 0
+    ) -> list[tuple[int, int, int, float]]:
+        """Serving API: (query_id, rank, doc_id, score) tuples."""
+        k1, b = BM25_K1, BM25_B
+        analyzed = [
+            (qid, tokenize(text), k + int(offset))
+            for qid, text, k in queries
+        ]
+        analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+        if not analyzed or self.meta["n_docs"] == 0:
+            return []
+        all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+        df_map = self._term_dfs(all_terms)
+        total_df = sum(df_map.values())
+        if not self.local_threshold or total_df > self.local_threshold:
+            out = match_phrase_batch(
+                self.spark, self.index_dir, queries, offset=offset
+            ).collect()
+            return [
+                (r["query_id"], r["rank"], r["doc_id"], r["score"])
+                for r in out
+            ]
+        pos = self._local_positions(all_terms)
+        avgdl = self.meta["avgdl"]
+        rows: list[tuple[int, int, int, float]] = []
+        for qid, terms, k_eff in analyzed:
+            idf_sum = 0.0
+            for t in terms:  # phrase-order fold, same as the kernel
+                idf_sum += idf_fn(self.meta["n_docs"], df_map.get(t, 0))
+            maps = [pos.get(t, {}) for t in terms]
+            if any(not m for m in maps):
+                continue
+            rare = min(maps, key=len)
+            scored: list[tuple[int, float]] = []
+            for doc_id, (_, dl) in rare.items():
+                starts = None
+                ok = True
+                for i, m in enumerate(maps):
+                    entry = m.get(doc_id)
+                    if entry is None:
+                        ok = False
+                        break
+                    shifted = entry[0] - i
+                    starts = (
+                        shifted
+                        if starts is None
+                        else np.intersect1d(
+                            starts, shifted, assume_unique=True
+                        )
+                    )
+                    if starts.size == 0:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                tfp = int(starts.size)
+                norm = k1 * (1 - b + b * dl / avgdl)
+                scored.append(
+                    (doc_id, idf_sum * (tfp / (tfp + norm)) * (k1 + 1))
+                )
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for rank0, (doc_id, s) in enumerate(scored[:k_eff]):
+                if rank0 >= int(offset):
+                    rows.append((qid, rank0 + 1, doc_id, s))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
+    def warmup(self) -> int:
+        return self._positions.count()
+
+    def close(self) -> None:
+        self._positions.unpersist()

@@ -144,3 +144,53 @@ def test_phrase_term_pruned_scan(spark, pos_index, corpus):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "tbucket" in plan, plan
     assert "PushedFilters" in plan and "term" in plan, plan
+
+
+def test_phrase_searcher_matches_distributed(spark, pos_index, corpus):
+    """Warm phrase serving (driver position cache) is identical to the
+    distributed plan on both the local and fallback paths, and fast warm."""
+    import time
+
+    from sparkfts.phrase import PhraseSearcher, match_phrase_batch
+
+    phrases = _corpus_phrases(corpus)[:5]
+    batch = [(i, p, 10) for i, p in enumerate(phrases)]
+    dist = match_phrase_batch(spark, pos_index, batch).collect()
+    exp = [(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in dist]
+
+    s = PhraseSearcher(spark, pos_index)
+    try:
+        got = s.phrase_rows(batch)
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (q, r, d) for q, r, d, _ in exp
+        ]
+        for g, e in zip(got, exp):
+            assert g[3] == pytest.approx(e[3], rel=1e-9)
+        # warm repeats stay off Spark
+        t0 = time.time()
+        for _ in range(5):
+            s.phrase_rows([batch[0]])
+        assert (time.time() - t0) / 5 < 0.2
+        # forced distributed fallback agrees too
+        s.local_threshold = 0
+        got2 = s.phrase_rows(batch)
+        assert [(r[0], r[1], r[2]) for r in got2] == [
+            (q, r, d) for q, r, d, _ in exp
+        ]
+    finally:
+        s.close()
+
+
+def test_phrase_searcher_offset(spark, pos_index, corpus):
+    from sparkfts.phrase import PhraseSearcher, match_phrase_batch
+
+    p = _corpus_phrases(corpus)[0]
+    full = match_phrase_batch(spark, pos_index, [(0, p, 8)]).collect()
+    s = PhraseSearcher(spark, pos_index)
+    try:
+        page2 = s.phrase_rows([(0, p, 4)], offset=4)
+        assert [(r[1], r[2]) for r in page2] == [
+            (r["rank"], r["doc_id"]) for r in full[4:8]
+        ]
+    finally:
+        s.close()
