@@ -14,8 +14,6 @@ Facet ordering pins ES's: count desc, then key asc.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

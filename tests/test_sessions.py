@@ -5,9 +5,7 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta
 
-import pytest
-
-from sparkfts.sessions import SESSION_GAP_SEC, session_windows, sessionize_stream
+from sparkfts.sessions import session_windows, sessionize_stream
 
 
 def _mk_events(spark, specs):
