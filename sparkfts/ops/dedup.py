@@ -248,12 +248,12 @@ def duplicate_clusters(
 
     This is what a training-data pipeline actually consumes from LSH
     output (round-1 VERDICT gap #2): keep ``is_canonical`` rows, drop the
-    rest. Iterative min-label propagation, one small-step join per round,
-    ``localCheckpoint`` after each to keep the plan linear; rounds needed
-    = component diameter, which for near-dup clusters is tiny (dups of a
-    doc are dups of each other). For adversarially long chains at 10^12
-    docs, swap in the two-phase large-star/small-star variant — the loop
-    and convergence machinery here carry over unchanged.
+    rest. Iterative min-label propagation WITH PATH DOUBLING: each round
+    folds in (a) every neighbor's label and (b) the label of the node's
+    own label (pointer jumping), so label paths halve per round and
+    convergence is O(log diameter) — a 10^6-long chain resolves in ~20
+    rounds, not 10^6. ``localCheckpoint`` after each round keeps the
+    plan linear.
 
     Only docs appearing in ``pairs`` are returned (singletons are their
     own canonical trivially).
@@ -279,8 +279,21 @@ def duplicate_clusters(
         prop = edges.join(
             labels, edges["src"] == labels["doc_id"]
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        # pointer jumping: label(doc) -> label(label(doc))
+        jump = (
+            labels.alias("x")
+            .join(
+                labels.alias("y"),
+                F.col("x.cluster_id") == F.col("y.doc_id"),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.col("y.cluster_id").alias("cluster_id"),
+            )
+        )
         new_labels = (
             labels.unionByName(prop)
+            .unionByName(jump)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()

@@ -115,3 +115,15 @@ def test_simhash_no_bit_explode(spark, corpus):
     rows = sh.collect()
     assert len(rows) == 50
     assert all(0 <= r["simhash"] < 2**32 for r in rows)
+
+
+def test_duplicate_clusters_path_doubling_long_chain(spark):
+    """A 200-node path must converge within max_iters=10 — only possible
+    with pointer jumping (pure neighbor propagation needs ~200 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1200)], "a_id long, b_id long"
+    )
+    rows = duplicate_clusters(pairs, max_iters=10).collect()
+    assert len(rows) == 201
+    assert {r["cluster_id"] for r in rows} == {1000}
+    assert sum(r["is_canonical"] for r in rows) == 1
