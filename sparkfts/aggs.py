@@ -143,3 +143,26 @@ def terms_facet(
         .orderBy(F.desc("doc_count"), F.asc("value"))
         .limit(size)
     )
+
+
+def terms_facet_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    mode: str = "and",
+    size: int = 10,
+) -> DataFrame:
+    """Self-contained facet: the field comes from the index's own docmap
+    (build with ``build_index(..., docvalue_cols=[field])`` — the ES
+    doc-values shape, no side table at query time)."""
+    from sparkfts.index import load_docmap, read_meta
+
+    meta = read_meta(index_dir)
+    if field not in meta.get("docvalue_cols", []):
+        raise ValueError(
+            f"field {field!r} not stored as a doc value; rebuild with "
+            f"docvalue_cols=[{field!r}]"
+        )
+    dv = load_docmap(spark, index_dir).select("doc_id", field)
+    return terms_facet(spark, index_dir, query, dv, field, mode, size)

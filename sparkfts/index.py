@@ -194,6 +194,7 @@ def build_index(
     segment: str | None = None,
     fixed_stats: tuple[int, float] | None = None,
     id_source: str = "sha1",
+    docvalue_cols: list[str] | None = None,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -216,7 +217,10 @@ def build_index(
         )
     spark = pages.sparkSession
     prepared = prepare_pages(
-        pages, validate_extraction=validate_extraction, id_source=id_source
+        pages,
+        validate_extraction=validate_extraction,
+        id_source=id_source,
+        keep_cols=docvalue_cols,
     )
     prepared = prepared.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
@@ -232,7 +236,7 @@ def build_index(
     # not from a second full tokenization: sum(doclen) == total tokens, so
     # avgdl is bit-identical to the oracle's and the expensive
     # tokenize+shuffle pipeline below runs exactly ONCE per build
-    docmap = build_docmap(prepared).withColumn(
+    docmap = build_docmap(prepared, docvalue_cols=docvalue_cols).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     docmap = docmap.cache()
@@ -293,6 +297,7 @@ def build_index(
         "k1": BM25_K1,
         "b": BM25_B,
         "segment": segment,
+        "docvalue_cols": list(docvalue_cols or []),
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

@@ -128,6 +128,7 @@ def prepare_pages(
     pages: DataFrame,
     validate_extraction: bool = False,
     id_source: str = "sha1",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Canonical webtext table -> ``(doc_id, url, text, lang, warc_ts)``.
 
@@ -152,15 +153,30 @@ def prepare_pages(
         out = out.drop("_re_extracted")
     # lang/warc_ts are carried through when present but nothing downstream
     # requires them (docmap + tokenize need doc_id/url/text only), so a
-    # minimal (url, text) table indexes fine
+    # minimal (url, text) table indexes fine; keep_cols adds docvalue
+    # columns the caller wants to survive into the docmap
     keep = ["doc_id", "url", "text"] + [
-        c for c in ("lang", "warc_ts") if c in out.columns
+        c
+        for c in (*("lang", "warc_ts"), *(keep_cols or []))
+        if c in out.columns
     ]
-    return out.select(*keep)
+    seen = []
+    for c in keep:
+        if c not in seen:
+            seen.append(c)
+    return out.select(*seen)
 
 
-def build_docmap(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:
-    """``(doc_id, url, doclen)`` — per-doc metadata used by scoring."""
+def build_docmap(
+    pages_with_ids: DataFrame,
+    text_col: str = "text",
+    docvalue_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(doc_id, url, doclen[, docvalues...])`` — per-doc metadata.
+
+    ``docvalue_cols``: extra page columns stored alongside (the ES
+    doc-values equivalent — aggregations/facets then need no side table).
+    """
 
     @F.pandas_udf(T.IntegerType())
     def doclen_udf(text: pd.Series) -> pd.Series:
@@ -168,6 +184,7 @@ def build_docmap(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame
             text.fillna("").str.lower().str.count(TOKEN_RE.pattern).astype("int32")
         )
 
+    extra = [c for c in (docvalue_cols or []) if c not in ("doc_id", "url")]
     return pages_with_ids.select(
-        "doc_id", "url", doclen_udf(F.col(text_col)).alias("doclen")
+        "doc_id", "url", doclen_udf(F.col(text_col)).alias("doclen"), *extra
     )

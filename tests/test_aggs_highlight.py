@@ -117,3 +117,29 @@ def test_highlight_first_pos_matches_tokenizer(spark, corpus, queries):
             assert r["n_hit_tokens"] == len(hits)
         else:
             assert r["first_tok_pos"] is None
+
+
+def test_terms_facet_from_index_docvalues(spark, pages_df, tmp_path, queries):
+    """A facet field stored as a doc value at build time needs no side
+    table at query time, and matches the explicit-table facet."""
+    from sparkfts.aggs import terms_facet_from_index
+    from sparkfts.index import build_index, load_docmap, read_meta
+
+    d = str(tmp_path / "dv_idx")
+    build_index(pages_df, d, n_shards=4, n_tbuckets=8, docvalue_cols=["lang"])
+    assert read_meta(d)["docvalue_cols"] == ["lang"]
+    assert "lang" in load_docmap(spark, d).columns
+
+    q = queries[0]["query"]
+    got = terms_facet_from_index(spark, d, q, "lang", mode="or").collect()
+    dv = load_docmap(spark, d).select("doc_id", "lang")
+    exp = terms_facet(spark, d, q, dv, "lang", mode="or").collect()
+    assert [(r["value"], r["doc_count"]) for r in got] == [
+        (r["value"], r["doc_count"]) for r in exp
+    ]
+    assert got, "facet unexpectedly empty"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc value"):
+        terms_facet_from_index(spark, d, q, "warc_ts")
