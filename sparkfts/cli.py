@@ -134,24 +134,33 @@ def cmd_query(args: argparse.Namespace) -> None:
             .collect()
         )
     elif args.fields:
-        if args.fuzzy:
-            raise SystemExit("--fuzzy with --fields is not supported yet")
         from sparkfts.index import load_docmap
         from sparkfts.multifield import (
             bm25_multifield_batch,
+            bm25_multifield_fuzzy_batch,
             field_dir,
             parse_field_boosts,
         )
 
-        res = bm25_multifield_batch(
-            spark,
-            args.index,
-            [(0, args.query, args.k)],
-            fields=args.fields.split(","),
-            mode=args.mode,
-            use_blockmax=not args.no_blockmax,
-            offset=args.offset,
-        )
+        if args.fuzzy:
+            res = bm25_multifield_fuzzy_batch(
+                spark,
+                args.index,
+                [(0, args.query, args.k)],
+                fields=args.fields.split(","),
+                mode=args.mode,
+                offset=args.offset,
+            )
+        else:
+            res = bm25_multifield_batch(
+                spark,
+                args.index,
+                [(0, args.query, args.k)],
+                fields=args.fields.split(","),
+                mode=args.mode,
+                use_blockmax=not args.no_blockmax,
+                offset=args.offset,
+            )
         first_field = parse_field_boosts(args.fields.split(","))[0][0]
         urls = load_docmap(
             spark, field_dir(args.index, first_field)

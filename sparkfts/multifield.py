@@ -199,6 +199,55 @@ def bm25_multifield_batch(
     return _combine_best_fields(per_field, analyzed_k, offset)
 
 
+def bm25_multifield_fuzzy_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    fields: list[str] | None = None,
+    mode: str = "and",
+    max_expansions: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Fuzzy (AUTO) best-fields over a multi-field index — the
+    reference's full query shape in one call (``multi_match`` over a
+    field list WITH ``fuzziness: AUTO``, reference
+    ElasticsearchToNeo4jSync.py:89-99). Per-field fuzzy expansion runs
+    against each field's own term dictionary (a term can be a typo in
+    one field and exact in another); combination is the same max rule,
+    so the union-of-per-field-top-k containment argument carries over.
+    """
+    from sparkfts.analysis import tokenize_query
+    from sparkfts.query import _empty_results, bm25_index_fuzzy_batch
+
+    meta = read_mf_meta(index_dir)
+    specs = parse_field_boosts(fields if fields is not None else meta["fields"])
+    unknown = [f for f, _ in specs if f not in meta["fields"]]
+    if unknown:
+        raise ValueError(f"fields not in index: {unknown}")
+    analyzed_k = [
+        (qid, k + int(offset))
+        for qid, text, k in queries
+        if tokenize_query(text)
+    ]
+    if not analyzed_k:
+        return _empty_results(spark)
+    widened = [(qid, text, k + int(offset)) for qid, text, k in queries]
+    per_field = [
+        (
+            bm25_index_fuzzy_batch(
+                spark,
+                field_dir(index_dir, fld),
+                widened,
+                mode=mode,
+                max_expansions=max_expansions,
+            ),
+            boost,
+        )
+        for fld, boost in specs
+    ]
+    return _combine_best_fields(per_field, analyzed_k, offset)
+
+
 def bm25_multifield_scan_batch(
     docs: DataFrame,
     fields: list[str],

@@ -88,8 +88,10 @@ def build_positions(
     pages: DataFrame,
     index_dir: str,
     id_source: str = "sha1",
+    segment: str | None = None,
 ) -> None:
-    """Write the positions table under ``<index_dir>/positions``.
+    """Write the positions table under ``<index_dir>/positions`` (or the
+    named segment's dir — streamed appends call this per micro-batch).
 
     Requires the index (meta.json) to exist — shard/tbucket counts come
     from it so position rows co-partition with the postings they
@@ -100,7 +102,12 @@ def build_positions(
     from sparkfts.index import read_meta, term_bucket
     from sparkfts.tokens import prepare_pages
 
-    meta = read_meta(index_dir)
+    # a segment's own meta exists as soon as its build committed, before
+    # any root meta — streamed appends read it for replay-safe ordering
+    meta_dir = (
+        os.path.join(index_dir, "segments", segment) if segment else index_dir
+    )
+    meta = read_meta(meta_dir)
     n_shards, n_tbuckets = meta["n_shards"], meta["n_tbuckets"]
     prepared = prepare_pages(pages, id_source=id_source)
 
@@ -119,19 +126,46 @@ def build_positions(
     rows = prepared.select("doc_id", "text").mapInPandas(
         gen, POSITIONS_SCHEMA
     )
+    out = (
+        os.path.join(index_dir, "segments", segment, "positions")
+        if segment
+        else os.path.join(index_dir, "positions")
+    )
     (
         rows.repartition(n_tbuckets, "tbucket")
         .sortWithinPartitions("tbucket", "term", "shard", "doc_id")
         .write.mode("overwrite")
         .partitionBy("tbucket")
-        .parquet(os.path.join(index_dir, "positions"))
+        .parquet(out)
     )
 
 
 def load_positions(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.schema(POSITIONS_SCHEMA).parquet(
-        os.path.join(index_dir, "positions")
-    )
+    """Positions across root + committed segments (disjoint doc spaces),
+    mirroring :func:`sparkfts.index.load_postings`."""
+    from functools import reduce
+
+    from sparkfts.index import segment_dirs
+
+    dirs = [
+        d
+        for d in (segment_dirs(index_dir) or [index_dir])
+        if os.path.isdir(os.path.join(d, "positions"))
+    ]
+    if not dirs:
+        # root-only index whose positions were built before any postings
+        # dir existed, or simply missing
+        root = os.path.join(index_dir, "positions")
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"no positions under {index_dir}")
+        dirs = [index_dir]
+    parts = [
+        spark.read.schema(POSITIONS_SCHEMA).parquet(
+            os.path.join(d, "positions")
+        )
+        for d in dirs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _make_phrase_scorer(

@@ -108,12 +108,15 @@ def ingest_batch(
     n_shards: int = 8,
     n_tbuckets: int = 16,
     dedup: bool = False,
+    positions: bool = False,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
     Safe to call directly for a batch-incremental (non-streaming) append.
     ``dedup=True`` drops exact-content duplicates against everything an
     earlier batch indexed (see :func:`_dedup_against_seen`).
+    ``positions=True`` also writes the segment's positions table, so
+    phrase queries work over streamed indexes.
     """
     from pyspark.sql import functions as F
 
@@ -149,9 +152,15 @@ def ingest_batch(
         shard_filter=list(range(n_shards)),
         fixed_stats=(new_docs, new_avgdl),
     )
+    if positions:
+        # before the stats commit: a crash here replays the whole batch
+        # (segment + positions are both idempotent overwrites)
+        from sparkfts.phrase import build_positions
+
+        build_positions(batch_df, index_dir, segment=seg_name)
     prepared.unpersist()
 
-    # commit order: segment (above) -> running stats -> root meta
+    # commit order: segment + positions (above) -> running stats -> root meta
     running["n_docs"] = new_docs
     running["total_tokens"] = new_tokens
     running["batches"].append(seg_name)

@@ -167,3 +167,41 @@ def test_multifield_searcher_matches_distributed(spark, mf_index, queries):
             assert r[3] == pytest.approx(d["score"], rel=1e-9)
     finally:
         s.close()
+
+
+def test_multifield_fuzzy_matches_per_field_oracle(
+    spark, mf_index, py_oracles, queries
+):
+    """Fuzzy best-fields == max over per-field python fuzzy oracles."""
+    from oracle.fuzzy import fuzzy_search
+
+    from sparkfts.multifield import bm25_multifield_fuzzy_batch
+
+    # typo a real term so expansion actually fires
+    import re
+
+    q0 = queries[0]["query"]
+    words = q0.split()
+    typo_q = " ".join(
+        [words[0][:-1] + ("x" if words[0][-1] != "x" else "y")] + words[1:]
+    )
+    got = bm25_multifield_fuzzy_batch(
+        spark, mf_index, [(0, typo_q, 10)], fields=FIELDS
+    ).collect()
+
+    best: dict[int, float] = {}
+    for spec in FIELDS:
+        fld, _, b = spec.partition("^")
+        boost = float(b) if b else 1.0
+        o = py_oracles[fld]
+        for d, s in fuzzy_search(o, typo_q, k=o.n_docs):
+            s *= boost
+            if d not in best or s > best[d]:
+                best[d] = s
+    exp = sorted(best.items(), key=lambda e: (-e[1], e[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    import pytest as _pytest
+
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == _pytest.approx(s, rel=1e-9)
+    assert exp, "typo query produced no fuzzy hits — fixture broken"

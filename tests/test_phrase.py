@@ -194,3 +194,45 @@ def test_phrase_searcher_offset(spark, pos_index, corpus):
         ]
     finally:
         s.close()
+
+
+def test_phrase_over_streamed_segments(spark, tmp_path):
+    """Streamed appends with positions=True make phrase queries work over
+    the multi-segment index (union of per-segment position tables)."""
+    from sparkfts.phrase import match_phrase_batch
+    from sparkfts.streaming import ingest_batch
+    from sparkfts.synth import gen_corpus
+
+    idx = str(tmp_path / "seg_pos_idx")
+    full = gen_corpus(120, seed=17)
+    pdf = full.to_pandas()
+    b1 = spark.createDataFrame(pdf.iloc[:70])
+    b2 = spark.createDataFrame(pdf.iloc[70:])
+    ingest_batch(b1, 0, idx, n_shards=4, n_tbuckets=8, positions=True)
+    ingest_batch(b2, 1, idx, n_shards=4, n_tbuckets=8, positions=True)
+
+    texts = full.column("text").to_pylist()
+    # phrases from both waves so each segment's positions are exercised
+    phrases = []
+    for t in (texts[0], texts[80]):
+        toks = tokenize(t)
+        phrases.append(" ".join(toks[2:4]))
+    batch = [(i, p, 10) for i, p in enumerate(phrases)]
+    got = match_phrase_batch(spark, idx, batch)
+    by_qid: dict[int, list] = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], []).append(r)
+
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(pd.Series(full.column("url").to_pylist())).tolist()
+    oracle = PhraseOracle(zip(ids, texts))
+    hits = 0
+    for qid, p, k in batch:
+        exp = oracle.search(p, k=k)
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in exp], p
+        hits += bool(exp)
+    assert hits == 2
