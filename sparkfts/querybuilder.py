@@ -124,6 +124,94 @@ def match_all_topk(docs: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def run_search_request_indexed(
+    spark,
+    index_dir: str,
+    request: SearchRequest,
+    multifield: bool = False,
+) -> DataFrame:
+    """Execute a :class:`SearchRequest` against a BUILT index ->
+    DataFrame(rank, doc_id, score) — the end-to-end production shape of
+    the reference's query path (cloud event -> IR -> fuzzy multi_match
+    clauses AND-ed by ``bool.must``), running on the inverted index
+    instead of the scan baseline. Identical results to
+    :func:`run_search_request` over the same corpus (tested).
+
+    ``multifield=True`` treats ``index_dir`` as a multi-field index and
+    honors each clause's ``fields`` list (ES-style boost specs allowed);
+    otherwise the single analyzed field answers every clause.
+    """
+    from pyspark.sql import functions as F
+
+    if request.is_match_all:
+        from sparkfts.index import load_docmap, read_meta
+
+        if multifield:
+            from sparkfts.multifield import field_dir, read_mf_meta
+
+            mf = read_mf_meta(index_dir)
+            docs = load_docmap(spark, field_dir(index_dir, mf["fields"][0]))
+        else:
+            docs = load_docmap(spark, index_dir)
+        return match_all_topk(docs.select("doc_id"), request.k)
+
+    if multifield:
+        from sparkfts.multifield import bm25_multifield_fuzzy_batch, read_mf_meta
+
+        n_docs = read_mf_meta(index_dir)["n_docs"]
+        # clauses may target different field lists -> one plan per clause
+        per_clause_parts = []
+        for i, c in enumerate(request.clauses):
+            per_clause_parts.append(
+                bm25_multifield_fuzzy_batch(
+                    spark,
+                    index_dir,
+                    [(i, c.query, n_docs)],
+                    fields=list(c.fields),
+                    mode=c.operator,
+                )
+            )
+        from functools import reduce
+
+        per_clause = reduce(
+            lambda a, b: a.unionByName(b), per_clause_parts
+        )
+    else:
+        from sparkfts.index import read_meta
+        from sparkfts.query import bm25_index_fuzzy_batch
+
+        n_docs = read_meta(index_dir)["n_docs"]
+        batch = [(i, c.query, n_docs) for i, c in enumerate(request.clauses)]
+        per_clause = bm25_index_fuzzy_batch(spark, index_dir, batch)
+
+    n_clauses = len(request.clauses)
+    merged = (
+        per_clause.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_clauses_matched"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("query_id"), F.col("score")))
+            ).alias("parts"),
+        )
+        .where(F.col("n_clauses_matched") == F.lit(n_clauses))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.transform(F.col("parts"), lambda x: x["score"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(request.k))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 def run_search_request(
     tokens: DataFrame,
     docs: DataFrame,

@@ -129,3 +129,79 @@ def test_run_search_request_match_all(engine):
     req = SearchRequest(clauses=(), k=3)
     rows = run_search_request(tokens, docs, req, n_docs, avgdl).collect()
     assert len(rows) == 3 and all(r["score"] == 1.0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def qb_index(spark, corpus, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("qb_idx"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    build_index(pages, d, n_shards=4, n_tbuckets=8)
+    return d
+
+
+def test_run_search_request_indexed_matches_scan(
+    spark, engine, qb_index, queries
+):
+    """Index-backed SearchRequest execution == the scan baseline, for
+    multi-clause must and for match-all."""
+    from sparkfts.querybuilder import run_search_request_indexed
+
+    tokens, docs, n_docs, avgdl = engine
+    c1, c2 = queries[0]["query"], queries[1]["query"]
+    req = SearchRequest(clauses=(Clause(query=c1), Clause(query=c2)), k=10)
+    scan = run_search_request(tokens, docs, req, n_docs, avgdl).collect()
+    idx = run_search_request_indexed(spark, qb_index, req).collect()
+    assert [(r["rank"], r["doc_id"]) for r in idx] == [
+        (r["rank"], r["doc_id"]) for r in scan
+    ]
+    for a, b in zip(idx, scan):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+    ma = run_search_request_indexed(
+        spark, qb_index, SearchRequest(clauses=(), k=4)
+    ).collect()
+    exp_ma = run_search_request(
+        tokens, docs, SearchRequest(clauses=(), k=4), n_docs, avgdl
+    ).collect()
+    assert [r["doc_id"] for r in ma] == [r["doc_id"] for r in exp_ma]
+
+
+def test_run_search_request_indexed_multifield(
+    spark, corpus, queries, tmp_path_factory
+):
+    """Clause field lists are honored on a multi-field index; single-field
+    'text' clauses reproduce the single-field answer."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.multifield import build_multifield_index
+    from sparkfts.querybuilder import run_search_request_indexed
+
+    d = str(tmp_path_factory.mktemp("qb_mf_idx"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pages = pages.withColumn("title", F.array_join(F.slice(toks, 1, 8), " "))
+    build_multifield_index(
+        pages, d, fields=("title", "text"), n_shards=4, n_tbuckets=8
+    )
+    c = queries[0]["query"]
+    req_tx = SearchRequest(
+        clauses=(Clause(query=c, fields=("text",)),), k=10
+    )
+    got = run_search_request_indexed(spark, d, req_tx, multifield=True)
+    # the text-only clause must equal a plain single-field fuzzy query
+    from sparkfts.multifield import field_dir
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    exp = bm25_index_fuzzy_batch(
+        spark, field_dir(d, "text"), [(0, c, 10)]
+    ).collect()
+    assert [r["doc_id"] for r in got.collect()] == [r["doc_id"] for r in exp]
+
+    # a multi-field clause runs best-fields and returns a valid page
+    req_mf = SearchRequest(
+        clauses=(Clause(query=c, fields=("title^2", "text")),), k=10
+    )
+    rows = run_search_request_indexed(spark, d, req_mf, multifield=True)
+    assert rows.collect(), "multi-field clause returned nothing"
