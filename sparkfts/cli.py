@@ -95,6 +95,9 @@ def cmd_build(args: argparse.Namespace) -> None:
             n_shards=args.shards,
             n_tbuckets=args.tbuckets,
             validate_extraction=args.validate,
+            docvalue_cols=(
+                args.docvalues.split(",") if args.docvalues else None
+            ),
         )
     sec = time.time() - t0
     print(
@@ -318,6 +321,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--fields", default=None,
                    help="comma list of page columns to index as separate "
                         "fields (multi-field index), e.g. title,text")
+    b.add_argument("--docvalues", default=None,
+                   help="comma list of page columns stored in the docmap "
+                        "(facet/aggregation doc values), e.g. lang")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
