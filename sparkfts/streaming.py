@@ -188,6 +188,38 @@ def ingest_batch(
     return root
 
 
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream — the
+    late-data shape (`withWatermark` + windowed agg, append mode): a
+    window emits exactly once, after the watermark passes its end; events
+    arriving later than the watermark are dropped by the engine. The
+    batch equivalent is the ``tumbling_window`` driver entry.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_dur).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias(
+                "window_epoch"
+            ),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def start_incremental_index(
     spark,
     input_dir: str,

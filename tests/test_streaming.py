@@ -133,3 +133,63 @@ def test_ingest_dedup_within_batch(spark, tmp_path):
     for i in range(5):
         a, b = pdf.iloc[i]["url"], f"https://dup.example/{i}"
         assert min(a, b) in kept and max(a, b) not in kept
+
+
+def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermarked windows emit once, finalized, and exclude
+    events later than the watermark."""
+    from datetime import datetime
+
+    import pyarrow as pa
+
+    from sparkfts.streaming import windowed_event_counts
+
+    src = os.path.join(str(tmp_path), "ev_src")
+    ckpt = os.path.join(str(tmp_path), "ev_ckpt")
+    os.makedirs(src)
+
+    def write_wave(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(src, name))
+
+    out_dir = os.path.join(str(tmp_path), "win_out")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: two events in the 10:00 window; a 13:30 event pushes the
+    # watermark to 11:30, past the 10:00 window's end
+    write_wave("w1.parquet", [
+        (1, "view", "2024-01-01 10:05:00"),
+        (2, "view", "2024-01-01 10:20:00"),
+        (3, "view", "2024-01-01 13:30:00"),
+    ])
+    drain()
+    # wave 2: a LATE event for the closed 10:00 window (must be dropped)
+    # and a fresh one that advances the watermark further
+    write_wave("w2.parquet", [
+        (4, "view", "2024-01-01 10:10:00"),   # later than watermark 11:30
+        (5, "view", "2024-01-01 16:00:00"),
+    ])
+    drain()
+
+    rows = spark.read.parquet(out_dir).collect()
+    base = int(datetime(2024, 1, 1, 10).timestamp())
+    by_win = {(r["window_epoch"], r["event_type"]): r["n_events"]
+              for r in rows}
+    # the 10:00 window emitted exactly once, with the ORIGINAL 2 events
+    assert by_win.get((base, "view")) == 2
+    assert sum(1 for r in rows if r["window_epoch"] == base) == 1
