@@ -282,6 +282,8 @@ def cmd_ingest(args: argparse.Namespace) -> None:
         n_shards=args.shards,
         n_tbuckets=args.tbuckets,
         available_now=not args.follow,
+        dedup=args.dedup,
+        positions=args.positions,
     )
     meta = read_meta(args.index)
     print(
@@ -390,6 +392,12 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--follow", action="store_true",
                    help="keep running and index new files as they land "
                         "(default: drain what's present, then exit)")
+    i.add_argument("--dedup", action="store_true",
+                   help="drop exact-content duplicates across batches "
+                        "(seen-hash anti-join, replay-idempotent)")
+    i.add_argument("--positions", action="store_true",
+                   help="also write per-segment positions tables "
+                        "(phrase queries over the streamed index)")
     i.set_defaults(fn=cmd_ingest)
     q.add_argument("--cores", default="*")
     q.set_defaults(fn=cmd_query)

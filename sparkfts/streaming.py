@@ -229,6 +229,7 @@ def start_incremental_index(
     n_tbuckets: int = 16,
     available_now: bool = True,
     dedup: bool = False,
+    positions: bool = False,
 ):
     """Start the streaming ingest over a parquet directory source.
 
@@ -252,6 +253,7 @@ def start_incremental_index(
                 n_shards=n_shards,
                 n_tbuckets=n_tbuckets,
                 dedup=dedup,
+                positions=positions,
             )
         )
     )
