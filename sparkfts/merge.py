@@ -181,11 +181,50 @@ def merge_segments(
         .parquet(tmp_docmap)
     )
 
+    # positions (phrase support) live per segment too — consolidate them
+    # into the root BEFORE the segment dirs are deleted, deduping
+    # re-crawled doc_ids newest-segment-wins like the docmap
+    swaps = [("postings", tmp_postings), ("docmap", tmp_docmap)]
+    pos_dirs = [
+        (i, d)
+        for i, d in enumerate(dirs)
+        if os.path.isdir(os.path.join(d, "positions"))
+    ]
+    if pos_dirs:
+        from functools import reduce
+
+        from sparkfts.phrase import POSITIONS_SCHEMA
+
+        parts = [
+            spark.read.schema(POSITIONS_SCHEMA)
+            .parquet(os.path.join(d, "positions"))
+            .withColumn("segment_id", F.lit(i))
+            for i, d in pos_dirs
+        ]
+        pos_all = reduce(lambda a, b: a.unionByName(b), parts)
+        wp = Window.partitionBy("doc_id", "term").orderBy(
+            F.desc("segment_id")
+        )
+        pos_merged = (
+            pos_all.withColumn("_rn", F.row_number().over(wp))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "segment_id")
+        )
+        tmp_positions = os.path.join(index_dir, "positions__merging")
+        (
+            pos_merged.repartition(meta["n_tbuckets"], "tbucket")
+            .sortWithinPartitions("tbucket", "term", "shard", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(tmp_positions)
+        )
+        swaps.append(("positions", tmp_positions))
+
     # swap: new dirs in, old dirs + segments out (directory renames are not
     # atomic as a group — an Iceberg catalog would make this one snapshot
     # commit; the parquet fallback orders operations so a crash leaves
     # either the old layout readable or the new one complete)
-    for sub, tmp in (("postings", tmp_postings), ("docmap", tmp_docmap)):
+    for sub, tmp in swaps:
         final = os.path.join(index_dir, sub)
         if os.path.isdir(final):
             shutil.rmtree(final)

@@ -236,3 +236,39 @@ def test_phrase_over_streamed_segments(spark, tmp_path):
         assert [r["doc_id"] for r in rows] == [d for d, _ in exp], p
         hits += bool(exp)
     assert hits == 2
+
+
+def test_phrase_survives_segment_merge(spark, tmp_path):
+    """merge_segments consolidates per-segment positions into the root —
+    phrase results are identical before and after compaction."""
+    from sparkfts.merge import merge_segments
+    from sparkfts.phrase import match_phrase_batch
+    from sparkfts.streaming import ingest_batch
+    from sparkfts.synth import gen_corpus
+
+    idx = str(tmp_path / "merge_pos_idx")
+    full = gen_corpus(100, seed=23)
+    pdf = full.to_pandas()
+    ingest_batch(spark.createDataFrame(pdf.iloc[:60]), 0, idx,
+                 n_shards=4, n_tbuckets=8, positions=True)
+    ingest_batch(spark.createDataFrame(pdf.iloc[60:]), 1, idx,
+                 n_shards=4, n_tbuckets=8, positions=True)
+
+    texts = full.column("text").to_pylist()
+    phrases = []
+    for t in (texts[5], texts[75]):
+        toks = tokenize(t)
+        phrases.append(" ".join(toks[1:3]))
+    batch = [(i, p, 10) for i, p in enumerate(phrases)]
+    before = match_phrase_batch(spark, idx, batch).collect()
+    assert before, "no phrase hits before merge — fixture broken"
+
+    merge_segments(spark, idx)
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(idx, "segments"))
+    assert _os.path.isdir(_os.path.join(idx, "positions"))
+    after = match_phrase_batch(spark, idx, batch).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in after] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in before
+    ]
