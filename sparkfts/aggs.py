@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from sparkfts.analysis import tokenize_query
 
 
-def _make_match_kernel(queries_analyzed: list[tuple[int, list[str]]], mode: str):
+def _make_match_kernel(
+    queries_analyzed: list[tuple[int, list[str]]],
+    mode: str,
+    exclude=None,
+):
     """Kernel: emit (query_id, doc_id) for every matching doc in a shard.
 
     Decodes ONLY the doc_id streams (tfs/doclens stay compressed — the
@@ -68,6 +72,10 @@ def _make_match_kernel(queries_analyzed: list[tuple[int, list[str]]], mode: str)
                         if parts
                         else np.empty(0, np.int64)
                     )
+                if cur.size and exclude is not None and exclude.size:
+                    from sparkfts.wand import exclude_mask
+
+                    cur = cur[exclude_mask(cur, exclude)]
                 if cur.size:
                     out_qid.append(np.full(cur.size, qid, np.int32))
                     out_doc.append(cur)
@@ -113,7 +121,11 @@ def match_docs_batch(
         .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
         .select("term", "shard", "doc_ids")
     )
-    kernel = _make_match_kernel(analyzed, mode)
+    from sparkfts.deletes import load_tombstones
+
+    kernel = _make_match_kernel(
+        analyzed, mode, exclude=load_tombstones(spark, index_dir)
+    )
     return postings.groupby("shard").applyInPandas(
         lambda pdf: kernel(pdf), "query_id int, doc_id long"
     )

@@ -250,6 +250,25 @@ def cmd_facet(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_delete(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-delete")
+    from sparkfts.deletes import delete_docs
+
+    t0 = time.time()
+    ids = [int(x) for x in args.ids.split(",")]
+    total = delete_docs(spark, args.index, ids)
+    print(
+        json.dumps(
+            {
+                "deleted": len(ids),
+                "tombstones_total": total,
+                "sec": round(time.time() - t0, 2),
+                "note": "physical reclaim + stats recompute at next merge",
+            }
+        )
+    )
+
+
 def cmd_merge(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-merge")
     from sparkfts.merge import merge_segments
@@ -369,6 +388,15 @@ def main(argv: list[str] | None = None) -> None:
     fa.add_argument("--size", type=int, default=10)
     fa.add_argument("--cores", default="*")
     fa.set_defaults(fn=cmd_facet)
+
+    de = sub.add_parser(
+        "delete", help="tombstone documents (reclaimed at next merge)"
+    )
+    de.add_argument("--index", required=True)
+    de.add_argument("--ids", required=True,
+                    help="comma list of doc_ids to delete")
+    de.add_argument("--cores", default="*")
+    de.set_defaults(fn=cmd_delete)
 
     m = sub.add_parser(
         "merge", help="idempotent compaction of index segments into root"

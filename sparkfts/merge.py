@@ -40,9 +40,14 @@ from sparkfts.wand import block_metadata, tf_norm
 
 
 def _merge_one_group(
-    pdf: pd.DataFrame, avgdl: float, n_tbuckets: int, block_size: int
-) -> dict:
-    """Merge one (term, shard) group's segment runs -> one postings row."""
+    pdf: pd.DataFrame,
+    avgdl: float,
+    n_tbuckets: int,
+    block_size: int,
+    tombstones: np.ndarray | None = None,
+) -> dict | None:
+    """Merge one (term, shard) group's segment runs -> one postings row
+    (or None when every posting was tombstoned away)."""
     segs = pdf["segment_id"].to_numpy()
     ids = np.concatenate(
         [delta_decode(decode_varint(b)) for b in pdf["doc_ids"]]
@@ -56,6 +61,13 @@ def _merge_one_group(
     last = np.ones(ids.size, bool)
     last[:-1] = ids[1:] != ids[:-1]
     ids, tfs, dls = ids[last], tfs[last], dls[last]
+    if tombstones is not None and tombstones.size and ids.size:
+        from sparkfts.wand import exclude_mask
+
+        keep = exclude_mask(ids, tombstones)
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+    if ids.size == 0:
+        return None
     tfn = tf_norm(tfs, dls, avgdl)
     first, maxes = block_metadata(ids, tfn, block_size)
     term = pdf["term"].iloc[0]
@@ -72,7 +84,12 @@ def _merge_one_group(
     }
 
 
-def _make_merge_stream(avgdl: float, n_tbuckets: int, block_size: int):
+def _make_merge_stream(
+    avgdl: float,
+    n_tbuckets: int,
+    block_size: int,
+    tombstones: np.ndarray | None = None,
+):
     """Streaming merge over (term, shard)-sorted postings rows.
 
     Same batched-group pattern as the build's encoder
@@ -104,23 +121,25 @@ def _make_merge_stream(avgdl: float, n_tbuckets: int, block_size: int):
             pending = pdf.iloc[starts[-1]:]
             if starts.size > 1:
                 rows = [
-                    _merge_one_group(
-                        pdf.iloc[s:e], avgdl, n_tbuckets, block_size
-                    )
+                    r
                     for s, e in zip(starts[:-1], starts[1:])
+                    if (r := _merge_one_group(
+                        pdf.iloc[s:e], avgdl, n_tbuckets, block_size,
+                        tombstones,
+                    )) is not None
                 ]
-                yield pd.DataFrame(rows)
+                if rows:
+                    yield pd.DataFrame(rows)
         if pending is not None and len(pending):
-            yield pd.DataFrame(
-                [
-                    _merge_one_group(
-                        pending.reset_index(drop=True),
-                        avgdl,
-                        n_tbuckets,
-                        block_size,
-                    )
-                ]
+            r = _merge_one_group(
+                pending.reset_index(drop=True),
+                avgdl,
+                n_tbuckets,
+                block_size,
+                tombstones,
             )
+            if r is not None:
+                yield pd.DataFrame([r])
 
     return gen
 
@@ -135,12 +154,44 @@ def merge_segments(
     ``stats``: override (n_docs, avgdl) when the corpus changed since the
     root meta was written; defaults to root ``meta.json``.
     """
+    from sparkfts.deletes import clear_tombstones, load_tombstones
+
     meta = read_meta(index_dir)
     if stats is not None:
         meta["n_docs"], meta["avgdl"] = int(stats[0]), float(stats[1])
+    tombstones = load_tombstones(spark, index_dir)
     dirs = segment_dirs(index_dir)
-    if len(dirs) == 1 and dirs[0] == index_dir:
-        return meta  # already compact
+    if len(dirs) == 1 and dirs[0] == index_dir and tombstones is None:
+        return meta  # already compact, nothing deleted
+
+    docmap = load_docmap(spark, index_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
+    docmap_merged = (
+        docmap.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "segment_id")
+    )
+    if tombstones is not None:
+        # physical reclaim: deleted docs leave the docmap, and the final
+        # corpus stats come from the survivors — BEFORE the postings
+        # merge, so block maxima are encoded under the final avgdl
+        tomb_df = spark.createDataFrame(
+            [(int(d),) for d in tombstones], "doc_id long"
+        )
+        docmap_merged = docmap_merged.join(
+            F.broadcast(tomb_df), "doc_id", "left_anti"
+        )
+        if stats is None:
+            srow = docmap_merged.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("doclen").cast("long")).alias("t"),
+            ).collect()[0]
+            meta["n_docs"] = int(srow["n"])
+            meta["avgdl"] = (
+                int(srow["t"] or 0) / meta["n_docs"]
+                if meta["n_docs"]
+                else 0.0
+            )
 
     postings = load_postings(spark, index_dir)  # carries segment_id
     n_parts = int(
@@ -151,7 +202,10 @@ def merge_segments(
         .sortWithinPartitions("term", "shard", "segment_id")
         .mapInPandas(
             _make_merge_stream(
-                meta["avgdl"], meta["n_tbuckets"], meta["block_size"]
+                meta["avgdl"],
+                meta["n_tbuckets"],
+                meta["block_size"],
+                tombstones,
             ),
             POSTINGS_SCHEMA,
         )
@@ -165,13 +219,6 @@ def merge_segments(
         .parquet(tmp_postings)
     )
 
-    docmap = load_docmap(spark, index_dir)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
-    docmap_merged = (
-        docmap.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "segment_id")
-    )
     tmp_docmap = os.path.join(index_dir, "docmap__merging")
     (
         docmap_merged.repartition(meta["n_shards"], "shard")
@@ -210,6 +257,13 @@ def merge_segments(
             .where(F.col("_rn") == 1)
             .drop("_rn", "segment_id")
         )
+        if tombstones is not None:
+            tomb_df2 = spark.createDataFrame(
+                [(int(d),) for d in tombstones], "doc_id long"
+            )
+            pos_merged = pos_merged.join(
+                F.broadcast(tomb_df2), "doc_id", "left_anti"
+            )
         tmp_positions = os.path.join(index_dir, "positions__merging")
         (
             pos_merged.repartition(meta["n_tbuckets"], "tbucket")
@@ -232,6 +286,7 @@ def merge_segments(
     segs = os.path.join(index_dir, "segments")
     if os.path.isdir(segs):
         shutil.rmtree(segs)
+    clear_tombstones(index_dir)  # deletes are now physical
     meta["segments"] = []
     meta["blockmax_safe"] = True  # block maxima recomputed under final avgdl
 

@@ -172,6 +172,7 @@ def _make_phrase_scorer(
     queries_analyzed: list[tuple[int, list[str], int]],
     idf_sums: dict[int, float],
     avgdl: float,
+    exclude: np.ndarray | None = None,
 ):
     """Kernel factory: phrase-score ALL queries against ONE shard."""
 
@@ -199,8 +200,15 @@ def _make_phrase_scorer(
                     continue
                 # candidates: docs containing the rarest member term
                 rare = min(maps, key=len)
+                from sparkfts.wand import exclude_mask
+
                 doc_scores: list[tuple[int, float]] = []
                 for doc_id, (rare_pos, dl) in rare.items():
+                    if exclude is not None and exclude.size and not \
+                            exclude_mask(
+                                np.array([doc_id], np.int64), exclude
+                            )[0]:
+                        continue
                     starts: np.ndarray | None = None
                     ok = True
                     for i, m in enumerate(maps):
@@ -294,10 +302,15 @@ def match_phrase_batch(
             s += idf_fn(meta["n_docs"], df_map.get(t, 0))
         idf_sums[qid] = s
 
+    from sparkfts.deletes import load_tombstones
+
     pos = load_positions(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
     )
-    scorer = _make_phrase_scorer(analyzed, idf_sums, meta["avgdl"])
+    scorer = _make_phrase_scorer(
+        analyzed, idf_sums, meta["avgdl"],
+        exclude=load_tombstones(spark, index_dir),
+    )
     local = pos.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
     )
@@ -355,6 +368,9 @@ class PhraseSearcher:
             self._positions = self._positions.cache()
         self._terms = load_terms(spark, index_dir)
         self.local_threshold = int(local_threshold)
+        from sparkfts.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(spark, index_dir)
         self._df_lru: dict[str, int] = {}
         self._pos_lru: dict[str, dict[int, tuple[np.ndarray, int]]] = {}
         self._cache_terms = cache_terms
@@ -432,9 +448,16 @@ class PhraseSearcher:
             maps = [pos.get(t, {}) for t in terms]
             if any(not m for m in maps):
                 continue
+            from sparkfts.wand import exclude_mask
+
             rare = min(maps, key=len)
             scored: list[tuple[int, float]] = []
             for doc_id, (_, dl) in rare.items():
+                if self.tombstones is not None and self.tombstones.size \
+                        and not exclude_mask(
+                            np.array([doc_id], np.int64), self.tombstones
+                        )[0]:
+                    continue
                 starts = None
                 ok = True
                 for i, m in enumerate(maps):

@@ -251,6 +251,7 @@ def _make_shard_scorer(
     block_size: int,
     afters: dict[int, tuple[float, int]] | None = None,
     min_should_match: int = 1,
+    exclude=None,
 ):
     """Kernel factory: scores ALL queries against ONE shard's postings.
 
@@ -300,25 +301,25 @@ def _make_shard_scorer(
                 after = (afters or {}).get(qid)
                 if mode == "and":
                     ids, scores = score_conjunctive(
-                        tp, idfs, avgdl, k, after=after
+                        tp, idfs, avgdl, k, after=after, exclude=exclude
                     )
                 elif min_should_match > 1:
                     # block-max theta-seeding assumes plain OR; the
                     # count-filtered variant scores exhaustively
                     ids, scores = score_disjunctive(
                         tp, idfs, avgdl, k, after=after,
-                        min_match=min_should_match,
+                        min_match=min_should_match, exclude=exclude,
                     )
-                elif use_blockmax and after is None:
-                    # block-max θ seeds from the k-th best GLOBAL lower
-                    # bound; with a cursor the page's winners may sit
-                    # below θ, so cursor pages use the exhaustive scorer
+                elif use_blockmax and after is None and exclude is None:
+                    # block-max theta seeds from the k-th best GLOBAL lower
+                    # bound; a cursor page's winners (or the live subset
+                    # under tombstones) may sit below it — exhaustive then
                     ids, scores = score_disjunctive_blockmax(
                         tp, idfs, bms, avgdl, k, block_size=block_size
                     )
                 else:
                     ids, scores = score_disjunctive(
-                        tp, idfs, avgdl, k, after=after
+                        tp, idfs, avgdl, k, after=after, exclude=exclude
                     )
                 if ids.size:
                     out_qid.append(np.full(ids.size, qid, np.int32))
@@ -390,11 +391,17 @@ def bm25_index_batch(
         term_bucket,
     )
 
+    from sparkfts.deletes import load_tombstones
+
     meta = read_meta(index_dir)
     # streaming appends carry block maxima computed under point-in-time
     # avgdl; until a merge recomputes them, fall back to the exhaustive
     # scorer (exact, just unpruned) — sparkfts.streaming sets this flag
     use_blockmax = use_blockmax and meta.get("blockmax_safe", True)
+    # tombstoned docs mask out inside every kernel BEFORE top-k; block-max
+    # is gated off while tombstones exist (a theta seeded from a deleted
+    # doc could over-prune) — merge reclaims and restores it
+    tombstones = load_tombstones(spark, index_dir)
     analyzed = [
         (qid, tokenize_query(text), k) for qid, text, k in queries
     ]
@@ -442,6 +449,7 @@ def bm25_index_batch(
         meta["block_size"],
         afters=search_after,
         min_should_match=min_should_match,
+        exclude=tombstones,
     )
     local = joined.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
@@ -491,6 +499,7 @@ def _make_fuzzy_shard_scorer(
     avgdl: float,
     mode: str,
     block_size: int,
+    exclude=None,
 ):
     """Kernel: fuzzy-grouped scoring of one shard (oracle.fuzzy semantics).
 
@@ -529,7 +538,7 @@ def _make_fuzzy_shard_scorer(
                         virt = fuzzy_group(present, avgdl)
                         group_cache[key] = virt
                     groups.append(virt)
-                ids, scores = score_grouped(groups, k, mode)
+                ids, scores = score_grouped(groups, k, mode, exclude=exclude)
                 if ids.size:
                     out_qid.append(np.full(ids.size, qid, np.int32))
                     out_doc.append(ids)
@@ -670,8 +679,14 @@ def bm25_index_fuzzy_batch(
     postings = load_postings(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
     )
+    from sparkfts.deletes import load_tombstones
+
     scorer = _make_fuzzy_shard_scorer(
-        queries_grouped, meta["avgdl"], mode, meta["block_size"]
+        queries_grouped,
+        meta["avgdl"],
+        mode,
+        meta["block_size"],
+        exclude=load_tombstones(spark, index_dir),
     )
     local = postings.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"

@@ -67,6 +67,12 @@ class Searcher:
         # fall back to the distributed kernels — same results either way
         # (identical numpy kernels, identical tie-breaks; tested).
         self.local_threshold = int(local_threshold)
+        # tombstoned docs (sparkfts.deletes), masked in every kernel; a
+        # long-lived Searcher should be recreated (or refresh_deletes()
+        # called) after new deletes land
+        from sparkfts.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(spark, index_dir)
         self._local_cache: OrderedDict[str, tuple] = OrderedDict()
         self._local_cache_terms = local_cache_terms
         # fuzzy expansion dictionary gate (terms, not postings)
@@ -187,11 +193,13 @@ class Searcher:
             after = (afters or {}).get(qid)
             if mode == "and":
                 ids, scores = score_conjunctive(
-                    tp, idfs, self.meta["avgdl"], k_eff, after=after
+                    tp, idfs, self.meta["avgdl"], k_eff, after=after,
+                    exclude=self.tombstones,
                 )
             else:
                 ids, scores = score_disjunctive(
-                    tp, idfs, self.meta["avgdl"], k_eff, after=after
+                    tp, idfs, self.meta["avgdl"], k_eff, after=after,
+                    exclude=self.tombstones,
                 )
             for rank0 in range(offset, ids.size):
                 out_rows.append(
@@ -223,8 +231,14 @@ class Searcher:
         if mode not in ("and", "or"):
             raise ValueError(f"unknown mode {mode!r}")
         # streamed, unmerged segments carry point-in-time block maxima;
-        # same safety fallback as bm25_index_batch (exact, just unpruned)
-        use_blockmax = use_blockmax and self.meta.get("blockmax_safe", True)
+        # same safety fallback as bm25_index_batch (exact, just unpruned);
+        # tombstones also gate pruning off (theta could seed from a
+        # deleted doc)
+        use_blockmax = (
+            use_blockmax
+            and self.meta.get("blockmax_safe", True)
+            and self.tombstones is None
+        )
         all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
         df_map = self.term_dfs(all_terms)
 
@@ -263,6 +277,7 @@ class Searcher:
             use_blockmax,
             self.meta["block_size"],
             afters=search_after,
+            exclude=self.tombstones,
         )
         local = joined.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
@@ -515,7 +530,9 @@ class Searcher:
                     virt = fuzzy_group(present, self.meta["avgdl"])
                     group_cache[q_term] = virt
                 groups.append(virt)
-            ids, scores = score_grouped(groups, k_eff, mode)
+            ids, scores = score_grouped(
+                groups, k_eff, mode, exclude=self.tombstones
+            )
             for rank0 in range(int(offset), ids.size):
                 rows.append(
                     (qid, rank0 + 1, int(ids[rank0]), float(scores[rank0]))

@@ -69,17 +69,31 @@ def _after_mask(
     return doc_ids[keep], scores[keep]
 
 
+def exclude_mask(doc_ids: np.ndarray, exclude: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where doc_id is NOT in the sorted
+    ``exclude`` array (tombstoned docs — sparkfts.deletes)."""
+    pos = np.searchsorted(exclude, doc_ids)
+    pos_c = np.minimum(pos, exclude.size - 1)
+    return exclude[pos_c] != doc_ids
+
+
 def _topk(
     doc_ids: np.ndarray,
     scores: np.ndarray,
     k: int,
     after: tuple[float, int] | None = None,
+    exclude: np.ndarray | None = None,
 ):
     """Exact local top-k with (-score, doc_id) order; tie-safe prefilter.
 
     ``after`` applies the search_after cursor BEFORE selection (ES's
     scalable deep-pagination model: page cost is O(k), not O(offset+k)).
+    ``exclude``: sorted tombstoned doc ids, masked BEFORE selection so
+    the page is exact over the live doc set.
     """
+    if exclude is not None and exclude.size and doc_ids.size:
+        keep = exclude_mask(doc_ids, exclude)
+        doc_ids, scores = doc_ids[keep], scores[keep]
     if after is not None:
         doc_ids, scores = _after_mask(doc_ids, scores, after)
     n = doc_ids.size
@@ -112,6 +126,7 @@ def score_conjunctive(
     k1: float = BM25_K1,
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
+    exclude: np.ndarray | None = None,
 ):
     """AND query over one shard.
 
@@ -142,7 +157,7 @@ def score_conjunctive(
     for (ids, tfs, _), idf in zip(term_postings, idfs):  # sorted-term order
         tf = tfs[np.searchsorted(ids, inter)]
         scores += _contribution(tf, dls, idf, avgdl, k1, b)
-    return _topk(inter, scores, k, after)
+    return _topk(inter, scores, k, after, exclude)
 
 
 def _union_with_dls(nonempty: list[tuple[Postings, float]]):
@@ -188,6 +203,7 @@ def score_grouped(
     groups: list[tuple[np.ndarray, np.ndarray]],
     k: int,
     mode: str = "and",
+    exclude: np.ndarray | None = None,
 ):
     """Top-k over per-query-term virtual postings (``fuzzy_group`` output).
 
@@ -214,7 +230,7 @@ def score_grouped(
         scores = np.zeros(inter.size, np.float64)
         for ids, best in groups:  # sorted-q_term fold order
             scores += best[np.searchsorted(ids, inter)]
-        return _topk(inter, scores, k)
+        return _topk(inter, scores, k, exclude=exclude)
     if mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
     nonempty = [g for g in groups if g[0].size > 0]
@@ -224,7 +240,7 @@ def score_grouped(
     scores = np.zeros(union.size, np.float64)
     for ids, best in nonempty:
         scores[np.searchsorted(union, ids)] += best
-    return _topk(union, scores, k)
+    return _topk(union, scores, k, exclude=exclude)
 
 
 def score_disjunctive(
@@ -236,6 +252,7 @@ def score_disjunctive(
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
     min_match: int = 1,
+    exclude: np.ndarray | None = None,
 ):
     """Exhaustive OR scorer (the always-available oracle mode).
 
@@ -256,7 +273,7 @@ def score_disjunctive(
     if min_match > 1:
         keep = counts >= min_match
         union, scores = union[keep], scores[keep]
-    return _topk(union, scores, k, after)
+    return _topk(union, scores, k, after, exclude)
 
 
 def score_disjunctive_blockmax(
