@@ -45,6 +45,7 @@ def _merge_one_group(
     n_tbuckets: int,
     block_size: int,
     tombstones: np.ndarray | None = None,
+    superseded: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict | None:
     """Merge one (term, shard) group's segment runs -> one postings row
     (or None when every posting was tombstoned away)."""
@@ -55,6 +56,20 @@ def _merge_one_group(
     tfs = np.concatenate([decode_varint(b) for b in pdf["tfs"]])
     dls = np.concatenate([decode_varint(b) for b in pdf["doclens"]])
     seg_of = np.repeat(segs, [len(decode_varint(b)) for b in pdf["tfs"]])
+    if superseded is not None and superseded[0].size and ids.size:
+        # a re-crawled doc's OLD version must lose ALL its postings, not
+        # only the terms the new version shares: drop any entry whose doc
+        # is superseded and whose segment is not the winning one
+        sup_ids, sup_win = superseded
+        pos = np.searchsorted(sup_ids, ids)
+        pos_c = np.minimum(pos, sup_ids.size - 1)
+        hit = sup_ids[pos_c] == ids
+        drop = hit & (seg_of != sup_win[pos_c])
+        if drop.any():
+            keep = ~drop
+            ids, tfs, dls, seg_of = (
+                ids[keep], tfs[keep], dls[keep], seg_of[keep]
+            )
     # sort by (doc_id, segment_id); stable keep-last -> newest segment wins
     order = np.lexsort((seg_of, ids))
     ids, tfs, dls = ids[order], tfs[order], dls[order]
@@ -89,6 +104,7 @@ def _make_merge_stream(
     n_tbuckets: int,
     block_size: int,
     tombstones: np.ndarray | None = None,
+    superseded: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """Streaming merge over (term, shard)-sorted postings rows.
 
@@ -125,7 +141,7 @@ def _make_merge_stream(
                     for s, e in zip(starts[:-1], starts[1:])
                     if (r := _merge_one_group(
                         pdf.iloc[s:e], avgdl, n_tbuckets, block_size,
-                        tombstones,
+                        tombstones, superseded,
                     )) is not None
                 ]
                 if rows:
@@ -137,6 +153,7 @@ def _make_merge_stream(
                 n_tbuckets,
                 block_size,
                 tombstones,
+                superseded,
             )
             if r is not None:
                 yield pd.DataFrame([r])
@@ -165,6 +182,29 @@ def merge_segments(
         return meta  # already compact, nothing deleted
 
     docmap = load_docmap(spark, index_dir)
+    # superseded docs: a doc_id present in >1 segment was re-crawled; its
+    # OLD segments' postings/positions must vanish entirely (not just the
+    # terms the new version shares). The set is small — re-crawls within
+    # one merge window — so it ships to the kernels as sorted arrays.
+    sup_rows = (
+        docmap.groupBy("doc_id")
+        .agg(
+            F.countDistinct("segment_id").alias("nseg"),
+            F.max("segment_id").alias("win"),
+        )
+        .where(F.col("nseg") > 1)
+        .select("doc_id", "win")
+        .collect()
+    )
+    superseded = None
+    sup_df = None
+    if sup_rows:
+        pairs = sorted((int(r["doc_id"]), int(r["win"])) for r in sup_rows)
+        superseded = (
+            np.array([d for d, _ in pairs], np.int64),
+            np.array([wn for _, wn in pairs], np.int64),
+        )
+        sup_df = spark.createDataFrame(pairs, "doc_id long, win int")
     w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
     docmap_merged = (
         docmap.withColumn("_rn", F.row_number().over(w))
@@ -172,26 +212,26 @@ def merge_segments(
         .drop("_rn", "segment_id")
     )
     if tombstones is not None:
-        # physical reclaim: deleted docs leave the docmap, and the final
-        # corpus stats come from the survivors — BEFORE the postings
-        # merge, so block maxima are encoded under the final avgdl
+        # physical reclaim: deleted docs leave the docmap
         tomb_df = spark.createDataFrame(
             [(int(d),) for d in tombstones], "doc_id long"
         )
         docmap_merged = docmap_merged.join(
             F.broadcast(tomb_df), "doc_id", "left_anti"
         )
-        if stats is None:
-            srow = docmap_merged.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("doclen").cast("long")).alias("t"),
-            ).collect()[0]
-            meta["n_docs"] = int(srow["n"])
-            meta["avgdl"] = (
-                int(srow["t"] or 0) / meta["n_docs"]
-                if meta["n_docs"]
-                else 0.0
-            )
+    if stats is None:
+        # final corpus stats from the surviving docmap — BEFORE the
+        # postings merge, so block maxima are encoded under the final
+        # avgdl. This also corrects the running-stats drift a re-crawl
+        # introduces (the ingest counter saw the doc twice).
+        srow = docmap_merged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("doclen").cast("long")).alias("t"),
+        ).collect()[0]
+        meta["n_docs"] = int(srow["n"])
+        meta["avgdl"] = (
+            int(srow["t"] or 0) / meta["n_docs"] if meta["n_docs"] else 0.0
+        )
 
     postings = load_postings(spark, index_dir)  # carries segment_id
     n_parts = int(
@@ -206,6 +246,7 @@ def merge_segments(
                 meta["n_tbuckets"],
                 meta["block_size"],
                 tombstones,
+                superseded,
             ),
             POSTINGS_SCHEMA,
         )
@@ -252,6 +293,15 @@ def merge_segments(
         wp = Window.partitionBy("doc_id", "term").orderBy(
             F.desc("segment_id")
         )
+        if sup_df is not None:
+            # drop the OLD versions' position rows entirely (old-only
+            # terms included), keeping only the winning segment's rows
+            pos_all = pos_all.join(
+                F.broadcast(sup_df), "doc_id", "left"
+            ).where(
+                F.col("win").isNull()
+                | (F.col("segment_id") == F.col("win"))
+            ).drop("win")
         pos_merged = (
             pos_all.withColumn("_rn", F.row_number().over(wp))
             .where(F.col("_rn") == 1)

@@ -12,6 +12,7 @@ import os
 
 import pandas as pd
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 import pytest
 
 from oracle.bm25 import BM25Oracle
@@ -193,3 +194,57 @@ def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window emitted exactly once, with the ORIGINAL 2 events
     assert by_win.get((base, "view")) == 2
     assert sum(1 for r in rows if r["window_epoch"] == base) == 1
+
+
+def test_recrawl_update_newest_wins_after_merge(spark, tmp_path):
+    """Re-ingesting a url with changed text is the engine's document
+    UPDATE: after merge, the newest version fully replaces the old one
+    (ES index/upsert parity; overlapping segments are the documented
+    pre-merge caveat)."""
+    from sparkfts.merge import merge_segments
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.streaming import ingest_batch
+    from sparkfts.synth import gen_corpus
+    from sparkfts.tokens import sha1_doc_id
+
+    idx = os.path.join(str(tmp_path), "upsert_idx")
+    full = gen_corpus(60, seed=31)
+    pdf = full.to_pandas()
+    ingest_batch(
+        spark.createDataFrame(pdf.iloc[:50]), 0, idx, n_shards=4, n_tbuckets=8
+    )
+    # re-crawl doc 0's url with brand-new content + 10 genuinely new docs
+    target_url = pdf.iloc[0]["url"]
+    recrawl = pdf.iloc[[0]].copy()
+    recrawl["text"] = "freshly recrawled exclusive zanzibar content words"
+    recrawl["html"] = recrawl["text"]
+    wave2 = pd.concat([pdf.iloc[50:], recrawl], ignore_index=True)
+    ingest_batch(
+        spark.createDataFrame(wave2), 1, idx, n_shards=4, n_tbuckets=8
+    )
+    merge_segments(spark, idx)
+
+    doc_id = int(sha1_doc_id(pd.Series([target_url]))[0])
+    # new-content term finds the doc …
+    hits_new = bm25_index_batch(spark, idx, [(0, "zanzibar", 10)]).collect()
+    assert [r["doc_id"] for r in hits_new] == [doc_id]
+    # … and a term unique to the OLD text no longer matches it
+    from sparkfts.analysis import tokenize
+
+    old_terms = set(tokenize(pdf.iloc[0]["text"]))
+    other_terms = {
+        t for txt in pdf.iloc[1:50]["text"] for t in tokenize(txt)
+    }
+    uniq_old = sorted(old_terms - other_terms - set(tokenize(
+        "freshly recrawled exclusive zanzibar content words")))
+    if uniq_old:  # synthetic corpora usually have doc-unique tokens
+        hits_old = bm25_index_batch(
+            spark, idx, [(0, uniq_old[0], 10)]
+        ).collect()
+        assert doc_id not in {r["doc_id"] for r in hits_old}
+    # docmap holds exactly one row for the doc, with the new doclen
+    from sparkfts.index import load_docmap
+
+    rows = load_docmap(spark, idx).where(F.col("doc_id") == doc_id).collect()
+    assert len(rows) == 1
+    assert rows[0]["doclen"] == 6
