@@ -57,9 +57,6 @@ def test_deleted_docs_vanish_everywhere(spark, corpus_small, del_index):
     for mode in ("and", "or"):
         after = bm25_index_batch(spark, del_index, [(0, term, 400)],
                                  mode=mode).collect()
-        exp = [r for r in bm25_index_batch(
-            spark, del_index, [(0, term, 400)], mode=mode,
-        ).collect()]
         got_ids = [r["doc_id"] for r in after]
         assert not (set(got_ids) & set(victims)), mode
     # survivors keep EXACT pre-delete scores; ranks renumber
