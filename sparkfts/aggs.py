@@ -44,11 +44,17 @@ def _make_match_kernel(
                     np.int64
                 )
                 by_term.setdefault(r["term"], []).append(ids)
+            # np.unique (not just sort): a doc_id can appear in multiple
+            # uncompacted segments (re-crawl before merge); without dedup
+            # the AND intersection would emit it once per segment and
+            # inflate facet doc_counts. Facets never need tf, so dedup is
+            # free here. Single-run lists are already sorted + unique
+            # within a segment.
             decoded = {
                 t: (
                     runs[0]
                     if len(runs) == 1
-                    else np.sort(np.concatenate(runs), kind="stable")
+                    else np.unique(np.concatenate(runs))
                 )
                 for t, runs in by_term.items()
             }

@@ -114,6 +114,24 @@ def cmd_build(args: argparse.Namespace) -> None:
 
 
 def cmd_query(args: argparse.Namespace) -> None:
+    # --search-after and --min-should-match are only threaded through the
+    # plain-query path; fail loudly rather than silently ignoring them
+    # (checked before any Spark session spins up).
+    if args.phrase or args.fields or args.fuzzy:
+        unsupported = []
+        if args.search_after:
+            unsupported.append("--search-after")
+        if args.min_should_match != 1:  # 1 is the no-op default
+            unsupported.append("--min-should-match")
+        if unsupported:
+            mode_flag = (
+                "--phrase" if args.phrase
+                else "--fields" if args.fields
+                else "--fuzzy"
+            )
+            raise SystemExit(
+                f"{' / '.join(unsupported)} not supported with {mode_flag}"
+            )
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 

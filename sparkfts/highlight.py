@@ -47,6 +47,15 @@ def _highlight_one(
     if not text:
         return (None, None, None)
     lowered = text.lower()
+    # Spans are computed on the lowered text but sliced into the ORIGINAL.
+    # For characters whose lowercase expands length ('İ' U+0130 -> 'i̇'),
+    # every span after that point would shift and corrupt tag placement —
+    # fall back to casefolding character-by-character, which preserves
+    # per-char positions (maps each original char to its lowered form,
+    # truncated to 1 char when lowering expands; query terms are ASCII
+    # [a-z0-9]+ so expanded-lowercase chars can never themselves be hits).
+    if len(lowered) != len(text):
+        lowered = "".join((c.lower() or c)[0] for c in text)
     first_pos = None
     first_span = None
     n_hits = 0

@@ -30,9 +30,15 @@ def token_ngrams(
     """Distinct word n-grams -> (out_id, gram31). One row per distinct
     gram per doc (set semantics — contamination counts distinct grams)."""
     toks = tokens_col(F.col(text_col))
+    # Docs shorter than n tokens contribute no grams. The short-doc case
+    # must be guarded explicitly: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark, so the transform would evaluate slice(toks, 0, n) and throw
+    # INVALID_PARAMETER_VALUE.START on any doc with < n tokens.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
-        f"i -> array_join(slice(toks, i, {n}), ' '))"
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
     return (
         docs.select(F.col(id_col).alias(out_id), toks.alias("toks"))

@@ -68,8 +68,9 @@ class Searcher:
         # (identical numpy kernels, identical tie-breaks; tested).
         self.local_threshold = int(local_threshold)
         # tombstoned docs (sparkfts.deletes), masked in every kernel; a
-        # long-lived Searcher should be recreated (or refresh_deletes()
-        # called) after new deletes land
+        # long-lived Searcher must call refresh_deletes() after new
+        # deletes land (tombstones are loaded once here, and every query
+        # path reads self.tombstones at call time)
         from sparkfts.deletes import load_tombstones
 
         self.tombstones = load_tombstones(spark, index_dir)
@@ -88,6 +89,20 @@ class Searcher:
         # terms (ties by term) contribute; docs matching only dropped
         # expansions are missed, exactly like ES's max_expansions.
         self.fuzzy_max_expansions = fuzzy_max_expansions
+
+    def refresh_deletes(self) -> None:
+        """Reload the tombstone set after new deletes land.
+
+        Every query path reads ``self.tombstones`` at call time (the
+        decoded-postings caches store RAW postings; the exclude mask is
+        applied per query), so a reload is all that's needed — no cache
+        invalidation. Block-max pruning re-gates automatically: the
+        ``blockmax_safe`` check at query time also requires
+        ``tombstones is None``.
+        """
+        from sparkfts.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(self.spark, self.index_dir)
 
     # -- term stats ---------------------------------------------------------
 

@@ -61,3 +61,35 @@ def test_overlap_eval_side_broadcast(contaminated):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_short_docs_emit_no_grams(spark):
+    """Docs with < n tokens must yield zero grams, not crash.
+
+    Regression: sequence(1, 0) is DESCENDING in Spark, so the unguarded
+    transform evaluated slice(toks, 0, 13) and threw
+    INVALID_PARAMETER_VALUE.START on any doc shorter than n tokens.
+    """
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, ""), (3, "exactly three tokens"),
+         (4, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    got = token_ngrams(docs, n=3).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 1 not in ids and 2 not in ids  # < 3 tokens -> no grams
+    assert sum(1 for r in got if r["doc_id"] == 3) == 1  # exactly n -> 1 gram
+    assert sum(1 for r in got if r["doc_id"] == 4) == 8  # 10 - 3 + 1
+
+
+def test_decontaminate_survives_short_docs(spark):
+    """End-to-end: ngram_overlap/decontaminate on a corpus with short docs."""
+    train = spark.createDataFrame(
+        [(1, "hi"), (2, "a b c d e f g h i j k l m n o p")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "a b c d e f g h i j k l m n o p")], "doc_id long, text string"
+    )
+    kept = decontaminate(train, eval_df, n=13)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
