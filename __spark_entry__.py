@@ -74,10 +74,24 @@ def _scan_stats(spark: SparkSession, sf_dir: str):
 
 
 def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once, cached) the inverted index over `documents`."""
+    """Build (once, cached) the inverted index over `documents`.
+
+    ``lang`` rides in the docmap as a doc value (``bool.filter`` +
+    facets); stale caches built before that are rebuilt.
+    """
     key = os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = os.path.join(REPO, ".scratch", f"entry_idx_{key}")
-    if not os.path.exists(os.path.join(idx, "meta.json")):
+    meta_path = os.path.join(idx, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            stale = "lang" not in _json.load(f).get("docvalue_cols", [])
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
         from sparkfts.index import build_index
 
         build_index(
@@ -86,6 +100,7 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
             n_shards=8,
             n_tbuckets=16,
             id_source="column",
+            docvalue_cols=["lang"],
         )
     return idx
 
@@ -166,8 +181,14 @@ def _bm25_sql(
     conjunctive: bool,
     k: int = 10,
     min_match: int | None = None,
+    extra_where: str = "",
 ) -> str:
-    """DuckDB BM25 oracle over `documents` (pinned analyzer + formula)."""
+    """DuckDB BM25 oracle over `documents` (pinned analyzer + formula).
+
+    ``extra_where``: predicate fragment (``AND ...``) on the final select
+    — bool.filter / bool.must_not restrictions AFTER scoring (ES: they
+    never change scoring stats), BEFORE top-k.
+    """
     in_list = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
     if min_match is not None:
@@ -200,7 +221,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, {_SCORE_E4} AS score_e4
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+FROM scored WHERE 1=1 {extra_where} ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -343,6 +364,37 @@ def q_fts_fuzzy_index_topk(spark, sf_dir):
 
     idx = _index_dir_for(spark, sf_dir)
     res = bm25_index_fuzzy_batch(spark, idx, [(0, BM25_QUERY_FUZZY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_filtered_topk(spark, sf_dir):
+    """ES bool.filter: BM25 top-k restricted by a structured predicate
+    (the most common real-ES query shape after plain match — the
+    reference's delegated `client.search` would accept the same filter
+    clause, reference ElasticsearchHandler.py:69). Filter evaluates
+    JVM-side on the docmap (lang stored as a doc value); exact top-k
+    over the filtered set, scores corpus-global per ES semantics."""
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or",
+        filter_expr="lang = 'en'",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_must_not_topk(spark, sf_dir):
+    """ES bool.must_not: docs matching the negated query are excluded
+    BEFORE top-k, with no scoring contribution; survivor scores are
+    identical to the unnegated query's."""
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], mode="and",
+        must_not={0: "vector"},
+    )
     return res.select("doc_id", _score_e4_col())
 
 
@@ -778,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_min_should_match": q_fts_min_should_match,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
+        "fts_filtered_topk": q_fts_filtered_topk,
+        "fts_must_not_topk": q_fts_must_not_topk,
         "terms_facet": q_terms_facet,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
@@ -883,6 +937,23 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
     sqls["fts_bm25_topk"] = bm25_and
     sqls["fts_index_topk"] = bm25_and
+
+    sqls["fts_filtered_topk"] = _bm25_sql(
+        sorted(set(BM25_QUERY_OR.split())),
+        False,
+        extra_where=(
+            "AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+        ),
+    )
+    sqls["fts_must_not_topk"] = _bm25_sql(
+        sorted(set(BM25_QUERY_AND.split())),
+        True,
+        extra_where=(
+            "AND doc_id NOT IN (SELECT doc_id FROM ("
+            + _TOKS
+            + ") WHERE tok = 'vector')"
+        ),
+    )
 
     p_terms = PHRASE_QUERY.split()
     p_vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(p_terms))

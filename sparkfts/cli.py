@@ -123,6 +123,10 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--search-after")
         if args.min_should_match != 1:  # 1 is the no-op default
             unsupported.append("--min-should-match")
+        if args.filter:
+            unsupported.append("--filter")
+        if args.must_not:
+            unsupported.append("--must-not")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -224,6 +228,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             offset=args.offset,
             search_after=search_after,
             min_should_match=args.min_should_match,
+            filter_expr=args.filter,
+            must_not={0: args.must_not} if args.must_not else None,
         ).collect()
     sec = time.time() - t0
     for r in rows:
@@ -385,6 +391,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--fields", default=None,
                    help="ES-style multi_match field specs over a "
                         "multi-field index, e.g. 'title^2,text'")
+    q.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
+                   help="bool.filter: docmap predicate, e.g. \"lang = 'en'\" "
+                        "(needs an index built with --docvalues)")
+    q.add_argument("--must-not", default=None, metavar="QUERY",
+                   help="bool.must_not: exclude docs matching this query")
 
     pp = sub.add_parser(
         "positions", help="build the positions table for phrase queries"

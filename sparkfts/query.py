@@ -252,6 +252,8 @@ def _make_shard_scorer(
     afters: dict[int, tuple[float, int]] | None = None,
     min_should_match: int = 1,
     exclude=None,
+    must_not_map: dict[int, list[str]] | None = None,
+    filtered: bool = False,
 ):
     """Kernel factory: scores ALL queries against ONE shard's postings.
 
@@ -263,6 +265,18 @@ def _make_shard_scorer(
     Each posting row carries the term's GLOBAL ``df`` (broadcast-joined in
     the same plan), so idf is computed here and the whole query is one
     Spark action — no driver round-trip for stats.
+
+    ``must_not_map``: per query_id, the ES ``bool.must_not`` term list.
+    A doc containing ANY of those terms is excluded BEFORE top-k; the
+    exclusion set is the in-shard union of the must_not terms' own
+    posting lists (a doc's postings all live in its one shard, so the
+    per-shard union is complete for that shard's docs). must_not terms
+    contribute nothing to scores (ES: pure exclusion, no scoring).
+
+    ``filtered=True`` switches the kernel to the cogrouped signature
+    ``scorer(postings_pdf, allowed_pdf)`` (``bool.filter``): the second
+    frame carries this shard's allowed ``doc_id`` set, evaluated
+    JVM-side against the docmap; docs outside it are masked BEFORE top-k.
     """
     import numpy as np
 
@@ -272,11 +286,20 @@ def _make_shard_scorer(
         score_disjunctive_blockmax,
     )
 
-    def scorer(pdf_postings: pd.DataFrame) -> pd.DataFrame:
+    def scorer(
+        pdf_postings: pd.DataFrame, pdf_allowed: pd.DataFrame | None = None
+    ) -> pd.DataFrame:
         out_qid: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        if len(pdf_postings):
+        include = None
+        if filtered:
+            include = np.sort(
+                pdf_allowed["doc_id"].to_numpy(np.int64)
+                if pdf_allowed is not None
+                else np.empty(0, np.int64)
+            )
+        if len(pdf_postings) and not (filtered and include.size == 0):
             rows_by_term, postings_of = _postings_reader(
                 pdf_postings, avgdl, block_size
             )
@@ -299,27 +322,53 @@ def _make_shard_scorer(
                     [idf_map.get(t, 0.0) for t in terms], np.float64
                 )
                 after = (afters or {}).get(qid)
+                # bool.must_not: in-shard union of the negated terms'
+                # postings, merged into the tombstone exclusion set
+                excl = exclude
+                mn_terms = (must_not_map or {}).get(qid)
+                if mn_terms:
+                    parts = [
+                        postings_of(t)[0]
+                        for t in mn_terms
+                        if t in rows_by_term
+                    ]
+                    if parts:
+                        mn_ids = np.unique(np.concatenate(parts))
+                        excl = (
+                            mn_ids
+                            if excl is None or excl.size == 0
+                            else np.union1d(excl, mn_ids)
+                        )
                 if mode == "and":
                     ids, scores = score_conjunctive(
-                        tp, idfs, avgdl, k, after=after, exclude=exclude
+                        tp, idfs, avgdl, k, after=after, exclude=excl,
+                        include=include,
                     )
                 elif min_should_match > 1:
                     # block-max theta-seeding assumes plain OR; the
                     # count-filtered variant scores exhaustively
                     ids, scores = score_disjunctive(
                         tp, idfs, avgdl, k, after=after,
-                        min_match=min_should_match, exclude=exclude,
+                        min_match=min_should_match, exclude=excl,
+                        include=include,
                     )
-                elif use_blockmax and after is None and exclude is None:
+                elif (
+                    use_blockmax
+                    and after is None
+                    and excl is None
+                    and include is None
+                ):
                     # block-max theta seeds from the k-th best GLOBAL lower
                     # bound; a cursor page's winners (or the live subset
-                    # under tombstones) may sit below it — exhaustive then
+                    # under tombstones / must_not / filter) may sit below
+                    # it — exhaustive then (same over-prune hazard)
                     ids, scores = score_disjunctive_blockmax(
                         tp, idfs, bms, avgdl, k, block_size=block_size
                     )
                 else:
                     ids, scores = score_disjunctive(
-                        tp, idfs, avgdl, k, after=after, exclude=exclude
+                        tp, idfs, avgdl, k, after=after, exclude=excl,
+                        include=include,
                     )
                 if ids.size:
                     out_qid.append(np.full(ids.size, qid, np.int32))
@@ -354,11 +403,32 @@ def bm25_index_batch(
     offset: int = 0,
     search_after: dict[int, tuple[float, int]] | None = None,
     min_should_match: int = 1,
+    filter_expr: str | None = None,
+    must_not: dict[int, str] | None = None,
 ) -> DataFrame:
     """Answer a batch of BM25 top-k queries from a built index.
 
     ``min_should_match`` (OR mode): ES ``minimum_should_match`` — docs
     must contain at least this many distinct query terms.
+
+    ``filter_expr``: ES ``bool.filter`` — a Spark SQL predicate over the
+    docmap's columns (``url``, ``doclen``, and any ``docvalue_cols`` the
+    index was built with, e.g. ``"lang = 'en'"``). Top-k is exact over
+    the docs satisfying the predicate; per ES semantics the filter does
+    NOT change scoring stats (idf/avgdl stay corpus-global). Plan shape:
+    the predicate is evaluated JVM-side on the (column-pruned,
+    predicate-pushed) docmap scan, and each shard kernel receives only
+    its own shard's allowed doc_id set via a cogroup on ``shard`` — the
+    docmap is already written partitioned by shard, so the allowed-set
+    side shuffles at most one shard's ids to each kernel, bounded by
+    docs-per-shard (the same executor-memory unit the postings already
+    impose). Block-max pruning is gated off (a theta seeded from a
+    filtered-out doc could over-prune), same as under tombstones.
+
+    ``must_not``: ES ``bool.must_not`` — per query_id, a query text whose
+    analyzed terms EXCLUDE matching docs (no scoring contribution). The
+    negated terms' postings are read in the same pruned scan; each shard
+    kernel unions them into its exclusion mask before top-k.
 
     Plan (zero wide shuffles on the big side at query time):
       postings scan with PARTITION pruning on tbucket + row-group pruning
@@ -413,7 +483,19 @@ def bm25_index_batch(
     if not analyzed or meta["n_docs"] == 0:
         return _empty_results(spark)
 
-    all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+    # must_not terms join the pruned postings scan (their lists build the
+    # exclusion masks) but stay OUT of `analyzed` (no scoring, and AND
+    # mode must not require them)
+    must_not_map: dict[int, list[str]] = {}
+    for qid, text in (must_not or {}).items():
+        mn_terms = tokenize_query(text)
+        if mn_terms:
+            must_not_map[qid] = mn_terms
+
+    all_terms = sorted(
+        {t for _, terms, _ in analyzed for t in terms}
+        | {t for terms in must_not_map.values() for t in terms}
+    )
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
 
     postings = load_postings(spark, index_dir).where(
@@ -450,10 +532,29 @@ def bm25_index_batch(
         afters=search_after,
         min_should_match=min_should_match,
         exclude=tombstones,
+        must_not_map=must_not_map or None,
+        filtered=filter_expr is not None,
     )
-    local = joined.groupby("shard").applyInPandas(
-        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
-    )
+    result_schema = "query_id int, doc_id long, score double"
+    if filter_expr is not None:
+        # bool.filter: JVM-evaluated predicate over the docmap (filters
+        # push down to the parquet scan; only `shard`+`doc_id` survive
+        # column pruning), cogrouped with the postings by shard so each
+        # kernel sees exactly its shard's allowed id set
+        allowed = (
+            load_docmap(spark, index_dir)
+            .where(F.expr(filter_expr))
+            .select("shard", "doc_id")
+        )
+        local = (
+            joined.groupby("shard")
+            .cogroup(allowed.groupby("shard"))
+            .applyInPandas(lambda l, r: scorer(l, r), result_schema)
+        )
+    else:
+        local = joined.groupby("shard").applyInPandas(
+            lambda pdf: scorer(pdf), result_schema
+        )
 
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]

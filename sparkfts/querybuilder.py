@@ -66,11 +66,20 @@ class Clause:
 
 @dataclass(frozen=True)
 class SearchRequest:
-    """Typed IR for one search: AND of clauses; no clauses = match-all."""
+    """Typed IR for one search: AND of clauses; no clauses = match-all.
+
+    ``filter_expr``: ES ``bool.filter`` — a non-scoring SQL predicate
+    over docmap columns restricting the result doc set (idf/avgdl stay
+    corpus-global, per ES).
+    ``must_not``: ES ``bool.must_not`` — query texts whose matching docs
+    are excluded (no scoring contribution).
+    """
 
     clauses: tuple[Clause, ...] = field(default_factory=tuple)
     k: int = 10  # ES default size the reference relies on
     # (reference ElasticsearchHandler.py:52-74: no size/sort passed)
+    filter_expr: str | None = None
+    must_not: tuple[str, ...] = field(default_factory=tuple)
 
     @property
     def is_match_all(self) -> bool:
@@ -143,17 +152,64 @@ def run_search_request_indexed(
     """
     from pyspark.sql import functions as F
 
-    if request.is_match_all:
-        from sparkfts.index import load_docmap, read_meta
+    def _docmap():
+        from sparkfts.index import load_docmap
 
         if multifield:
             from sparkfts.multifield import field_dir, read_mf_meta
 
             mf = read_mf_meta(index_dir)
-            docs = load_docmap(spark, field_dir(index_dir, mf["fields"][0]))
-        else:
-            docs = load_docmap(spark, index_dir)
-        return match_all_topk(docs.select("doc_id"), request.k)
+            return load_docmap(spark, field_dir(index_dir, mf["fields"][0]))
+        return load_docmap(spark, index_dir)
+
+    def _apply_bool_clauses(
+        df: DataFrame, apply_filter: bool = True
+    ) -> DataFrame:
+        """bool.filter semi-join + bool.must_not anti-join on a complete
+        match set (per-clause k = n_docs upstream, so post-join top-k is
+        exact)."""
+        if apply_filter and request.filter_expr:
+            allowed = (
+                _docmap().where(F.expr(request.filter_expr)).select("doc_id")
+            )
+            df = df.join(allowed, "doc_id", "left_semi")
+        if request.must_not:
+            from sparkfts.aggs import match_docs_batch
+
+            if multifield:
+                from functools import reduce
+
+                from sparkfts.multifield import field_dir, read_mf_meta
+
+                mf = read_mf_meta(index_dir)
+                parts = [
+                    match_docs_batch(
+                        spark,
+                        field_dir(index_dir, fld),
+                        list(enumerate(request.must_not)),
+                        mode="or",
+                    )
+                    for fld in mf["fields"]
+                ]
+                mn = reduce(lambda a, b: a.unionByName(b), parts)
+            else:
+                mn = match_docs_batch(
+                    spark, index_dir, list(enumerate(request.must_not)),
+                    mode="or",
+                )
+            df = df.join(
+                mn.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        return df
+
+    if request.is_match_all:
+        docs = _docmap()
+        if request.filter_expr:
+            docs = docs.where(F.expr(request.filter_expr))
+        docs = _apply_bool_clauses(
+            docs.select("doc_id"), apply_filter=False  # already WHERE'd
+        )
+        return match_all_topk(docs, request.k)
 
     if multifield:
         from sparkfts.multifield import bm25_multifield_fuzzy_batch, read_mf_meta
@@ -203,6 +259,7 @@ def run_search_request_indexed(
             ),
         )
     )
+    merged = _apply_bool_clauses(merged)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w))
@@ -230,8 +287,34 @@ def run_search_request(
     """
     from sparkfts.fuzzy import bm25_fuzzy_scan_batch
 
+    def _bool_joins(df: DataFrame) -> DataFrame:
+        """Scan-path bool.filter / bool.must_not: filter predicate runs
+        over the docs table; the must_not match set comes from the tokens
+        table (OR over the negated queries' analyzed terms)."""
+        if request.filter_expr:
+            df = df.join(
+                docs.where(F.expr(request.filter_expr)).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        if request.must_not:
+            from sparkfts.analysis import tokenize_query
+
+            mn_terms = sorted(
+                {t for q in request.must_not for t in tokenize_query(q)}
+            )
+            if mn_terms:
+                df = df.join(
+                    tokens.where(F.col("term").isin(mn_terms))
+                    .select("doc_id")
+                    .distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+        return df
+
     if request.is_match_all:
-        return match_all_topk(docs, request.k)
+        return match_all_topk(_bool_joins(docs.select("doc_id")), request.k)
 
     batch = [
         (i, c.query, n_docs)  # per-clause k = n_docs: need ALL matching
@@ -257,6 +340,7 @@ def run_search_request(
             ),
         )
     )
+    merged = _bool_joins(merged)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w))

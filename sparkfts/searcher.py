@@ -232,8 +232,18 @@ class Searcher:
         resolve_urls: bool = False,
         offset: int = 0,
         search_after: dict[int, tuple[float, int]] | None = None,
+        filter_expr: str | None = None,
+        must_not: dict[int, str] | None = None,
     ) -> DataFrame:
-        """Same plan + kernels as ``bm25_index_batch``, warm inputs."""
+        """Same plan + kernels as ``bm25_index_batch``, warm inputs.
+
+        ``filter_expr`` / ``must_not``: ES ``bool.filter`` /
+        ``bool.must_not`` (see :func:`sparkfts.query.bm25_index_batch`).
+        Both bypass the coordinator fast path (the filter's allowed set
+        must never be collected to the driver — it can be
+        corpus-proportional) and run the distributed cogroup/exclusion
+        kernels instead.
+        """
         if search_after and offset:
             raise ValueError("offset and search_after are mutually exclusive")
         analyzed = [
@@ -245,6 +255,11 @@ class Searcher:
 
         if mode not in ("and", "or"):
             raise ValueError(f"unknown mode {mode!r}")
+        must_not_map: dict[int, list[str]] = {}
+        for qid, text in (must_not or {}).items():
+            mn_terms = tokenize_query(text)
+            if mn_terms:
+                must_not_map[qid] = mn_terms
         # streamed, unmerged segments carry point-in-time block maxima;
         # same safety fallback as bm25_index_batch (exact, just unpruned);
         # tombstones also gate pruning off (theta could seed from a
@@ -254,7 +269,10 @@ class Searcher:
             and self.meta.get("blockmax_safe", True)
             and self.tombstones is None
         )
-        all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+        all_terms = sorted(
+            {t for _, terms, _ in analyzed for t in terms}
+            | {t for terms in must_not_map.values() for t in terms}
+        )
         df_map = self.term_dfs(all_terms)
 
         # coordinator fast path: posting volume known from df alone
@@ -262,6 +280,8 @@ class Searcher:
         if (
             self.local_threshold
             and not resolve_urls
+            and not must_not_map
+            and filter_expr is None
             and total_df <= self.local_threshold
         ):
             rows = self._search_local(
@@ -293,10 +313,24 @@ class Searcher:
             self.meta["block_size"],
             afters=search_after,
             exclude=self.tombstones,
+            must_not_map=must_not_map or None,
+            filtered=filter_expr is not None,
         )
-        local = joined.groupby("shard").applyInPandas(
-            lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
-        )
+        result_schema = "query_id int, doc_id long, score double"
+        if filter_expr is not None:
+            allowed = (
+                self._docmap.where(F.expr(filter_expr))
+                .select("shard", "doc_id")
+            )
+            local = (
+                joined.groupby("shard")
+                .cogroup(allowed.groupby("shard"))
+                .applyInPandas(lambda l, r: scorer(l, r), result_schema)
+            )
+        else:
+            local = joined.groupby("shard").applyInPandas(
+                lambda pdf: scorer(pdf), result_schema
+            )
         k_map = F.create_map(
             *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
         )

@@ -77,12 +77,24 @@ def exclude_mask(doc_ids: np.ndarray, exclude: np.ndarray) -> np.ndarray:
     return exclude[pos_c] != doc_ids
 
 
+def include_mask(doc_ids: np.ndarray, include: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where doc_id IS in the sorted ``include``
+    array (``bool.filter`` allowed set — docs passing the structured
+    predicate)."""
+    if include.size == 0:
+        return np.zeros(doc_ids.size, bool)
+    pos = np.searchsorted(include, doc_ids)
+    pos_c = np.minimum(pos, include.size - 1)
+    return include[pos_c] == doc_ids
+
+
 def _topk(
     doc_ids: np.ndarray,
     scores: np.ndarray,
     k: int,
     after: tuple[float, int] | None = None,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ):
     """Exact local top-k with (-score, doc_id) order; tie-safe prefilter.
 
@@ -90,7 +102,12 @@ def _topk(
     scalable deep-pagination model: page cost is O(k), not O(offset+k)).
     ``exclude``: sorted tombstoned doc ids, masked BEFORE selection so
     the page is exact over the live doc set.
+    ``include``: sorted allowed doc ids (``bool.filter``), masked BEFORE
+    selection so the page is exact over the filtered doc set.
     """
+    if include is not None and doc_ids.size:
+        keep = include_mask(doc_ids, include)
+        doc_ids, scores = doc_ids[keep], scores[keep]
     if exclude is not None and exclude.size and doc_ids.size:
         keep = exclude_mask(doc_ids, exclude)
         doc_ids, scores = doc_ids[keep], scores[keep]
@@ -127,6 +144,7 @@ def score_conjunctive(
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ):
     """AND query over one shard.
 
@@ -157,7 +175,7 @@ def score_conjunctive(
     for (ids, tfs, _), idf in zip(term_postings, idfs):  # sorted-term order
         tf = tfs[np.searchsorted(ids, inter)]
         scores += _contribution(tf, dls, idf, avgdl, k1, b)
-    return _topk(inter, scores, k, after, exclude)
+    return _topk(inter, scores, k, after, exclude, include)
 
 
 def _union_with_dls(nonempty: list[tuple[Postings, float]]):
@@ -204,6 +222,7 @@ def score_grouped(
     k: int,
     mode: str = "and",
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ):
     """Top-k over per-query-term virtual postings (``fuzzy_group`` output).
 
@@ -230,7 +249,7 @@ def score_grouped(
         scores = np.zeros(inter.size, np.float64)
         for ids, best in groups:  # sorted-q_term fold order
             scores += best[np.searchsorted(ids, inter)]
-        return _topk(inter, scores, k, exclude=exclude)
+        return _topk(inter, scores, k, exclude=exclude, include=include)
     if mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
     nonempty = [g for g in groups if g[0].size > 0]
@@ -240,7 +259,7 @@ def score_grouped(
     scores = np.zeros(union.size, np.float64)
     for ids, best in nonempty:
         scores[np.searchsorted(union, ids)] += best
-    return _topk(union, scores, k, exclude=exclude)
+    return _topk(union, scores, k, exclude=exclude, include=include)
 
 
 def score_disjunctive(
@@ -253,6 +272,7 @@ def score_disjunctive(
     after: tuple[float, int] | None = None,
     min_match: int = 1,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ):
     """Exhaustive OR scorer (the always-available oracle mode).
 
@@ -273,7 +293,7 @@ def score_disjunctive(
     if min_match > 1:
         keep = counts >= min_match
         union, scores = union[keep], scores[keep]
-    return _topk(union, scores, k, after, exclude)
+    return _topk(union, scores, k, after, exclude, include)
 
 
 def score_disjunctive_blockmax(
