@@ -730,7 +730,12 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    # rows-only check: Arrow decode plumbing with the deterministic fake
+    """Arrow decode plumbing, fully oracle-checked: the deterministic
+    fake feature is pure byte arithmetic (mean of consecutive 8-byte
+    chunks of the first 64 payload bytes / 255 —
+    sparkfts/ops/multimodal.py:_decode_image), which DuckDB reproduces
+    byte-for-byte over the utf-8 payload (testdata text is ASCII, so
+    char n == byte n; both sides fold as (sum/8)/255 in float64)."""
     from sparkfts.ops.multimodal import decode_features
 
     payloads = _docs(spark, sf_dir).select(
@@ -739,7 +744,11 @@ def q_multimodal_decode(spark, sf_dir):
     )
     feats = decode_features(payloads, "payload", "media_id", fake=True)
     return feats.select(
-        "media_id", F.size("features").alias("feature_dim")
+        "media_id", F.posexplode("features").alias("j", "f")
+    ).select(
+        "media_id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("f") * 1_000_000 + 0.5).cast("long").alias("f_e6"),
     )
 
 
@@ -1536,6 +1545,19 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY 1 ORDER BY revenue_e2 DESC, n_name
 """
-    # multimodal_decode intentionally has no oracle (rows-only check:
-    # Arrow decode plumbing with a stubbed codec is not SQL-expressible)
+    # multimodal_decode: the fake-decode byte math (mean of consecutive
+    # 8-byte chunks of the first 64 bytes / 255) is reproduced exactly
+    # over the ASCII payloads; zero-padding matches ascii(substr beyond
+    # len) = 0. Both sides fold as (sum/8)/255 in float64 (integer sums
+    # are exact, /8 is a power of two), so the e6 quantization is stable.
+    sqls["multimodal_decode"] = """
+WITH grid AS (
+  SELECT d.doc_id, r1.j, 8 * r1.j + r2.i + 1 AS n, d.text
+  FROM documents d, range(8) r1(j), range(8) r2(i)
+)
+SELECT doc_id AS media_id, CAST(j AS INT) AS j,
+       CAST(floor(sum(ascii(substr(text, CAST(n AS INT), 1))) / 8.0 / 255.0
+                  * 1000000 + 0.5) AS BIGINT) AS f_e6
+FROM grid GROUP BY doc_id, j
+"""
     return sqls
