@@ -312,6 +312,22 @@ def q_fts_phrase_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_phrase_slop(spark, sf_dir):
+    """match_phrase with slop=2 (ES window-tolerant phrase; pinned
+    ordered-greedy semantics, oracle.phrase.sloppy_freq). For a 2-term
+    phrase the greedy chain is `exists second-term position in
+    (p0, p0+1+slop]` — the DuckDB oracle states it exactly that way."""
+    from sparkfts.phrase import build_positions, match_phrase_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = match_phrase_batch(spark, idx, [(0, PHRASE_QUERY, 10)], slop=2)
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_multifield_topk(spark, sf_dir):
     """ES multi_match(best_fields, operator=and) over [title^2, text] —
     the reference's actual query shape (field list at reference
@@ -834,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_index_topk": q_fts_index_topk,
         "fts_phrase_topk": q_fts_phrase_topk,
+        "fts_phrase_slop": q_fts_phrase_slop,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -989,6 +1006,41 @@ hits AS (
   FROM toks tk JOIN pterms p ON tk.tok = p.term
   WHERE tk.pos - p.i >= 0
   GROUP BY 1, 2 HAVING count(*) = {len(p_terms)}),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    t0_term, t1_term = p_terms[0], p_terms[1]
+    sqls["fts_phrase_slop"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+pterms(term, i) AS (VALUES {p_vals}),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ({p_in}) GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN dfs d USING (term) CROSS JOIN stats s),
+hits AS (
+  SELECT a.doc_id, a.pos AS st
+  FROM toks a
+  WHERE a.tok = '{t0_term}'
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = a.doc_id AND b.tok = '{t1_term}'
+                  AND b.pos > a.pos AND b.pos <= a.pos + 3)),
 freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
 scored AS (
   SELECT f.doc_id,

@@ -72,8 +72,49 @@ class PhraseOracle:
         starts = set.intersection(*pos_sets)
         return len(starts)
 
-    def search(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
-        """Top-k ``(doc_id, score)`` documents containing the exact phrase."""
+    def sloppy_freq(self, terms: list[str], doc_id: int, slop: int) -> int:
+        """PINNED slop semantics (ordered window-tolerant matching):
+
+        a start position ``p0`` of ``terms[0]`` matches iff the greedy
+        in-order chain (each next term at the SMALLEST position strictly
+        after the previous term's) completes with total inserted gap
+        ``p_last - p0 - (m-1) <= slop``. Greedy-minimal chaining is
+        optimal (choosing the smallest admissible next position can only
+        shrink the final span), so this counts exactly the starts
+        admitting ANY in-order match within the window. ``slop=0``
+        reduces to exact adjacency == :meth:`phrase_freq` (tested).
+        Unlike Lucene's SloppyPhraseQuery this never matches out of
+        order, and tfp counts matches unweighted (no 1/(1+distance)
+        sloppy-freq damping) — a deliberate, simpler pin.
+        """
+        from bisect import bisect_right
+
+        plists = []
+        for t in terms:
+            plist = self.positions.get(t, {}).get(doc_id)
+            if not plist:
+                return 0
+            plists.append(plist)
+        m = len(terms)
+        tfp = 0
+        for p0 in plists[0]:
+            cur = p0
+            ok = True
+            for plist in plists[1:]:
+                j = bisect_right(plist, cur)
+                if j >= len(plist):
+                    ok = False
+                    break
+                cur = plist[j]
+            if ok and cur - p0 - (m - 1) <= slop:
+                tfp += 1
+        return tfp
+
+    def search(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Top-k ``(doc_id, score)`` documents containing the phrase
+        (exactly for ``slop=0``, within the ordered window otherwise)."""
         terms = tokenize(phrase)  # order + duplicates preserved
         if not terms or self.n_docs == 0:
             return []
@@ -82,7 +123,11 @@ class PhraseOracle:
         idf_sum = sum(self.idf(t) for t in terms)  # phrase-order fold
         scored = []
         for doc_id in self.positions.get(rare, {}):
-            tfp = self.phrase_freq(terms, doc_id)
+            tfp = (
+                self.phrase_freq(terms, doc_id)
+                if slop == 0
+                else self.sloppy_freq(terms, doc_id, slop)
+            )
             if tfp == 0:
                 continue
             dl = self.doclen[doc_id]

@@ -127,6 +127,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--filter")
         if args.must_not:
             unsupported.append("--must-not")
+        if args.slop and not args.phrase:
+            unsupported.append("--slop")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -136,6 +138,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             raise SystemExit(
                 f"{' / '.join(unsupported)} not supported with {mode_flag}"
             )
+    elif args.slop:
+        raise SystemExit("--slop requires --phrase")
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
@@ -149,7 +153,8 @@ def cmd_query(args: argparse.Namespace) -> None:
                 "no positions table; run `positions --input ... --index ...`"
             )
         res = match_phrase_batch(
-            spark, args.index, [(0, args.query, args.k)], offset=args.offset
+            spark, args.index, [(0, args.query, args.k)],
+            offset=args.offset, slop=args.slop,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -386,6 +391,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="OR mode: require >= N distinct query terms")
     q.add_argument("--phrase", action="store_true",
                    help="match_phrase over the positions table")
+    q.add_argument("--slop", type=int, default=0,
+                   help="match_phrase slop: ordered window tolerance "
+                        "(total inserted gap <= slop; 0 = exact)")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
     q.add_argument("--fields", default=None,

@@ -168,11 +168,30 @@ def load_positions(spark: SparkSession, index_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def _phrase_starts(pos_lists: list[np.ndarray], slop: int) -> int:
+    """tfp under the pinned slop semantics (:mod:`oracle.phrase`):
+    greedy in-order chaining, vectorized over ALL start positions at
+    once — for each start of term 0, each later term advances to its
+    smallest position strictly after the previous term's
+    (``searchsorted(side='right')``); a start matches iff the chain
+    completes with total gap ``<= slop``. slop=0 == exact adjacency."""
+    p0 = pos_lists[0]
+    cur = p0
+    alive = np.ones(cur.size, bool)
+    for plist in pos_lists[1:]:
+        idx = np.searchsorted(plist, cur, side="right")
+        alive &= idx < plist.size
+        cur = np.where(alive, plist[np.minimum(idx, plist.size - 1)], cur)
+    gaps = cur - p0 - (len(pos_lists) - 1)
+    return int((alive & (gaps <= slop)).sum())
+
+
 def _make_phrase_scorer(
     queries_analyzed: list[tuple[int, list[str], int]],
     idf_sums: dict[int, float],
     avgdl: float,
     exclude: np.ndarray | None = None,
+    slop: int = 0,
 ):
     """Kernel factory: phrase-score ALL queries against ONE shard."""
 
@@ -208,6 +227,30 @@ def _make_phrase_scorer(
                             exclude_mask(
                                 np.array([doc_id], np.int64), exclude
                             )[0]:
+                        continue
+                    if slop > 0:
+                        plists = []
+                        ok = True
+                        for m in maps:
+                            entry = m.get(doc_id)
+                            if entry is None:
+                                ok = False
+                                break
+                            plists.append(entry[0])
+                        if not ok:
+                            continue
+                        tfp = _phrase_starts(plists, slop)
+                        if tfp == 0:
+                            continue
+                        norm = k1 * (1 - b + b * dl / avgdl)
+                        doc_scores.append(
+                            (
+                                doc_id,
+                                idf_sums[qid]
+                                * (tfp / (tfp + norm))
+                                * (k1 + 1),
+                            )
+                        )
                         continue
                     starts: np.ndarray | None = None
                     ok = True
@@ -271,9 +314,15 @@ def match_phrase_batch(
     index_dir: str,
     queries: list[tuple[int, str, int]],
     offset: int = 0,
+    slop: int = 0,
 ) -> DataFrame:
     """Answer a batch of match_phrase top-k queries -> (query_id, rank,
-    doc_id, score). Requires ``build_positions`` to have run."""
+    doc_id, score). Requires ``build_positions`` to have run.
+
+    ``slop``: ES match_phrase slop — ordered window-tolerant matching
+    with total inserted gap <= slop (pinned spec: oracle.phrase
+    ``sloppy_freq``); 0 = exact adjacency.
+    """
     from sparkfts.index import load_terms, read_meta, term_bucket
     from sparkfts.query import _empty_results
 
@@ -310,6 +359,7 @@ def match_phrase_batch(
     scorer = _make_phrase_scorer(
         analyzed, idf_sums, meta["avgdl"],
         exclude=load_tombstones(spark, index_dir),
+        slop=int(slop),
     )
     local = pos.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
@@ -416,7 +466,10 @@ class PhraseSearcher:
         return {t: self._pos_lru[t] for t in terms}
 
     def phrase_rows(
-        self, queries: list[tuple[int, str, int]], offset: int = 0
+        self,
+        queries: list[tuple[int, str, int]],
+        offset: int = 0,
+        slop: int = 0,
     ) -> list[tuple[int, int, int, float]]:
         """Serving API: (query_id, rank, doc_id, score) tuples."""
         k1, b = BM25_K1, BM25_B
@@ -432,7 +485,8 @@ class PhraseSearcher:
         total_df = sum(df_map.values())
         if not self.local_threshold or total_df > self.local_threshold:
             out = match_phrase_batch(
-                self.spark, self.index_dir, queries, offset=offset
+                self.spark, self.index_dir, queries, offset=offset,
+                slop=slop,
             ).collect()
             return [
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])
@@ -458,27 +512,41 @@ class PhraseSearcher:
                             np.array([doc_id], np.int64), self.tombstones
                         )[0]:
                     continue
-                starts = None
-                ok = True
-                for i, m in enumerate(maps):
-                    entry = m.get(doc_id)
-                    if entry is None:
-                        ok = False
-                        break
-                    shifted = entry[0] - i
-                    starts = (
-                        shifted
-                        if starts is None
-                        else np.intersect1d(
-                            starts, shifted, assume_unique=True
+                if slop > 0:
+                    plists, ok = [], True
+                    for m in maps:
+                        entry = m.get(doc_id)
+                        if entry is None:
+                            ok = False
+                            break
+                        plists.append(entry[0])
+                    if not ok:
+                        continue
+                    tfp = _phrase_starts(plists, slop)
+                    if tfp == 0:
+                        continue
+                else:
+                    starts = None
+                    ok = True
+                    for i, m in enumerate(maps):
+                        entry = m.get(doc_id)
+                        if entry is None:
+                            ok = False
+                            break
+                        shifted = entry[0] - i
+                        starts = (
+                            shifted
+                            if starts is None
+                            else np.intersect1d(
+                                starts, shifted, assume_unique=True
+                            )
                         )
-                    )
-                    if starts.size == 0:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                tfp = int(starts.size)
+                        if starts.size == 0:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    tfp = int(starts.size)
                 norm = k1 * (1 - b + b * dl / avgdl)
                 scored.append(
                     (doc_id, idf_sum * (tfp / (tfp + norm)) * (k1 + 1))

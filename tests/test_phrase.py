@@ -272,3 +272,86 @@ def test_phrase_survives_segment_merge(spark, tmp_path):
     assert [(r["query_id"], r["rank"], r["doc_id"]) for r in after] == [
         (r["query_id"], r["rank"], r["doc_id"]) for r in before
     ]
+
+
+def test_sloppy_freq_reduces_to_exact_at_zero(phrase_oracle, corpus):
+    """Oracle self-consistency: sloppy_freq(slop=0) == phrase_freq."""
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(
+        pd.Series(corpus.column("url").to_pylist())
+    ).tolist()
+    phrases = _corpus_phrases(corpus)
+    checked = 0
+    for p in phrases[:5]:
+        terms = tokenize(p)
+        for d in ids[:100]:
+            a = phrase_oracle.phrase_freq(terms, d)
+            b = phrase_oracle.sloppy_freq(terms, d, 0)
+            assert a == b, (p, d)
+            checked += a > 0
+    assert checked > 0
+
+
+def test_sloppy_freq_pinned_cases():
+    """Hand-pinned slop semantics (ordered greedy window)."""
+    o = PhraseOracle([(1, "a b c"), (2, "a x b"), (3, "a x x b"),
+                      (4, "b a"), (5, "a x b x x a b")])
+    ab = ["a", "b"]
+    assert o.sloppy_freq(ab, 1, 0) == 1      # adjacent
+    assert o.sloppy_freq(ab, 2, 0) == 0      # gap 1 needs slop>=1
+    assert o.sloppy_freq(ab, 2, 1) == 1
+    assert o.sloppy_freq(ab, 3, 1) == 0      # gap 2 needs slop>=2
+    assert o.sloppy_freq(ab, 3, 2) == 1
+    assert o.sloppy_freq(ab, 4, 5) == 0      # never out of order
+    # doc 5 = "a x b x x a b": starts a@0 (gap 1), a@5 (adjacent)
+    assert o.sloppy_freq(ab, 5, 0) == 1
+    assert o.sloppy_freq(ab, 5, 1) == 2
+
+
+def test_spark_slop_rank_identical(spark, pos_index, phrase_oracle, corpus):
+    """Distributed sloppy phrase == oracle for slop in {0,1,2}; slop
+    only widens the match set."""
+    from sparkfts.phrase import match_phrase_batch
+
+    phrases = _corpus_phrases(corpus)
+    prev_counts = None
+    for slop in (0, 1, 2):
+        batch = [(i, p, 10) for i, p in enumerate(phrases)]
+        got = match_phrase_batch(spark, pos_index, batch, slop=slop)
+        by_qid: dict[int, list] = {}
+        for r in got.collect():
+            by_qid.setdefault(r["query_id"], []).append(r)
+        counts = []
+        for qid, p, k in batch:
+            exp = phrase_oracle.search(p, k=k, slop=slop)
+            rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+            assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (
+                f"slop={slop} phrase {p!r}"
+            )
+            for r, (_, s) in zip(rows, exp):
+                assert r["score"] == pytest.approx(s, rel=1e-9)
+            counts.append(len(exp))
+        if prev_counts is not None:
+            assert all(c >= p for c, p in zip(counts, prev_counts))
+        prev_counts = counts
+
+
+def test_phrase_searcher_slop_parity(spark, pos_index, corpus):
+    """Warm PhraseSearcher local path == distributed for slop > 0."""
+    from sparkfts.phrase import PhraseSearcher, match_phrase_batch
+
+    phrases = _corpus_phrases(corpus)[:4]
+    s = PhraseSearcher(spark, pos_index)
+    batch = [(i, p, 10) for i, p in enumerate(phrases)]
+    warm = s.phrase_rows(batch, slop=2)
+    cold = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in match_phrase_batch(
+            spark, pos_index, batch, slop=2
+        ).collect()
+    ]
+    assert warm == cold and warm
+    s.close()
