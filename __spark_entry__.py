@@ -328,6 +328,18 @@ def q_fts_phrase_slop(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_prefix_topk(spark, sf_dir):
+    """ES prefix query over the sorted term dictionary: prefix 's'
+    expands to {scan, slow, small, sort, spark, stream} at this SF;
+    per doc the best expansion wins (max of idf * tf_norm * (k1+1) —
+    pinned spec in sparkfts/prefix.py docstring)."""
+    from sparkfts.prefix import prefix_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = prefix_topk_batch(spark, idx, [(0, "s", 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_multifield_topk(spark, sf_dir):
     """ES multi_match(best_fields, operator=and) over [title^2, text] —
     the reference's actual query shape (field list at reference
@@ -851,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_topk": q_fts_index_topk,
         "fts_phrase_topk": q_fts_phrase_topk,
         "fts_phrase_slop": q_fts_phrase_slop,
+        "fts_prefix_topk": q_fts_prefix_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -963,6 +976,35 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
     sqls["fts_bm25_topk"] = bm25_and
     sqls["fts_index_topk"] = bm25_and
+
+    sqls["fts_prefix_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok LIKE 's%' GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         max( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     sqls["fts_filtered_topk"] = _bm25_sql(
         sorted(set(BM25_QUERY_OR.split())),

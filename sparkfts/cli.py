@@ -117,6 +117,13 @@ def cmd_query(args: argparse.Namespace) -> None:
     # --search-after and --min-should-match are only threaded through the
     # plain-query path; fail loudly rather than silently ignoring them
     # (checked before any Spark session spins up).
+    if args.prefix and (args.phrase or args.fields or args.fuzzy):
+        raise SystemExit("--prefix is exclusive of --phrase/--fields/--fuzzy")
+    if args.prefix and (args.search_after or args.min_should_match != 1
+                        or args.filter or args.must_not or args.slop):
+        raise SystemExit(
+            "--prefix supports only --k/--offset/--max-expansions"
+        )
     if args.phrase or args.fields or args.fuzzy:
         unsupported = []
         if args.search_after:
@@ -144,7 +151,22 @@ def cmd_query(args: argparse.Namespace) -> None:
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    if args.phrase:
+    if args.prefix:
+        from sparkfts.index import load_docmap
+        from sparkfts.prefix import prefix_topk_batch
+
+        res = prefix_topk_batch(
+            spark, args.index, [(0, args.query, args.k)],
+            max_expansions=args.max_expansions, offset=args.offset,
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+    elif args.phrase:
         from sparkfts.index import load_docmap
         from sparkfts.phrase import match_phrase_batch
 
@@ -394,6 +416,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--slop", type=int, default=0,
                    help="match_phrase slop: ordered window tolerance "
                         "(total inserted gap <= slop; 0 = exact)")
+    q.add_argument("--prefix", action="store_true",
+                   help="ES prefix query: treat QUERY as a term prefix "
+                        "(dictionary range expansion)")
+    q.add_argument("--max-expansions", type=int, default=None,
+                   help="cap prefix expansions (sorted term order)")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
     q.add_argument("--fields", default=None,

@@ -1,0 +1,137 @@
+"""ES ``prefix`` term query: dictionary range expansion -> grouped top-k.
+
+The reference's ES backend answers ``{"prefix": {"text": "spa"}}`` from
+Lucene's sorted term dictionary (the DSL the reference emits never uses
+it — same "backend surface a real user hits next" family as fuzzy /
+phrase, reference ElasticsearchHandler.py:69). Here the terms table is
+written sorted by term within each tbucket file
+(sparkfts/index.py:_write_terms), so the ``startswith`` predicate prunes
+parquet row groups via min/max term stats — a range scan, never a full
+dictionary read. The dictionary stays distributed; only the (small)
+matching expansion set is collected.
+
+Pinned scoring (executable spec mirrored by the DuckDB oracle in
+``__spark_entry__.fts_prefix_topk``): each matching dictionary term is an
+expansion weighted by its own ``idf``; per document the BEST expansion
+wins —
+
+    score(d) = max over expansions t of idf(t) * tf_norm(t, d) * (k1+1)
+
+i.e. the ``boost = 1.0`` case of the fuzzy grouped scorer
+(:func:`sparkfts.wand.fuzzy_group`), which this module reuses verbatim.
+``max`` over float64 is order-independent, so results are deterministic
+regardless of expansion enumeration order. Ties break (-score, doc_id).
+
+``max_expansions``: ES-style cap, first N expansions in sorted term
+order (ES's multi-term rewrite cap). ``None`` = exhaustive — the
+oracle-parity default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkfts.stats import idf as idf_fn
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefixes: list[tuple[int, str]],
+    n_docs: int,
+    max_expansions: int | None = None,
+) -> dict[int, list[tuple[str, float]]]:
+    """``query_id -> [(term, idf weight)]`` for each prefix, from the
+    terms dictionary (row-group-pruned ``startswith`` range scan)."""
+    from sparkfts.index import load_terms
+
+    out: dict[int, list[tuple[str, float]]] = {qid: [] for qid, _ in prefixes}
+    valid = [(qid, p) for qid, p in prefixes if p]
+    if not valid:
+        return out
+    terms = load_terms(spark, index_dir)
+    cond = None
+    for _, p in valid:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    rows = terms.where(cond).select("term", "df").collect()
+    for qid, p in valid:
+        exps = sorted(
+            (r["term"], int(r["df"])) for r in rows if r["term"].startswith(p)
+        )
+        if max_expansions is not None:
+            exps = exps[:max_expansions]
+        out[qid] = [(t, idf_fn(n_docs, df)) for t, df in exps]
+    return out
+
+
+def prefix_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    max_expansions: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Answer a batch of prefix top-k queries -> (query_id, rank, doc_id,
+    score). Plan: dictionary range expansion (small collect) -> postings
+    pruned to the expansion set -> per-shard grouped kernel (same
+    best-expansion-wins kernel as fuzzy) -> global window top-k."""
+    from sparkfts.deletes import load_tombstones
+    from sparkfts.index import load_postings, read_meta, term_bucket
+    from sparkfts.query import _empty_results, _make_fuzzy_shard_scorer
+
+    meta = read_meta(index_dir)
+    queries = [(qid, p.strip().lower(), k + int(offset))
+               for qid, p, k in queries if p and p.strip()]
+    if not queries or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    expansions = expand_prefix(
+        spark, index_dir, [(qid, p) for qid, p, _ in queries],
+        meta["n_docs"], max_expansions,
+    )
+    queries_grouped = [
+        (qid, [(p, expansions.get(qid, []))], k) for qid, p, k in queries
+    ]
+    all_terms = sorted(
+        {t for exps in expansions.values() for t, _ in exps}
+    )
+    if not all_terms:
+        return _empty_results(spark)
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
+    postings = load_postings(spark, index_dir).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    scorer = _make_fuzzy_shard_scorer(
+        queries_grouped,
+        meta["avgdl"],
+        "or",  # single group per query: and/or coincide
+        meta["block_size"],
+        exclude=load_tombstones(spark, index_dir),
+    )
+    local = postings.groupby("shard").applyInPandas(
+        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
+    )
+    k_map = F.create_map(
+        *[x for qid, _, k in queries for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def prefix_topk(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 10, **kw
+) -> DataFrame:
+    """Single-prefix wrapper -> DataFrame(rank, doc_id, score)."""
+    return prefix_topk_batch(
+        spark, index_dir, [(0, prefix, k)], **kw
+    ).select("rank", "doc_id", "score")

@@ -1,0 +1,141 @@
+"""ES prefix query: dictionary expansion + best-expansion-wins scoring.
+
+Expected values computed independently in pure Python from the corpus
+(pinned analyzer, BM25 stats, max-over-expansions formula per the module
+docstring spec).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from sparkfts import BM25_B, BM25_K1
+from sparkfts.analysis import tokenize
+from sparkfts.index import build_index
+from sparkfts.prefix import expand_prefix, prefix_topk_batch
+from sparkfts.synth import gen_corpus
+from sparkfts.tokens import sha1_doc_id
+
+
+@pytest.fixture(scope="module")
+def pcorpus():
+    return gen_corpus(200, seed=17)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, pcorpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("prefix") / "idx")
+    build_index(spark.createDataFrame(pcorpus.to_pandas()), d,
+                n_shards=4, n_tbuckets=8)
+    return d
+
+
+def _pick_prefix(pcorpus, min_terms=3):
+    vocab = sorted(
+        {t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)}
+    )
+    from collections import Counter as C
+
+    for ln in (2, 1, 3):
+        pres = C(t[:ln] for t in vocab if len(t) >= ln)
+        for p, n in pres.most_common():
+            if n >= min_terms:
+                return p
+    raise AssertionError("no multi-term prefix in corpus vocab")
+
+
+def _py_oracle(pcorpus, prefix, k):
+    texts = pcorpus.column("text").to_pylist()
+    ids = sha1_doc_id(pd.Series(pcorpus.column("url").to_pylist())).tolist()
+    toks = [tokenize(t) for t in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    df: Counter = Counter()
+    for t in toks:
+        df.update(set(t))
+    terms = sorted(t for t in df if t.startswith(prefix))
+    scored = []
+    for d, tk in zip(ids, toks):
+        dl = len(tk)
+        tf = Counter(tk)
+        best = 0.0
+        for t in terms:
+            if tf[t]:
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                norm = BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+                best = max(
+                    best, idf * (tf[t] / (tf[t] + norm)) * (BM25_K1 + 1)
+                )
+        if best > 0:
+            scored.append((int(d), best))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_expand_prefix_range(spark, pcorpus, pidx):
+    p = _pick_prefix(pcorpus)
+    exps = expand_prefix(spark, pidx, [(0, p)], 200)[0]
+    vocab = {
+        t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)
+    }
+    assert [t for t, _ in exps] == sorted(t for t in vocab if t.startswith(p))
+    assert len(exps) >= 3
+    # max_expansions caps in sorted term order
+    capped = expand_prefix(spark, pidx, [(0, p)], 200, max_expansions=2)[0]
+    assert capped == exps[:2]
+
+
+def test_prefix_topk_matches_py_oracle(spark, pcorpus, pidx):
+    p = _pick_prefix(pcorpus)
+    got = prefix_topk_batch(spark, pidx, [(0, p, 10)]).collect()
+    exp = _py_oracle(pcorpus, p, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    assert got  # fixture sanity
+
+
+def test_prefix_single_term_equals_whole_word(spark, pcorpus, pidx):
+    """A prefix matching exactly one dictionary term scores like that
+    term's single-term OR query (same formula, one expansion)."""
+    from sparkfts.query import bm25_index_batch
+
+    vocab = sorted(
+        {t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)}
+    )
+    # find a term that is the unique extension of its own full length
+    target = next(
+        t for t in vocab
+        if sum(1 for u in vocab if u.startswith(t)) == 1
+    )
+    a = prefix_topk_batch(spark, pidx, [(0, target, 10)]).collect()
+    b = bm25_index_batch(spark, pidx, [(0, target, 10)], mode="or").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_prefix_no_match(spark, pcorpus, pidx):
+    assert prefix_topk_batch(spark, pidx, [(0, "zzzzqq", 5)]).collect() == []
+
+
+def test_prefix_respects_tombstones(spark, pcorpus, pidx, tmp_path):
+    import shutil
+
+    from sparkfts.deletes import delete_docs
+
+    idx2 = str(tmp_path / "pidx2")
+    shutil.copytree(pidx, idx2)
+    p = _pick_prefix(pcorpus)
+    base = prefix_topk_batch(spark, idx2, [(0, p, 10_000)]).collect()
+    victim = base[0]["doc_id"]
+    delete_docs(spark, idx2, [victim])
+    after = prefix_topk_batch(spark, idx2, [(0, p, 20)]).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    exp = [(r["doc_id"], r["score"]) for r in base
+           if r["doc_id"] != victim][:20]
+    assert [(r["doc_id"], r["score"]) for r in after] == exp
