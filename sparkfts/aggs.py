@@ -163,6 +163,103 @@ def terms_facet(
     )
 
 
+def terms_facet_approx(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+    size: int = 10,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """ES-style approximate ``terms`` aggregation: per-shard top-N +
+    coordinator merge -> (value, doc_count, doc_count_error_upper_bound).
+
+    What ES actually does for head terms: each shard reports only its
+    local top ``shard_size`` buckets (ES default ``size * 1.5 + 10``);
+    the merge sums per-value counts across shards. A value a shard
+    truncated may be under-counted by at most that shard's LAST reported
+    count — summed over non-reporting shards this is the returned
+    ``doc_count_error_upper_bound`` (exactly ES's bound). With
+    ``shard_size`` >= the field's distinct-value count nothing truncates,
+    the bound is 0, and results equal :func:`terms_facet` (tested).
+
+    Scale shape vs the exact facet: the value-merge shuffle carries at
+    most ``n_shards * shard_size`` rows instead of
+    ``n_shards * distinct_values`` — the win for high-cardinality fields
+    (hosts, domains) under head-term queries. The per-shard counting
+    itself stays map-side (partial agg on the shard-partitioned join).
+    """
+    from sparkfts.index import read_meta
+
+    meta = read_meta(index_dir)
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)  # ES default heuristic
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    # shard is derivable from doc_id (the build's doc-space salt), so
+    # per-shard counting needs no extra lookup
+    per_shard = (
+        matched.withColumn(
+            "shard",
+            F.pmod(F.col("doc_id"), F.lit(meta["n_shards"])).cast("int"),
+        )
+        .join(doc_values.select("doc_id", field), "doc_id")
+        .groupBy("shard", F.col(field).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("value"))
+    ranked = per_shard.withColumn("rn", F.row_number().over(w))
+    kept = ranked.where(F.col("rn") <= F.lit(int(shard_size)))
+    # per-shard truncation floor: the last KEPT count, but only for
+    # shards that actually truncated (rn reached shard_size and more
+    # buckets existed) — n_shards rows, driver-side merge is trivial
+    shard_stats = (
+        ranked.groupBy("shard")
+        .agg(
+            F.max("rn").alias("n_buckets"),
+            F.min(
+                F.when(F.col("rn") == F.lit(int(shard_size)), F.col("cnt"))
+            ).alias("floor_cnt"),
+        )
+        .collect()
+    )
+    floors = {
+        int(r["shard"]): int(r["floor_cnt"])
+        for r in shard_stats
+        if r["n_buckets"] > int(shard_size) and r["floor_cnt"] is not None
+    }
+    merged = kept.groupBy("value").agg(
+        F.sum("cnt").alias("doc_count"),
+        F.collect_set("shard").alias("shards_reporting"),
+    )
+    if floors:
+        floor_map = F.create_map(
+            *[x for s, c in floors.items() for x in (F.lit(s), F.lit(c))]
+        )
+        err = F.aggregate(
+            F.filter(
+                F.array([F.lit(s) for s in sorted(floors)]),
+                lambda s: ~F.array_contains(F.col("shards_reporting"), s),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.element_at(floor_map, s),
+        )
+    else:
+        err = F.lit(0).cast("long")
+    return (
+        merged.select(
+            "value",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            err.alias("doc_count_error_upper_bound"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("value"))
+        .limit(size)
+    )
+
+
 def terms_facet_from_index(
     spark: SparkSession,
     index_dir: str,

@@ -143,3 +143,78 @@ def test_terms_facet_from_index_docvalues(spark, pages_df, tmp_path, queries):
 
     with _pytest.raises(ValueError, match="doc value"):
         terms_facet_from_index(spark, d, q, "warc_ts")
+
+
+def test_facet_approx_equals_exact_when_untruncated(spark, corpus, tmp_path):
+    """shard_size >= distinct values -> zero error bound, exact counts."""
+    from sparkfts.aggs import terms_facet, terms_facet_approx
+    from sparkfts.index import build_index
+
+    idx = str(tmp_path / "facet_apx_idx")
+    pdf = corpus.to_pandas()
+    pages = spark.createDataFrame(pdf)
+    build_index(pages, idx, n_shards=4, n_tbuckets=8)
+    from sparkfts.tokens import sha1_doc_id
+    import pandas as pd
+
+    dv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": sha1_doc_id(pdf["url"]),
+                "lang": pdf["lang"],
+            }
+        )
+    )
+    from sparkfts.analysis import tokenize
+
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    exact = terms_facet(spark, idx, q, dv, "lang", mode="or", size=10).collect()
+    apx = terms_facet_approx(
+        spark, idx, q, dv, "lang", mode="or", size=10, shard_size=1000
+    ).collect()
+    assert [(r["value"], r["doc_count"]) for r in apx] == [
+        (r["value"], r["doc_count"]) for r in exact
+    ]
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in apx)
+    assert exact  # fixture sanity
+
+
+def test_facet_approx_truncation_bounds(spark, corpus, tmp_path):
+    """Truncated shards: counts are lower bounds within the reported
+    error bound of the exact counts; top value survives."""
+    from sparkfts.aggs import terms_facet, terms_facet_approx
+    from sparkfts.index import build_index
+
+    idx = str(tmp_path / "facet_apx2_idx")
+    pdf = corpus.to_pandas()
+    pages = spark.createDataFrame(pdf)
+    build_index(pages, idx, n_shards=4, n_tbuckets=8)
+    from sparkfts.tokens import sha1_doc_id
+    import pandas as pd
+
+    # high-cardinality synthetic value: doc_id mod 23 as a string
+    ids = sha1_doc_id(pdf["url"])
+    dv = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "grp": (ids % 23).astype(str)})
+    )
+    from sparkfts.analysis import tokenize
+    from collections import Counter
+
+    c = Counter()
+    for t in pdf["text"]:
+        c.update(set(tokenize(t)))
+    q = c.most_common(1)[0][0]
+    exact = {
+        r["value"]: r["doc_count"]
+        for r in terms_facet(
+            spark, idx, q, dv, "grp", mode="or", size=23
+        ).collect()
+    }
+    apx = terms_facet_approx(
+        spark, idx, q, dv, "grp", mode="or", size=5, shard_size=5
+    ).collect()
+    assert apx
+    for r in apx:
+        ex = exact[r["value"]]
+        assert r["doc_count"] <= ex
+        assert ex <= r["doc_count"] + r["doc_count_error_upper_bound"]

@@ -127,3 +127,31 @@ def test_duplicate_clusters_path_doubling_long_chain(spark):
     assert len(rows) == 201
     assert {r["cluster_id"] for r in rows} == {1000}
     assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (durable checkpoint()) produces identical
+    clusters to the default localCheckpoint mode — the cluster
+    fault-tolerance hardening from the r2 VERDICT nit."""
+    from sparkfts.ops.dedup import duplicate_clusters
+
+    # 30-node chain + a triangle + an isolated pair
+    edges = [(i, i + 1) for i in range(30)] + [
+        (100, 101), (101, 102), (100, 102), (200, 201),
+    ]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    base = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    ck = str(tmp_path / "ckpt")
+    durable = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs, checkpoint_dir=ck).collect()
+    }
+    assert base == durable
+    assert {c for _, c, _ in base} == {0, 100, 200}
+    import os
+
+    # the durable run actually wrote checkpoint data
+    assert any(os.scandir(ck))
