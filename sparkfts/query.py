@@ -501,26 +501,34 @@ def bm25_index_batch(
     postings = load_postings(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
     )
-    # global df from the tiny term-dictionary table (partition-pruned on
-    # tbucket, predicate-pruned on term): a few-row collect off a scan
-    # that never touches posting blobs; idf ships to the kernel in its
-    # closure. Cheaper than a broadcast-join whose build side would block
-    # the main scan (measured: the collect round-trip wins at this size).
-    df_rows = (
-        load_terms(spark, index_dir)
-        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
-    joined = postings.withColumn(
-        "df", F.element_at(
-            F.create_map(
-                *[x for t in all_terms for x in (F.lit(t), F.lit(df_map.get(t, 0)))]
-            ),
-            F.col("term"),
+    # global df for the query terms. Two strategies, picked by batch
+    # width (both measured):
+    #   - few terms (interactive single queries): a few-row COLLECT off
+    #     the pruned terms scan, idf shipped in the kernel closure — the
+    #     collect round-trip beats a join build side at this size;
+    #   - wide batches (many queries in one call): fold the df lookup
+    #     into the main plan as a BROADCAST join, eliminating the extra
+    #     driver round-trip job entirely — that job is pure fixed cost,
+    #     exactly the per-batch floor that capped batch-query scaling
+    #     efficiency (BENCH/BASELINE.md r2: 0.49-0.54).
+    terms_pruned = load_terms(spark, index_dir).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
+    ).select("term", "df")
+    if len(all_terms) >= 48:
+        joined = postings.join(F.broadcast(terms_pruned), "term", "left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(0))
         )
-    )
+    else:
+        df_rows = terms_pruned.collect()
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        joined = postings.withColumn(
+            "df", F.element_at(
+                F.create_map(
+                    *[x for t in all_terms for x in (F.lit(t), F.lit(df_map.get(t, 0)))]
+                ),
+                F.col("term"),
+            )
+        )
 
     scorer = _make_shard_scorer(
         analyzed,
