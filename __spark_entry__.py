@@ -426,6 +426,20 @@ def q_fts_must_not_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_bm25f_topk(spark, sf_dir):
+    """BM25F combined-fields scoring over [title^2, text] (ES
+    combined_fields family; pinned spec oracle/bm25f.py): per-field
+    length-normalized tfs fold into one tfc BEFORE saturation, idf over
+    the any-field df from the terms_any combined dictionary."""
+    from sparkfts.multifield import bm25f_batch
+
+    idx = _mf_index_dir_for(spark, sf_dir)
+    res = bm25f_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], fields=MF_FIELDS, mode="and"
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -865,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase_slop": q_fts_phrase_slop,
         "fts_prefix_topk": q_fts_prefix_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
+        "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
@@ -1112,6 +1127,51 @@ u AS (
 best AS (SELECT doc_id, max(s) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM best ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    mf_in = ", ".join(f"'{t}'" for t in mf_terms)
+    sqls["fts_bm25f_topk"] = f"""
+WITH xt AS ({tx_src}), tt AS ({ti_src}),
+xdl AS (SELECT doc_id, count(*) AS doclen FROM xt GROUP BY 1),
+tdl AS (SELECT doc_id, count(*) AS doclen FROM tt GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM xdl) * 1.0
+           / (SELECT count(*) FROM documents) AS avg_x,
+         (SELECT sum(doclen) FROM tdl) * 1.0
+           / (SELECT count(*) FROM documents) AS avg_t
+),
+xtf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM xt
+        WHERE tok IN ({mf_in}) GROUP BY 1, 2),
+ttf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tt
+        WHERE tok IN ({mf_in}) GROUP BY 1, 2),
+dfany AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, term FROM xtf UNION SELECT doc_id, term FROM ttf
+  ) GROUP BY 1),
+pairs AS (
+  SELECT doc_id, term FROM xtf UNION SELECT doc_id, term FROM ttf),
+tfc AS (
+  SELECT p.doc_id, p.term,
+         COALESCE(2.0 * tt2.tf
+                  / (1 - 0.75 + 0.75 * tdl.doclen / s.avg_t), 0)
+       + COALESCE(1.0 * xt2.tf
+                  / (1 - 0.75 + 0.75 * xdl.doclen / s.avg_x), 0) AS tfc
+  FROM pairs p
+  LEFT JOIN xtf xt2 USING (doc_id, term)
+  LEFT JOIN ttf tt2 USING (doc_id, term)
+  JOIN xdl USING (doc_id) JOIN tdl USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (
+  SELECT c.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (c.tfc / (1.2 + c.tfc)) * 2.2 ) AS score,
+         count(*) AS nt
+  FROM tfc c JOIN dfany d USING (term) CROSS JOIN stats s
+  WHERE c.tfc > 0 GROUP BY c.doc_id)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE nt = {len(mf_terms)}
+ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_or_wand_topk"] = _bm25_sql(
         sorted(set(BM25_QUERY_OR.split())), False

@@ -336,3 +336,317 @@ class MultiFieldSearcher:
     def close(self) -> None:
         for s in self.searchers.values():
             s.close()
+
+
+# ---------------------------------------------------------------------------
+# BM25F: combined-fields weighted scoring (ES ``combined_fields`` family)
+# ---------------------------------------------------------------------------
+
+
+def build_terms_any(spark: SparkSession, index_dir: str) -> None:
+    """Write the COMBINED term dictionary ``terms_any(term, df_any,
+    tbucket)`` under a multi-field index: ``df_any`` = number of docs
+    containing the term in ANY field (the BM25F "combined document" df).
+
+    Derived from the already-written per-field postings: per (term,
+    shard) the kernel unions the decoded per-field doc_id runs and
+    counts distinct; per-shard counts sum to the global df_any because
+    each doc lives in exactly one shard. One pruned columnar scan per
+    field (doc_ids blobs only), one small agg — build-time cost is a
+    fraction of one field's index build.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sparkfts.index import load_postings
+
+    mf = read_mf_meta(index_dir)
+    parts = [
+        load_postings(spark, field_dir(index_dir, fld)).select(
+            "term", "shard", "doc_ids", "tbucket"
+        )
+        for fld in mf["fields"]
+    ]
+    from functools import reduce
+
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkfts.codec import decode_varint, delta_decode
+
+        by_term: dict[str, list] = {}
+        tb: dict[str, int] = {}
+        for _, r in pdf.iterrows():
+            by_term.setdefault(r["term"], []).append(r["doc_ids"])
+            tb[r["term"]] = int(r["tbucket"])
+        out_t, out_c, out_b = [], [], []
+        for t, blobs in by_term.items():
+            ids = np.concatenate(
+                [delta_decode(decode_varint(b)) for b in blobs]
+            )
+            out_t.append(t)
+            out_c.append(int(np.unique(ids).size))
+            out_b.append(tb[t])
+        return pd.DataFrame(
+            {"term": out_t, "df_shard_any": out_c, "tbucket": out_b}
+        )
+
+    per_shard = rows.groupby("shard").applyInPandas(
+        lambda pdf: kernel(pdf),
+        "term string, df_shard_any long, tbucket int",
+    )
+    terms_any = per_shard.groupBy("term").agg(
+        F.sum("df_shard_any").alias("df_any"),
+        F.first("tbucket").alias("tbucket"),
+    )
+    n_tbuckets = max(int(mf.get("n_tbuckets", 0)) or 16, 1)
+    (
+        terms_any.repartition(n_tbuckets, "tbucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(index_dir, "terms_any"))
+    )
+
+
+def load_terms_any(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Combined dictionary -> (term, df_any, tbucket); auto-built once."""
+    path = os.path.join(index_dir, "terms_any")
+    if not os.path.isdir(path):
+        build_terms_any(spark, index_dir)
+    return spark.read.schema("term string, df_any long, tbucket int").parquet(
+        path
+    )
+
+
+def _make_bm25f_scorer(
+    queries_analyzed: list[tuple[int, list[str], int]],
+    idf_any: dict[str, float],
+    specs: list[tuple[str, float]],
+    avgdl_by_field: dict[str, float],
+    mode: str,
+    exclude=None,
+):
+    """Kernel: BM25F-score ALL queries against ONE shard (all fields'
+    pruned postings arrive together, tagged by ``field``).
+
+    Per query term: union docs across fields, fold per-field weighted
+    normalized tf into ``tfc`` in field-spec order, saturate once
+    globally — then the per-term (ids, values) pairs combine across
+    terms with the existing grouped kernel
+    (:func:`sparkfts.wand.score_grouped`), AND = posting intersection,
+    OR = union sum. Spec + fold orders pinned to :mod:`oracle.bm25f`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sparkfts import BM25_B, BM25_K1
+    from sparkfts.wand import score_grouped
+
+    k1, b = BM25_K1, BM25_B
+
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_qid, out_doc, out_score = [], [], []
+        if len(pdf):
+            from sparkfts.codec import decode_varint, delta_decode
+
+            # (field, term) -> concatenated sorted runs
+            raw: dict[tuple[str, str], list] = {}
+            for _, r in pdf.iterrows():
+                raw.setdefault((r["field"], r["term"]), []).append(r)
+            decoded: dict[tuple[str, str], tuple] = {}
+
+            def postings_of(fld: str, term: str):
+                key = (fld, term)
+                if key not in decoded:
+                    rs = raw.get(key)
+                    if not rs:
+                        decoded[key] = None
+                    else:
+                        ids = np.concatenate(
+                            [
+                                delta_decode(decode_varint(r["doc_ids"]))
+                                for r in rs
+                            ]
+                        ).astype(np.int64)
+                        tfs = np.concatenate(
+                            [decode_varint(r["tfs"]) for r in rs]
+                        )
+                        dls = np.concatenate(
+                            [decode_varint(r["doclens"]) for r in rs]
+                        )
+                        order = np.argsort(ids, kind="stable")
+                        decoded[key] = (
+                            ids[order], tfs[order], dls[order]
+                        )
+                return decoded[key]
+
+            group_cache: dict[str, tuple] = {}
+
+            def term_group(t: str):
+                """(union_ids, scored values) for one query term."""
+                if t not in group_cache:
+                    entries = []
+                    for fld, w in specs:  # field-spec order (pinned)
+                        p = postings_of(fld, t)
+                        if p is not None and p[0].size:
+                            entries.append((p, w, avgdl_by_field[fld]))
+                    if not entries:
+                        group_cache[t] = (
+                            np.empty(0, np.int64),
+                            np.empty(0, np.float64),
+                        )
+                    else:
+                        union = np.unique(
+                            np.concatenate([p[0] for p, _, _ in entries])
+                        )
+                        tfc = np.zeros(union.size, np.float64)
+                        for (ids, tfs, dls), w, av in entries:
+                            denom = 1.0 - b + b * (
+                                dls.astype(np.float64) / av
+                            )
+                            contrib = w * (tfs.astype(np.float64) / denom)
+                            np.add.at(
+                                tfc, np.searchsorted(union, ids), contrib
+                            )
+                        val = (
+                            idf_any.get(t, 0.0)
+                            * (tfc / (k1 + tfc))
+                            * (k1 + 1.0)
+                        )
+                        group_cache[t] = (union, val)
+                return group_cache[t]
+
+            for qid, terms, k in queries_analyzed:
+                groups = [term_group(t) for t in terms]  # sorted order
+                ids, scores = score_grouped(
+                    groups, k, mode, exclude=exclude
+                )
+                if ids.size:
+                    out_qid.append(np.full(ids.size, qid, np.int32))
+                    out_doc.append(ids)
+                    out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return scorer
+
+
+def bm25f_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    fields: list[str] | None = None,
+    mode: str = "and",
+    offset: int = 0,
+) -> DataFrame:
+    """BM25F top-k from a multi-field index (pinned spec:
+    :mod:`oracle.bm25f` — per-field length-normalized tfs combine
+    BEFORE saturation, idf over any-field df; ES ``combined_fields``
+    family, vs :func:`bm25_multifield_batch`'s best-fields max).
+
+    Plan: combined-dictionary df collect (tiny) -> per-field pruned
+    postings scans unioned with a field tag -> one grouped kernel per
+    shard -> global window top-k. Same zero-wide-shuffle shape as the
+    single-field index query.
+    """
+    from sparkfts.analysis import tokenize_query
+    from sparkfts.index import load_postings, term_bucket
+    from sparkfts.query import _empty_results
+
+    meta = read_mf_meta(index_dir)
+    specs = parse_field_boosts(fields if fields is not None else meta["fields"])
+    unknown = [f for f, _ in specs if f not in meta["fields"]]
+    if unknown:
+        raise ValueError(f"fields not in index: {unknown}")
+
+    analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
+    analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
+    if not analyzed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+    # n_tbuckets from the first field's sub-index meta (same for all)
+    from sparkfts.index import read_meta
+
+    f0_meta = read_meta(field_dir(index_dir, specs[0][0]))
+    n_tbuckets = f0_meta["n_tbuckets"]
+    buckets = sorted({term_bucket(t, n_tbuckets) for t in all_terms})
+
+    df_rows = (
+        load_terms_any(spark, index_dir)
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df_any")
+        .collect()
+    )
+    from sparkfts.stats import idf as idf_fn
+
+    idf_any = {
+        r["term"]: idf_fn(meta["n_docs"], int(r["df_any"])) for r in df_rows
+    }
+    avgdl_by_field = {
+        f: meta["per_field"][f]["avgdl"] for f, _ in specs
+    }
+
+    parts = []
+    tombs = []
+    from sparkfts.deletes import load_tombstones
+
+    for fld, _w in specs:
+        fdir = field_dir(index_dir, fld)
+        parts.append(
+            load_postings(spark, fdir)
+            .where(
+                F.col("tbucket").isin(buckets)
+                & F.col("term").isin(all_terms)
+            )
+            .select(
+                "term", "shard", "doc_ids", "tfs", "doclens",
+                F.lit(fld).alias("field"),
+            )
+        )
+        t = load_tombstones(spark, fdir)
+        if t is not None:
+            tombs.append(t)
+    from functools import reduce
+
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+    import numpy as np
+
+    exclude = (
+        np.unique(np.concatenate(tombs)) if tombs else None
+    )
+    scorer = _make_bm25f_scorer(
+        analyzed, idf_any, specs, avgdl_by_field, mode, exclude=exclude
+    )
+    local = rows.groupby("shard").applyInPandas(
+        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
+    )
+    k_map = F.create_map(
+        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
