@@ -304,3 +304,26 @@ def test_cli_filter_flag(spark, fcorpus, fidx, capsys):
     with pytest.raises(SystemExit, match="filter"):
         main(["query", "--index", fidx, "--query", q, "--fuzzy",
               "--filter", "lang = 'en'"])
+
+
+def test_filter_docmap_scan_pruned_and_pushed(spark, fcorpus, fidx):
+    """Plan assertion: the bool.filter docmap scan is column-pruned to
+    (doc_id, lang, shard) and the predicate reaches the parquet scan as
+    a data filter — the 100-TB shape (never a full docmap read)."""
+    plan = (
+        bm25_index_batch(
+            spark, fidx, [(0, _common_terms(fcorpus)[0], 10)],
+            mode="or", filter_expr="lang = 'en'",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    docmap_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "docmap" in ln
+    ]
+    assert docmap_scans, plan
+    scan = docmap_scans[0]
+    assert "lang" in scan and "= en" in scan  # pushed predicate
+    assert "doclen" not in scan.split("DataFilters")[0]  # pruned column
