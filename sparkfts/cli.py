@@ -120,9 +120,9 @@ def cmd_query(args: argparse.Namespace) -> None:
     if args.prefix and (args.phrase or args.fields or args.fuzzy):
         raise SystemExit("--prefix is exclusive of --phrase/--fields/--fuzzy")
     if args.prefix and (args.search_after or args.min_should_match != 1
-                        or args.filter or args.must_not or args.slop):
+                        or args.must_not or args.slop):
         raise SystemExit(
-            "--prefix supports only --k/--offset/--max-expansions"
+            "--prefix supports only --k/--offset/--max-expansions/--filter"
         )
     if args.phrase or args.fields or args.fuzzy:
         unsupported = []
@@ -130,8 +130,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--search-after")
         if args.min_should_match != 1:  # 1 is the no-op default
             unsupported.append("--min-should-match")
-        if args.filter:
-            unsupported.append("--filter")
+        if args.filter and args.fields and args.fuzzy:
+            unsupported.append("--filter")  # mf-fuzzy path lacks it
         if args.must_not:
             unsupported.append("--must-not")
         if args.slop and not args.phrase:
@@ -158,6 +158,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         res = prefix_topk_batch(
             spark, args.index, [(0, args.query, args.k)],
             max_expansions=args.max_expansions, offset=args.offset,
+            filter_expr=args.filter,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -176,7 +177,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             )
         res = match_phrase_batch(
             spark, args.index, [(0, args.query, args.k)],
-            offset=args.offset, slop=args.slop,
+            offset=args.offset, slop=args.slop, filter_expr=args.filter,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -212,6 +213,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 mode=args.mode,
                 use_blockmax=not args.no_blockmax,
                 offset=args.offset,
+                filter_expr=args.filter,
             )
         first_field = parse_field_boosts(args.fields.split(","))[0][0]
         urls = load_docmap(
@@ -232,6 +234,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             [(0, args.query, args.k)],
             mode=args.mode,
             offset=args.offset,
+            filter_expr=args.filter,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (

@@ -157,8 +157,14 @@ def bm25_multifield_batch(
     mode: str = "and",
     use_blockmax: bool = True,
     offset: int = 0,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Best-fields BM25 top-k from a multi-field index, one Spark action.
+
+    ``filter_expr``: ES bool.filter, applied INSIDE each per-field plan
+    (per-field filtered top-(offset+k) still provably contains every
+    filtered best-fields winner — same monotone-max argument); needs the
+    sub-indexes built with the predicate's docvalue columns.
 
     ``fields``: ES-style specs (``["title^2", "text"]``); default = every
     indexed field, boost 1.0. Each per-field slice is the standard pruned
@@ -191,6 +197,7 @@ def bm25_multifield_batch(
                 widened,
                 mode=mode,
                 use_blockmax=use_blockmax,
+                filter_expr=filter_expr,
             ),
             boost,
         )

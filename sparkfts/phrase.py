@@ -192,16 +192,30 @@ def _make_phrase_scorer(
     avgdl: float,
     exclude: np.ndarray | None = None,
     slop: int = 0,
+    filtered: bool = False,
 ):
-    """Kernel factory: phrase-score ALL queries against ONE shard."""
+    """Kernel factory: phrase-score ALL queries against ONE shard.
+
+    ``filtered=True``: cogrouped signature — the second frame is this
+    shard's bool.filter allowed doc_id set; docs outside it never enter
+    the candidate loop."""
 
     k1, b = BM25_K1, BM25_B
 
-    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+    def scorer(
+        pdf: pd.DataFrame, pdf_allowed: pd.DataFrame | None = None
+    ) -> pd.DataFrame:
         out_qid: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        if len(pdf):
+        include = None
+        if filtered:
+            include = np.sort(
+                pdf_allowed["doc_id"].to_numpy(np.int64)
+                if pdf_allowed is not None
+                else np.empty(0, np.int64)
+            )
+        if len(pdf) and not (filtered and include.size == 0):
             # (term -> {doc_id -> (positions array, doclen)})
             by_term: dict[str, dict[int, tuple[np.ndarray, int]]] = {}
             terms_np = pdf["term"].to_numpy()
@@ -223,6 +237,13 @@ def _make_phrase_scorer(
 
                 doc_scores: list[tuple[int, float]] = []
                 for doc_id, (rare_pos, dl) in rare.items():
+                    if include is not None:
+                        from sparkfts.wand import include_mask
+
+                        if not include_mask(
+                            np.array([doc_id], np.int64), include
+                        )[0]:
+                            continue
                     if exclude is not None and exclude.size and not \
                             exclude_mask(
                                 np.array([doc_id], np.int64), exclude
@@ -315,6 +336,7 @@ def match_phrase_batch(
     queries: list[tuple[int, str, int]],
     offset: int = 0,
     slop: int = 0,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Answer a batch of match_phrase top-k queries -> (query_id, rank,
     doc_id, score). Requires ``build_positions`` to have run.
@@ -360,10 +382,26 @@ def match_phrase_batch(
         analyzed, idf_sums, meta["avgdl"],
         exclude=load_tombstones(spark, index_dir),
         slop=int(slop),
+        filtered=filter_expr is not None,
     )
-    local = pos.groupby("shard").applyInPandas(
-        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
-    )
+    result_schema = "query_id int, doc_id long, score double"
+    if filter_expr is not None:
+        from sparkfts.index import load_docmap
+
+        allowed = (
+            load_docmap(spark, index_dir)
+            .where(F.expr(filter_expr))
+            .select("shard", "doc_id")
+        )
+        local = (
+            pos.groupby("shard")
+            .cogroup(allowed.groupby("shard"))
+            .applyInPandas(lambda l, r: scorer(l, r), result_schema)
+        )
+    else:
+        local = pos.groupby("shard").applyInPandas(
+            lambda pdf: scorer(pdf), result_schema
+        )
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
     )

@@ -72,11 +72,30 @@ def prefix_topk_batch(
     queries: list[tuple[int, str, int]],
     max_expansions: int | None = None,
     offset: int = 0,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Answer a batch of prefix top-k queries -> (query_id, rank, doc_id,
     score). Plan: dictionary range expansion (small collect) -> postings
     pruned to the expansion set -> per-shard grouped kernel (same
     best-expansion-wins kernel as fuzzy) -> global window top-k."""
+    return _expanded_topk_batch(
+        spark, index_dir, queries, expand_prefix, max_expansions, offset,
+        filter_expr,
+    )
+
+
+def _expanded_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    expander,
+    max_expansions: int | None = None,
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """Shared scoring tail for dictionary-expansion term queries
+    (prefix / wildcard): expansion collect -> pruned postings ->
+    grouped best-expansion-wins kernel -> global window top-k."""
     from sparkfts.deletes import load_tombstones
     from sparkfts.index import load_postings, read_meta, term_bucket
     from sparkfts.query import _empty_results, _make_fuzzy_shard_scorer
@@ -87,7 +106,7 @@ def prefix_topk_batch(
     if not queries or meta["n_docs"] == 0:
         return _empty_results(spark)
 
-    expansions = expand_prefix(
+    expansions = expander(
         spark, index_dir, [(qid, p) for qid, p, _ in queries],
         meta["n_docs"], max_expansions,
     )
@@ -109,10 +128,26 @@ def prefix_topk_batch(
         "or",  # single group per query: and/or coincide
         meta["block_size"],
         exclude=load_tombstones(spark, index_dir),
+        filtered=filter_expr is not None,
     )
-    local = postings.groupby("shard").applyInPandas(
-        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
-    )
+    result_schema = "query_id int, doc_id long, score double"
+    if filter_expr is not None:
+        from sparkfts.index import load_docmap
+
+        allowed = (
+            load_docmap(spark, index_dir)
+            .where(F.expr(filter_expr))
+            .select("shard", "doc_id")
+        )
+        local = (
+            postings.groupby("shard")
+            .cogroup(allowed.groupby("shard"))
+            .applyInPandas(lambda l, r: scorer(l, r), result_schema)
+        )
+    else:
+        local = postings.groupby("shard").applyInPandas(
+            lambda pdf: scorer(pdf), result_schema
+        )
     k_map = F.create_map(
         *[x for qid, _, k in queries for x in (F.lit(qid), F.lit(k))]
     )
@@ -135,3 +170,81 @@ def prefix_topk(
     return prefix_topk_batch(
         spark, index_dir, [(0, prefix, k)], **kw
     ).select("rank", "doc_id", "score")
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """ES wildcard pattern -> anchored regex: ``*`` = any run, ``?`` =
+    one char; everything else literal."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("[a-z0-9]*")
+        elif ch == "?":
+            out.append("[a-z0-9]")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    n_docs: int,
+    max_expansions: int | None = None,
+) -> dict[int, list[tuple[str, float]]]:
+    """``query_id -> [(term, idf weight)]`` for each wildcard pattern.
+
+    Like Lucene's WildcardQuery, the literal prefix before the first
+    wildcard narrows the dictionary scan to a ``startswith`` range
+    (row-group pruned); the full pattern then matches as an anchored
+    regex. A leading-wildcard pattern scans the whole (tiny relative to
+    postings) dictionary — same caveat ES documents for ``*foo``.
+    """
+    from sparkfts.index import load_terms
+
+    out: dict[int, list[tuple[str, float]]] = {
+        qid: [] for qid, _ in patterns
+    }
+    valid = [(qid, p) for qid, p in patterns if p and p.strip("*?")]
+    if not valid:
+        return out
+    terms = load_terms(spark, index_dir)
+    cond = None
+    for _, p in valid:
+        lit = p.split("*")[0].split("?")[0]
+        c = F.col("term").rlike(_pattern_to_regex(p))
+        if lit:  # range pre-filter for row-group pruning
+            c = F.col("term").startswith(lit) & c
+        cond = c if cond is None else (cond | c)
+    rows = terms.where(cond).select("term", "df").collect()
+    import re as _re
+
+    for qid, p in valid:
+        rx = _re.compile(_pattern_to_regex(p))
+        exps = sorted(
+            (r["term"], int(r["df"])) for r in rows if rx.match(r["term"])
+        )
+        if max_expansions is not None:
+            exps = exps[:max_expansions]
+        out[qid] = [(t, idf_fn(n_docs, df)) for t, df in exps]
+    return out
+
+
+def wildcard_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    max_expansions: int | None = None,
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """ES ``wildcard`` query top-k — same pinned best-expansion-wins
+    scoring as :func:`prefix_topk_batch`, expansion set from
+    :func:`expand_wildcard`."""
+    return _expanded_topk_batch(
+        spark, index_dir, queries, expand_wildcard, max_expansions, offset,
+        filter_expr,
+    )

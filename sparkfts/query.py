@@ -609,6 +609,7 @@ def _make_fuzzy_shard_scorer(
     mode: str,
     block_size: int,
     exclude=None,
+    filtered: bool = False,
 ):
     """Kernel: fuzzy-grouped scoring of one shard (oracle.fuzzy semantics).
 
@@ -622,11 +623,20 @@ def _make_fuzzy_shard_scorer(
 
     from sparkfts.wand import fuzzy_group, score_grouped
 
-    def scorer(pdf_postings: pd.DataFrame) -> pd.DataFrame:
+    def scorer(
+        pdf_postings: pd.DataFrame, pdf_allowed: pd.DataFrame | None = None
+    ) -> pd.DataFrame:
         out_qid: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        if len(pdf_postings):
+        include = None
+        if filtered:
+            include = np.sort(
+                pdf_allowed["doc_id"].to_numpy(np.int64)
+                if pdf_allowed is not None
+                else np.empty(0, np.int64)
+            )
+        if len(pdf_postings) and not (filtered and include.size == 0):
             rows_by_term, postings_of = _postings_reader(
                 pdf_postings, avgdl, block_size
             )
@@ -647,7 +657,9 @@ def _make_fuzzy_shard_scorer(
                         virt = fuzzy_group(present, avgdl)
                         group_cache[key] = virt
                     groups.append(virt)
-                ids, scores = score_grouped(groups, k, mode, exclude=exclude)
+                ids, scores = score_grouped(
+                    groups, k, mode, exclude=exclude, include=include
+                )
                 if ids.size:
                     out_qid.append(np.full(ids.size, qid, np.int32))
                     out_doc.append(ids)
@@ -748,6 +760,7 @@ def bm25_index_fuzzy_batch(
     mode: str = "and",
     max_expansions: int | None = None,
     offset: int = 0,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Fuzzy (AUTO) BM25 top-k from a built index, one Spark action to score.
 
@@ -760,7 +773,7 @@ def bm25_index_fuzzy_batch(
     :func:`bm25_index_batch` — per-shard candidates widen to offset+k and
     the global window returns ranks offset+1 .. offset+k.
     """
-    from sparkfts.index import load_postings, read_meta, term_bucket
+    from sparkfts.index import load_docmap, load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
     analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
@@ -796,10 +809,24 @@ def bm25_index_fuzzy_batch(
         mode,
         meta["block_size"],
         exclude=load_tombstones(spark, index_dir),
+        filtered=filter_expr is not None,
     )
-    local = postings.groupby("shard").applyInPandas(
-        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
-    )
+    result_schema = "query_id int, doc_id long, score double"
+    if filter_expr is not None:
+        allowed = (
+            load_docmap(spark, index_dir)
+            .where(F.expr(filter_expr))
+            .select("shard", "doc_id")
+        )
+        local = (
+            postings.groupby("shard")
+            .cogroup(allowed.groupby("shard"))
+            .applyInPandas(lambda l, r: scorer(l, r), result_schema)
+        )
+    else:
+        local = postings.groupby("shard").applyInPandas(
+            lambda pdf: scorer(pdf), result_schema
+        )
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
     )

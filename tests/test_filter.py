@@ -301,9 +301,10 @@ def test_cli_filter_flag(spark, fcorpus, fidx, capsys):
         .collect()
     }
     assert all(r["doc_id"] in allowed for r in out)
-    with pytest.raises(SystemExit, match="filter"):
+    # --filter is now supported on the fuzzy path; --must-not is not
+    with pytest.raises(SystemExit, match="must-not"):
         main(["query", "--index", fidx, "--query", q, "--fuzzy",
-              "--filter", "lang = 'en'"])
+              "--must-not", "spam"])
 
 
 def test_filter_docmap_scan_pruned_and_pushed(spark, fcorpus, fidx):
@@ -327,3 +328,125 @@ def test_filter_docmap_scan_pruned_and_pushed(spark, fcorpus, fidx):
     scan = docmap_scans[0]
     assert "lang" in scan and "= en" in scan  # pushed predicate
     assert "doclen" not in scan.split("DataFilters")[0]  # pruned column
+
+
+@pytest.fixture(scope="module")
+def fidx_full(spark, fcorpus, tmp_path_factory):
+    """Filter fixture with positions + a multifield sibling."""
+    from sparkfts.index import build_index
+    from sparkfts.phrase import build_positions
+
+    d = str(tmp_path_factory.mktemp("filter_full") / "idx")
+    pages = spark.createDataFrame(fcorpus.to_pandas())
+    build_index(pages, d, n_shards=4, n_tbuckets=8, docvalue_cols=["lang"])
+    build_positions(pages, d)
+    return d
+
+
+def _allowed_en(spark, idx):
+    return {
+        r["doc_id"]
+        for r in load_docmap(spark, idx)
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+
+
+def test_fuzzy_filtered(spark, fcorpus, fidx_full):
+    """Fuzzy path bool.filter: filtered result == unfiltered restricted
+    + re-topped (scores unchanged — stats stay corpus-global)."""
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    # need a term long enough for fuzziness:AUTO to allow an edit
+    term = next(t for t in _common_terms(fcorpus, 2000) if len(t) >= 5)
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    allowed = _allowed_en(spark, fidx_full)
+    full = bm25_index_fuzzy_batch(
+        spark, fidx_full, [(0, typo, 10_000)], mode="or"
+    ).collect()
+    got = bm25_index_fuzzy_batch(
+        spark, fidx_full, [(0, typo, 10)], mode="or",
+        filter_expr="lang = 'en'",
+    ).collect()
+    exp = sorted(
+        ((r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == exp
+    assert got
+
+
+def test_phrase_filtered(spark, fcorpus, fidx_full):
+    from sparkfts.analysis import tokenize
+    from sparkfts.phrase import match_phrase_batch
+
+    toks = tokenize(fcorpus.to_pandas().iloc[0]["text"])
+    phrase = " ".join(toks[:2])
+    allowed = _allowed_en(spark, fidx_full)
+    full = match_phrase_batch(
+        spark, fidx_full, [(0, phrase, 10_000)]
+    ).collect()
+    got = match_phrase_batch(
+        spark, fidx_full, [(0, phrase, 10)], filter_expr="lang = 'en'"
+    ).collect()
+    exp = sorted(
+        ((r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == exp
+
+
+def test_prefix_and_wildcard_filtered(spark, fcorpus, fidx_full):
+    from sparkfts.prefix import prefix_topk_batch, wildcard_topk_batch
+
+    pre = _common_terms(fcorpus)[0][:2]
+    allowed = _allowed_en(spark, fidx_full)
+    for fn, q in ((prefix_topk_batch, pre), (wildcard_topk_batch, pre + "*")):
+        full = fn(spark, fidx_full, [(0, q, 10_000)]).collect()
+        got = fn(
+            spark, fidx_full, [(0, q, 10)], filter_expr="lang = 'en'"
+        ).collect()
+        exp = sorted(
+            ((r["doc_id"], r["score"]) for r in full
+             if r["doc_id"] in allowed),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert [(r["doc_id"], r["score"]) for r in got] == exp, q
+        assert got, q
+
+
+def test_multifield_filtered(spark, fcorpus, tmp_path):
+    from sparkfts.analysis import tokenize
+    from sparkfts.multifield import bm25_multifield_batch, build_multifield_index
+
+    pdf = fcorpus.to_pandas()
+    pdf["title"] = [" ".join(tokenize(t)[:4]) for t in pdf["text"]]
+    d = str(tmp_path / "mf_filter")
+    build_multifield_index(
+        spark.createDataFrame(pdf), d, fields=("title", "text"),
+        n_shards=4, n_tbuckets=8, docvalue_cols=["lang"],
+    )
+    from sparkfts.multifield import field_dir
+
+    allowed = {
+        r["doc_id"]
+        for r in load_docmap(spark, field_dir(d, "text"))
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    q = _common_terms(fcorpus)[0]
+    full = bm25_multifield_batch(
+        spark, d, [(0, q, 10_000)], fields=["title^2", "text"], mode="or"
+    ).collect()
+    got = bm25_multifield_batch(
+        spark, d, [(0, q, 10)], fields=["title^2", "text"], mode="or",
+        filter_expr="lang = 'en'",
+    ).collect()
+    exp = sorted(
+        ((r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == exp
+    assert got

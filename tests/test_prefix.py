@@ -139,3 +139,66 @@ def test_prefix_respects_tombstones(spark, pcorpus, pidx, tmp_path):
     exp = [(r["doc_id"], r["score"]) for r in base
            if r["doc_id"] != victim][:20]
     assert [(r["doc_id"], r["score"]) for r in after] == exp
+
+
+def test_wildcard_pattern_regex():
+    from sparkfts.prefix import _pattern_to_regex
+    import re
+
+    rx = re.compile(_pattern_to_regex("da*a"))
+    assert rx.match("data") and rx.match("daa") and not rx.match("dab")
+    rx2 = re.compile(_pattern_to_regex("t?e"))
+    assert rx2.match("the") and not rx2.match("te") and not rx2.match("thee")
+
+
+def test_wildcard_topk_matches_py_oracle(spark, pcorpus, pidx):
+    """Wildcard with a mid-pattern `*`: same best-expansion-wins scores
+    as the python oracle restricted to the regex-matching vocab."""
+    import re as _re
+
+    from sparkfts.prefix import _pattern_to_regex, wildcard_topk_batch
+
+    p = _pick_prefix(pcorpus)
+    pattern = p + "*"  # equivalent to the prefix query
+    a = wildcard_topk_batch(spark, pidx, [(0, pattern, 10)]).collect()
+    exp = _py_oracle(pcorpus, p, 10)
+    assert [(r["doc_id"], r["score"]) for r in a] == exp
+
+    # `?` wildcard: single-char hole in a real vocab term
+    vocab = sorted(
+        {t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)}
+    )
+    term = next(t for t in vocab if len(t) >= 4)
+    holed = term[:1] + "?" + term[2:]
+    rx = _re.compile(_pattern_to_regex(holed))
+    matching = [t for t in vocab if rx.match(t)]
+    assert term in matching
+    got = wildcard_topk_batch(spark, pidx, [(0, holed, 10)]).collect()
+    assert got  # matches at least the original term's docs
+    # brute check: equals python oracle over the matching term set
+    import math
+    from collections import Counter
+
+    texts = pcorpus.column("text").to_pylist()
+    ids = sha1_doc_id(pd.Series(pcorpus.column("url").to_pylist())).tolist()
+    toks = [tokenize(t) for t in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    df = Counter()
+    for t in toks:
+        df.update(set(t))
+    scored = []
+    for d, tk in zip(ids, toks):
+        tf = Counter(tk)
+        best = 0.0
+        for t in matching:
+            if tf[t]:
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                norm = BM25_K1 * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+                best = max(best, idf * (tf[t] / (tf[t] + norm)) * (BM25_K1 + 1))
+        if best > 0:
+            scored.append((int(d), best))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-9)) for d, s in scored[:10]
+    ]
