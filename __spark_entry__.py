@@ -440,6 +440,45 @@ def q_fts_bm25f_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_stats_agg(spark, sf_dir):
+    """ES stats aggregation (count/min/max/sum/avg of n_chars) over the
+    FULL match set of an OR query — aggregations never see just the
+    top-k page. avg quantized to micro-ints for the hash compare."""
+    from sparkfts.aggs import stats_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = stats_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", mode="or",
+    )
+    return res.select(
+        F.col("count").cast("long").alias("n"),
+        F.col("min").cast("long").alias("min_chars"),
+        F.col("max").cast("long").alias("max_chars"),
+        F.col("sum").cast("long").alias("sum_chars"),
+        F.floor(F.col("avg") * 1_000_000 + 0.5).cast("long").alias("avg_e6"),
+    )
+
+
+def q_histogram_facet(spark, sf_dir):
+    """ES histogram aggregation: fixed-interval n_chars buckets over the
+    full match set (floor(v/interval)*interval keys, empty buckets
+    omitted)."""
+    from sparkfts.aggs import histogram_facet
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = histogram_facet(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", interval=200.0, mode="or",
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -887,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "terms_facet": q_terms_facet,
+        "stats_agg": q_stats_agg,
+        "histogram_facet": q_histogram_facet,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
@@ -1227,6 +1268,26 @@ WITH matched AS (
 SELECT d.lang AS value, count(*) AS doc_count
 FROM matched m JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY doc_count DESC, value LIMIT 10
+"""
+
+    sqls["stats_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT count(*) AS n,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(floor(avg(d.n_chars * 1.0) * 1000000 + 0.5) AS BIGINT) AS avg_e6
+FROM matched m JOIN documents d USING (doc_id)
+"""
+
+    sqls["histogram_facet"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT CAST(floor(d.n_chars / 200.0) * 200.0 AS BIGINT) AS bucket,
+       count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY bucket
 """
 
     and_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_AND.split())))

@@ -260,6 +260,63 @@ def terms_facet_approx(
     )
 
 
+def stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``stats`` aggregation over the FULL match set -> one row
+    (count, min, max, sum, avg) of a numeric doc value.
+
+    Same plan family as :func:`terms_facet`: score-free match kernel ->
+    join to doc values -> one partial-aggregated global agg (map-side
+    combine; a single scalar row crosses the final exchange).
+    """
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    c = F.col(field).cast("double")
+    return matched.join(doc_values.select("doc_id", field), "doc_id").agg(
+        F.count("*").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+    )
+
+
+def histogram_facet(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    interval: float,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``histogram`` aggregation -> (bucket, doc_count), bucket asc.
+
+    ES bucket key: ``floor(value / interval) * interval`` (fixed-width
+    buckets anchored at 0; empty buckets omitted — ES's
+    ``min_doc_count=1`` behavior). Grouped count partial-aggregates
+    map-side; only (partitions x buckets) rows shuffle.
+    """
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    bucket = (
+        F.floor(F.col(field).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).alias("bucket")
+    return (
+        matched.join(doc_values.select("doc_id", field), "doc_id")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
 def terms_facet_from_index(
     spark: SparkSession,
     index_dir: str,

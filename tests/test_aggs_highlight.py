@@ -218,3 +218,57 @@ def test_facet_approx_truncation_bounds(spark, corpus, tmp_path):
         ex = exact[r["value"]]
         assert r["doc_count"] <= ex
         assert ex <= r["doc_count"] + r["doc_count_error_upper_bound"]
+
+
+def test_stats_and_histogram_aggs(spark, corpus, tmp_path):
+    """ES stats / histogram aggregations vs pandas ground truth over the
+    exact match set."""
+    from sparkfts.aggs import histogram_facet, match_docs_batch, stats_agg
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+    import pandas as pd
+
+    idx = str(tmp_path / "stats_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    from sparkfts.analysis import tokenize
+
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    dvpdf = pd.DataFrame(
+        {"doc_id": sha1_doc_id(pdf["url"]),
+         "nchars": pdf["text"].str.len().astype("int64")}
+    )
+    dv = spark.createDataFrame(dvpdf)
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    sub = dvpdf[dvpdf["doc_id"].isin(matched)]
+    row = stats_agg(spark, idx, q, dv, "nchars", mode="or").collect()[0]
+    assert row["count"] == len(sub)
+    assert row["min"] == float(sub["nchars"].min())
+    assert row["max"] == float(sub["nchars"].max())
+    assert row["sum"] == float(sub["nchars"].sum())
+    assert row["avg"] == pytest.approx(sub["nchars"].mean(), rel=1e-12)
+
+    hist = histogram_facet(
+        spark, idx, q, dv, "nchars", interval=100.0, mode="or"
+    ).collect()
+    import math
+
+    exp = (
+        sub["nchars"].map(lambda v: math.floor(v / 100.0) * 100.0)
+        .value_counts()
+        .sort_index()
+    )
+    assert [(r["bucket"], r["doc_count"]) for r in hist] == [
+        (b, int(c)) for b, c in exp.items()
+    ]
+    assert hist  # fixture sanity
+
+
+def test_histogram_rejects_bad_interval(spark, corpus, tmp_path):
+    from sparkfts.aggs import histogram_facet
+
+    with pytest.raises(ValueError):
+        histogram_facet(spark, "/nonexistent", "q", None, "f", interval=0)
