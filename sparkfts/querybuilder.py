@@ -80,10 +80,16 @@ class SearchRequest:
     # (reference ElasticsearchHandler.py:52-74: no size/sort passed)
     filter_expr: str | None = None
     must_not: tuple[str, ...] = field(default_factory=tuple)
+    # ES bool.should: optional scoring clauses. With must clauses
+    # present they never constrain matching — a matching should clause
+    # just ADDS its score. With no must clauses, ES requires at least
+    # one should to match (minimum_should_match=1) and the score is the
+    # sum of the matching should scores.
+    should: tuple[Clause, ...] = field(default_factory=tuple)
 
     @property
     def is_match_all(self) -> bool:
-        return not self.clauses
+        return not self.clauses and not self.should
 
 
 def build_search_request(
@@ -211,6 +217,21 @@ def run_search_request_indexed(
         )
         return match_all_topk(docs, request.k)
 
+    if not request.clauses:
+        # pure-should bool query: minimum_should_match=1, score = sum of
+        # matching should clause scores
+        sh = _should_scores_indexed(spark, index_dir, request, multifield)
+        scored = _apply_bool_clauses(
+            sh.select("doc_id", F.col("should_score").alias("score"))
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(request.k))
+            .select("rank", "doc_id", "score")
+            .orderBy("rank")
+        )
+
     if multifield:
         from sparkfts.multifield import bm25_multifield_fuzzy_batch, read_mf_meta
 
@@ -260,12 +281,83 @@ def run_search_request_indexed(
         )
     )
     merged = _apply_bool_clauses(merged)
+    if request.should:
+        merged = _add_should_scores_indexed(
+            spark, index_dir, request, merged, multifield
+        )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(request.k))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
+    )
+
+
+def _should_scores_indexed(
+    spark, index_dir: str, request: SearchRequest, multifield: bool
+) -> DataFrame:
+    """Per-doc summed scores of the request's should clauses ->
+    (doc_id, should_score, n_should_matched). Complete match sets
+    (per-clause k = n_docs), same fuzzy clause semantics as must."""
+    if multifield:
+        from functools import reduce
+
+        from sparkfts.multifield import (
+            bm25_multifield_fuzzy_batch,
+            read_mf_meta,
+        )
+
+        n_docs = read_mf_meta(index_dir)["n_docs"]
+        parts = [
+            bm25_multifield_fuzzy_batch(
+                spark, index_dir, [(i, c.query, n_docs)],
+                fields=list(c.fields), mode=c.operator,
+            )
+            for i, c in enumerate(request.should)
+        ]
+        per_clause = reduce(lambda a, b: a.unionByName(b), parts)
+    else:
+        from sparkfts.index import read_meta
+        from sparkfts.query import bm25_index_fuzzy_batch
+
+        n_docs = read_meta(index_dir)["n_docs"]
+        per_clause = bm25_index_fuzzy_batch(
+            spark,
+            index_dir,
+            [(i, c.query, n_docs) for i, c in enumerate(request.should)],
+        )
+    return per_clause.groupBy("doc_id").agg(
+        F.count("*").alias("n_should_matched"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("query_id"), F.col("score"))
+                    )
+                ),
+                lambda x: x["score"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("should_score"),
+    )
+
+
+def _add_should_scores_indexed(
+    spark, index_dir: str, request: SearchRequest, merged: DataFrame,
+    multifield: bool,
+) -> DataFrame:
+    """Fold bool.should into the must-merged frame: matching should
+    clauses ADD score; non-matching docs keep theirs (left join)."""
+    sh = _should_scores_indexed(spark, index_dir, request, multifield)
+    return (
+        merged.join(sh.select("doc_id", "should_score"), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score") + F.coalesce(F.col("should_score"), F.lit(0.0)),
+        )
+        .drop("should_score")
     )
 
 
@@ -313,8 +405,44 @@ def run_search_request(
                 )
         return df
 
+    def _should_scores() -> DataFrame:
+        batch = [
+            (i, c.query, n_docs) for i, c in enumerate(request.should)
+        ]
+        per = bm25_fuzzy_scan_batch(tokens, batch, n_docs, avgdl, mode="and")
+        return per.groupBy("doc_id").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("query_id"), F.col("score"))
+                        )
+                    ),
+                    lambda x: x["score"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("should_score")
+        )
+
     if request.is_match_all:
         return match_all_topk(_bool_joins(docs.select("doc_id")), request.k)
+
+    if not request.clauses:
+        # pure-should: minimum_should_match=1, score = sum of matching
+        # should clause scores
+        scored = _bool_joins(
+            _should_scores().select(
+                "doc_id", F.col("should_score").alias("score")
+            )
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(request.k))
+            .select("rank", "doc_id", "score")
+            .orderBy("rank")
+        )
 
     batch = [
         (i, c.query, n_docs)  # per-clause k = n_docs: need ALL matching
@@ -341,6 +469,16 @@ def run_search_request(
         )
     )
     merged = _bool_joins(merged)
+    if request.should:
+        merged = (
+            merged.join(_should_scores(), "doc_id", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.coalesce(F.col("should_score"), F.lit(0.0)),
+            )
+            .drop("should_score")
+        )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w))

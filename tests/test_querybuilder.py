@@ -205,3 +205,88 @@ def test_run_search_request_indexed_multifield(
     )
     rows = run_search_request_indexed(spark, d, req_mf, multifield=True)
     assert rows.collect(), "multi-field clause returned nothing"
+
+
+def test_should_clauses_add_score(spark, pages_df, corpus, tmp_path):
+    """bool.should: matching should clauses ADD score to must matches;
+    non-matching leave it unchanged; scan and indexed paths agree."""
+    import pandas as pd
+
+    from sparkfts.index import build_index
+    from sparkfts.querybuilder import (
+        Clause,
+        SearchRequest,
+        run_search_request,
+        run_search_request_indexed,
+    )
+    from sparkfts.stats import avgdl_of
+    from sparkfts.tokens import tokenize_docs, prepare_pages
+    from sparkfts.analysis import tokenize
+
+    idx = str(tmp_path / "should_idx")
+    build_index(pages_df, idx, n_shards=4, n_tbuckets=8)
+    prepared = prepare_pages(pages_df)
+    tokens = tokenize_docs(prepared)
+    n_docs = pages_df.count()
+    avgdl = avgdl_of(tokens, n_docs)
+
+    texts = corpus.column("text").to_pylist()
+    t_must = tokenize(texts[0])[0]
+    t_should = tokenize(texts[1])[2]
+    base = SearchRequest(clauses=(Clause(query=t_must),), k=10_000)
+    with_should = SearchRequest(
+        clauses=(Clause(query=t_must),),
+        should=(Clause(query=t_should),),
+        k=10_000,
+    )
+    docs = prepared.select("doc_id")
+    plain = {r["doc_id"]: r["score"]
+             for r in run_search_request(tokens, docs, base, n_docs,
+                                         avgdl).collect()}
+    sh = {r["doc_id"]: r["score"]
+          for r in run_search_request(tokens, docs, with_should, n_docs,
+                                      avgdl).collect()}
+    assert set(plain) == set(sh)  # should never changes the match set
+    assert any(sh[d] > plain[d] for d in plain)       # some got the bonus
+    assert any(sh[d] == plain[d] for d in plain)      # some did not
+
+    # indexed path identical to scan path
+    idx_rows = {r["doc_id"]: r["score"]
+                for r in run_search_request_indexed(
+                    spark, idx, with_should).collect()}
+    exp_order = sorted(sh.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_order = sorted(idx_rows.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in exp_order] == [d for d, _ in got_order]
+    for (d, s), (_, gs) in zip(exp_order, got_order):
+        assert gs == pytest.approx(s, rel=1e-9), d
+
+
+def test_pure_should_minimum_one(spark, pages_df, corpus, tmp_path):
+    """No must clauses + should clauses: docs must match >= 1 should."""
+    from sparkfts.index import build_index
+    from sparkfts.querybuilder import (
+        Clause,
+        SearchRequest,
+        run_search_request_indexed,
+    )
+    from sparkfts.analysis import tokenize
+
+    idx = str(tmp_path / "pure_should_idx")
+    build_index(pages_df, idx, n_shards=4, n_tbuckets=8)
+    texts = corpus.column("text").to_pylist()
+    t1, t2 = tokenize(texts[0])[0], tokenize(texts[1])[2]
+    req = SearchRequest(
+        clauses=(), should=(Clause(query=t1), Clause(query=t2)), k=10_000
+    )
+    rows = run_search_request_indexed(spark, idx, req).collect()
+    assert rows
+    got = {r["doc_id"] for r in rows}
+    # every returned doc contains t1 or t2 (fuzzy-AND per clause means
+    # at least the clause's own expansion set matched)
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    m1 = {r["doc_id"] for r in bm25_index_fuzzy_batch(
+        spark, idx, [(0, t1, 10_000)]).collect()}
+    m2 = {r["doc_id"] for r in bm25_index_fuzzy_batch(
+        spark, idx, [(0, t2, 10_000)]).collect()}
+    assert got == (m1 | m2)
