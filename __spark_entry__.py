@@ -479,6 +479,48 @@ def q_histogram_facet(spark, sf_dir):
     )
 
 
+def q_fts_wildcard_topk(spark, sf_dir):
+    """ES wildcard query: pattern 's*a*' expands via the literal-prefix
+    range pre-filter + anchored regex over the term dictionary
+    ({scan, small, spark, stream} at this SF); best-expansion-wins
+    scoring, same pinned spec as prefix."""
+    from sparkfts.prefix import wildcard_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = wildcard_topk_batch(spark, idx, [(0, "s*a*", 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_cardinality_agg(spark, sf_dir):
+    """ES cardinality aggregation (exact variant) over the full match
+    set: distinct langs among docs matching the OR query."""
+    from sparkfts.aggs import cardinality_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return cardinality_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "lang"),
+        "lang", mode="or",
+    )
+
+
+def q_percentiles_agg(spark, sf_dir):
+    """ES percentiles aggregation (exact percentile_cont variant) of
+    n_chars over the full match set; micro-int quantized."""
+    from sparkfts.aggs import percentiles_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = percentiles_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", percentiles=[25.0, 50.0, 75.0, 95.0], mode="or",
+    )
+    return res.select(
+        F.col("pct").cast("long").alias("pct"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("value_e6"),
+    )
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -928,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_facet": q_terms_facet,
         "stats_agg": q_stats_agg,
         "histogram_facet": q_histogram_facet,
+        "cardinality_agg": q_cardinality_agg,
+        "percentiles_agg": q_percentiles_agg,
+        "fts_wildcard_topk": q_fts_wildcard_topk,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
@@ -1288,6 +1333,55 @@ SELECT CAST(floor(d.n_chars / 200.0) * 200.0 AS BIGINT) AS bucket,
        count(*) AS doc_count
 FROM matched m JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY bucket
+"""
+
+    sqls["cardinality_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT count(DISTINCT d.lang) AS cardinality
+FROM matched m JOIN documents d USING (doc_id)
+"""
+
+    sqls["percentiles_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT d.n_chars * 1.0 AS x
+      FROM matched m JOIN documents d USING (doc_id))
+SELECT CAST(p AS BIGINT) AS pct,
+       CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS value_e6
+FROM (
+  SELECT unnest([25.0, 50.0, 75.0, 95.0]) AS p,
+         unnest(quantile_cont(x, [0.25, 0.50, 0.75, 0.95])) AS q
+  FROM v)
+"""
+
+    sqls["fts_wildcard_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok LIKE 's%a%' GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         max( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
     and_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_AND.split())))

@@ -317,6 +317,59 @@ def histogram_facet(
     )
 
 
+def cardinality_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``cardinality`` aggregation, EXACT variant -> one row
+    (cardinality). ES approximates with HyperLogLog++; this engine pins
+    the exact distinct count (deterministic, oracle-checkable) — swap in
+    ``F.approx_count_distinct`` for the HLL trade at extreme
+    cardinalities; the plan shape (partial-aggregated distinct) is the
+    same either way."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    return matched.join(doc_values.select("doc_id", field), "doc_id").agg(
+        F.countDistinct(field).cast("long").alias("cardinality")
+    )
+
+
+def percentiles_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    percentiles: list[float] | None = None,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``percentiles`` aggregation, EXACT variant -> one row per
+    requested percentile (pct, value). ES approximates with t-digest;
+    this pins exact linear-interpolated percentiles (SQL
+    ``percentile_cont`` semantics, which DuckDB's ``quantile_cont``
+    reproduces bit-for-bit). The exact percentile is a sort-based agg —
+    fine for match-set-sized inputs; at extreme match sizes swap
+    ``F.percentile_approx`` with the same output shape."""
+    pcts = percentiles if percentiles is not None else [25.0, 50.0, 75.0, 95.0]
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    vals = joined.agg(
+        F.percentile(
+            F.col(field).cast("double"),
+            F.array(*[F.lit(p / 100.0) for p in pcts]),
+        ).alias("vals")
+    )
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    return vals.select(
+        F.explode(F.arrays_zip(pct_arr.alias("pct"), F.col("vals").alias("value"))).alias("z")
+    ).select(
+        F.col("z.pct").alias("pct"), F.col("z.value").alias("value")
+    )
+
+
 def terms_facet_from_index(
     spark: SparkSession,
     index_dir: str,

@@ -117,12 +117,21 @@ def cmd_query(args: argparse.Namespace) -> None:
     # --search-after and --min-should-match are only threaded through the
     # plain-query path; fail loudly rather than silently ignoring them
     # (checked before any Spark session spins up).
-    if args.prefix and (args.phrase or args.fields or args.fuzzy):
-        raise SystemExit("--prefix is exclusive of --phrase/--fields/--fuzzy")
-    if args.prefix and (args.search_after or args.min_should_match != 1
-                        or args.must_not or args.slop):
+    if (args.prefix or args.wildcard) and (
+        args.phrase or args.fields or args.fuzzy
+        or (args.prefix and args.wildcard)
+    ):
         raise SystemExit(
-            "--prefix supports only --k/--offset/--max-expansions/--filter"
+            "--prefix/--wildcard are exclusive of each other and of "
+            "--phrase/--fields/--fuzzy"
+        )
+    if (args.prefix or args.wildcard) and (
+        args.search_after or args.min_should_match != 1
+        or args.must_not or args.slop
+    ):
+        raise SystemExit(
+            "--prefix/--wildcard support only "
+            "--k/--offset/--max-expansions/--filter"
         )
     if args.phrase or args.fields or args.fuzzy:
         unsupported = []
@@ -151,11 +160,12 @@ def cmd_query(args: argparse.Namespace) -> None:
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    if args.prefix:
+    if args.prefix or args.wildcard:
         from sparkfts.index import load_docmap
-        from sparkfts.prefix import prefix_topk_batch
+        from sparkfts.prefix import prefix_topk_batch, wildcard_topk_batch
 
-        res = prefix_topk_batch(
+        fn = wildcard_topk_batch if args.wildcard else prefix_topk_batch
+        res = fn(
             spark, args.index, [(0, args.query, args.k)],
             max_expansions=args.max_expansions, offset=args.offset,
             filter_expr=args.filter,
@@ -422,6 +432,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--prefix", action="store_true",
                    help="ES prefix query: treat QUERY as a term prefix "
                         "(dictionary range expansion)")
+    q.add_argument("--wildcard", action="store_true",
+                   help="ES wildcard query: QUERY uses * and ? over the "
+                        "term dictionary")
     q.add_argument("--max-expansions", type=int, default=None,
                    help="cap prefix expansions (sorted term order)")
     q.add_argument("--fuzzy", action="store_true",

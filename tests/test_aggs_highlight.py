@@ -272,3 +272,47 @@ def test_histogram_rejects_bad_interval(spark, corpus, tmp_path):
 
     with pytest.raises(ValueError):
         histogram_facet(spark, "/nonexistent", "q", None, "f", interval=0)
+
+
+def test_cardinality_and_percentiles(spark, corpus, tmp_path):
+    from sparkfts.aggs import (
+        cardinality_agg,
+        match_docs_batch,
+        percentiles_agg,
+    )
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+    import numpy as np
+    import pandas as pd
+
+    idx = str(tmp_path / "card_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    from sparkfts.analysis import tokenize
+
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    dvpdf = pd.DataFrame(
+        {"doc_id": sha1_doc_id(pdf["url"]), "lang": pdf["lang"],
+         "nchars": pdf["text"].str.len().astype("int64")}
+    )
+    dv = spark.createDataFrame(dvpdf)
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    sub = dvpdf[dvpdf["doc_id"].isin(matched)]
+    card = cardinality_agg(
+        spark, idx, q, dv.select("doc_id", "lang"), "lang", mode="or"
+    ).collect()[0]["cardinality"]
+    assert card == sub["lang"].nunique() > 0
+
+    pr = percentiles_agg(
+        spark, idx, q, dv.select("doc_id", "nchars"), "nchars",
+        percentiles=[50.0, 90.0], mode="or",
+    ).collect()
+    exp = np.percentile(
+        sub["nchars"].to_numpy(dtype=float), [50, 90], method="linear"
+    )
+    assert [r["pct"] for r in pr] == [50.0, 90.0]
+    for r, e in zip(pr, exp):
+        assert r["value"] == pytest.approx(e, rel=1e-12)
