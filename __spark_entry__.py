@@ -521,6 +521,19 @@ def q_percentiles_agg(spark, sf_dir):
     )
 
 
+def q_term_suggest(spark, sf_dir):
+    """ES term suggester: per typo'd input term, dictionary corrections
+    within AUTO edit distance ordered (dist asc, df desc, term asc) —
+    the pinned spec in sparkfts/suggest.py."""
+    from sparkfts.suggest import suggest_terms
+
+    idx = _index_dir_for(spark, sf_dir)
+    return suggest_terms(spark, idx, BM25_QUERY_FUZZY, size=3).select(
+        "input_term", "suggestion", "dist", "df",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -973,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_agg": q_cardinality_agg,
         "percentiles_agg": q_percentiles_agg,
         "fts_wildcard_topk": q_fts_wildcard_topk,
+        "term_suggest": q_term_suggest,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
@@ -1333,6 +1347,33 @@ SELECT CAST(floor(d.n_chars / 200.0) * 200.0 AS BIGINT) AS bucket,
        count(*) AS doc_count
 FROM matched m JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY bucket
+"""
+
+    # inputs: the two typo'd fuzzy-query terms; AUTO ladder mirrored as
+    # CASE (len<3 -> 0, len<6 -> 1, else 2) per sparkfts.analysis.auto_fuzz
+    fuzzy_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_FUZZY.split())))
+    sqls["term_suggest"] = f"""
+WITH dict AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df
+  FROM ({_TOKS}) GROUP BY 1),
+q(q_term) AS (SELECT unnest([{fuzzy_in}])),
+qq AS (SELECT q_term,
+              CASE WHEN length(q_term) < 3 THEN 0
+                   WHEN length(q_term) < 6 THEN 1 ELSE 2 END AS maxd
+       FROM q),
+cand AS (
+  SELECT qq.q_term AS input_term, d.term AS suggestion,
+         levenshtein(d.term, qq.q_term) AS dist, d.df
+  FROM dict d JOIN qq
+    ON d.term <> qq.q_term
+   AND abs(length(d.term) - length(qq.q_term)) <= qq.maxd
+   AND levenshtein(d.term, qq.q_term) <= qq.maxd)
+SELECT input_term, suggestion, CAST(dist AS INT) AS dist, df,
+       CAST(row_number() OVER (PARTITION BY input_term
+            ORDER BY dist, df DESC, suggestion) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= 3
+ORDER BY input_term, rank
 """
 
     sqls["cardinality_agg"] = f"""

@@ -265,3 +265,39 @@ def test_searcher_blockmax_gated_on_meta(spark, fuzzy_index, monkeypatch):
         assert seen["use_blockmax"] is False
     finally:
         s.close()
+
+
+def test_term_suggester_pinned_order(spark, tmp_path):
+    """Term suggester: corrections within AUTO distance, ordered
+    (dist asc, df desc, term asc), input term itself excluded."""
+    from sparkfts.index import build_index
+    from sparkfts.suggest import suggest_terms
+    from sparkfts.synth import gen_corpus
+    from sparkfts.analysis import auto_fuzz, tokenize
+
+    idx = str(tmp_path / "suggest_idx")
+    corpus = gen_corpus(150, seed=23)
+    build_index(spark.createDataFrame(corpus.to_pandas()), idx,
+                n_shards=2, n_tbuckets=4)
+    # pick a real vocab term and typo it
+    from collections import Counter
+
+    df = Counter()
+    toks_by_doc = [tokenize(t) for t in corpus.column("text").to_pylist()]
+    for tk in toks_by_doc:
+        df.update(set(tk))
+    term = next(t for t, _ in df.most_common() if len(t) >= 5)
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    rows = suggest_terms(spark, idx, typo, size=5).collect()
+    assert rows, (term, typo)
+    sugg = [r["suggestion"] for r in rows]
+    assert term in sugg  # the original term is recoverable
+    assert typo not in sugg  # never echo the input
+    # pinned order
+    keys = [(r["dist"], -r["df"], r["suggestion"]) for r in rows]
+    assert keys == sorted(keys)
+    # every suggestion is within the AUTO ladder
+    maxd = auto_fuzz(typo)
+    for r in rows:
+        assert r["dist"] <= maxd
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
