@@ -598,6 +598,96 @@ def bm25_index(
     )
 
 
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_id: int,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``_explain`` equivalent: per-term BM25 breakdown for ONE
+    (query, doc) pair -> (term, tf, df, doclen, idf, tf_norm,
+    contribution), sorted by term; empty when the doc doesn't match
+    under ``mode``.
+
+    Plan: the doc's shard is pmod(doc_id, n_shards), so the postings
+    scan prunes to (query terms x ONE shard); the kernel decodes only
+    those rows and binary-searches the single doc. Cost is one pruned
+    scan regardless of corpus size.
+    """
+    from sparkfts.index import (
+        load_postings,
+        load_terms,
+        read_meta,
+        term_bucket,
+    )
+
+    schema = (
+        "term string, tf long, df long, doclen long, idf double, "
+        "tf_norm double, contribution double"
+    )
+    meta = read_meta(index_dir)
+    terms = tokenize_query(query)
+    if not terms or meta["n_docs"] == 0:
+        return spark.createDataFrame([], schema)
+    shard = int(doc_id) % meta["n_shards"]
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in terms})
+    df_rows = (
+        load_terms(spark, index_dir)
+        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    postings = load_postings(spark, index_dir).where(
+        F.col("tbucket").isin(buckets)
+        & F.col("term").isin(terms)
+        & (F.col("shard") == shard)
+    )
+    n_docs, avgdl, block_size = meta["n_docs"], meta["avgdl"], meta["block_size"]
+    target = int(doc_id)
+    k1, b = BM25_K1, BM25_B
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, postings_of = _postings_reader(pdf, avgdl, block_size)
+            rows = []
+            for t in sorted(set(pdf["term"])):
+                ids, tfs, dls, _bm = postings_of(t)
+                pos = np.searchsorted(ids, target)
+                if pos < ids.size and ids[pos] == target:
+                    tf = int(tfs[pos])
+                    dl = int(dls[pos])
+                    idf = idf_fn(n_docs, df_map.get(t, 0))
+                    tfn = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+                    rows.append(
+                        (t, tf, df_map.get(t, 0), dl, idf, tfn,
+                         idf * tfn * (k1 + 1.0))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "term", "tf", "df", "doclen", "idf", "tf_norm",
+                        "contribution",
+                    ],
+                )
+
+    out = postings.mapInPandas(kernel, schema).orderBy("term")
+    if mode == "and":
+        # conjunctive: the doc must carry EVERY query term or nothing
+        # matches (checked driver-side on the tiny result)
+        rows = out.collect()
+        if len({r["term"] for r in rows}) < len(set(terms)):
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, schema)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy (AUTO) query over the inverted index
 # ---------------------------------------------------------------------------

@@ -173,3 +173,37 @@ def test_min_should_match_semantics(spark, corpus):
         conj = {r["doc_id"] for r in bm25_index_batch(
             spark, d, [(0, q, 400)], mode="and").collect()}
         assert prev_docs == conj
+
+
+def test_explain_score_sums_to_result(spark, tmp_path, corpus):
+    """_explain: per-term contributions sum exactly to the doc's score
+    from the query path; non-matching conjunctive doc -> empty."""
+    from sparkfts.index import build_index
+    from sparkfts.query import bm25_index_batch, explain_score
+    from sparkfts.analysis import tokenize
+
+    idx = str(tmp_path / "explain_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    toks = tokenize(pdf.iloc[0]["text"])
+    q = " ".join(toks[:2])
+    top = bm25_index_batch(spark, idx, [(0, q, 5)], mode="and").collect()
+    assert top
+    doc = top[0]["doc_id"]
+    rows = explain_score(spark, idx, q, doc, mode="and").collect()
+    assert {r["term"] for r in rows} == set(tokenize(q))
+    import pytest as _pt
+
+    assert sum(r["contribution"] for r in rows) == _pt.approx(
+        top[0]["score"], rel=1e-12
+    )
+    # a doc that lacks a term explains to empty under AND
+    import pandas as pd
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(pdf["url"])
+    missing = next(
+        int(ids[i]) for i, t in enumerate(pdf["text"])
+        if not set(tokenize(q)) <= set(tokenize(t))
+    )
+    assert explain_score(spark, idx, q, missing, mode="and").collect() == []
