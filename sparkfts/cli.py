@@ -296,6 +296,51 @@ def cmd_positions(args: argparse.Namespace) -> None:
     print(json.dumps({"sec": round(time.time() - t0, 2), "index": args.index}))
 
 
+def cmd_suggest(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-suggest")
+    from sparkfts.suggest import suggest_terms
+
+    t0 = time.time()
+    rows = suggest_terms(
+        spark, args.index, args.query, size=args.size
+    ).collect()
+    for r in rows:
+        print(json.dumps({
+            "input_term": r["input_term"], "suggestion": r["suggestion"],
+            "dist": r["dist"], "df": r["df"], "rank": r["rank"],
+        }))
+    print(
+        json.dumps({"suggestions": len(rows),
+                    "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
+
+
+def cmd_explain(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-explain")
+    from sparkfts.query import explain_score
+
+    t0 = time.time()
+    rows = explain_score(
+        spark, args.index, args.query, int(args.doc_id), mode=args.mode
+    ).collect()
+    total = sum(r["contribution"] for r in rows)
+    for r in rows:
+        print(json.dumps({
+            "term": r["term"], "tf": r["tf"], "df": r["df"],
+            "doclen": r["doclen"], "idf": round(r["idf"], 6),
+            "tf_norm": round(r["tf_norm"], 6),
+            "contribution": r["contribution"],
+        }))
+    print(
+        json.dumps({
+            "matched": bool(rows), "score": total,
+            "sec": round(time.time() - t0, 3),
+        }),
+        file=sys.stderr,
+    )
+
+
 def cmd_facet(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-facet")
     from sparkfts.aggs import terms_facet
@@ -468,6 +513,22 @@ def main(argv: list[str] | None = None) -> None:
     fa.add_argument("--size", type=int, default=10)
     fa.add_argument("--cores", default="*")
     fa.set_defaults(fn=cmd_facet)
+
+    sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--query", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--cores", default="*")
+    sg.set_defaults(fn=cmd_suggest)
+
+    ex = sub.add_parser("explain", help="per-term BM25 score breakdown "
+                                        "for one (query, doc) pair")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc-id", required=True)
+    ex.add_argument("--mode", choices=["and", "or"], default="and")
+    ex.add_argument("--cores", default="*")
+    ex.set_defaults(fn=cmd_explain)
 
     de = sub.add_parser(
         "delete", help="tombstone documents (reclaimed at next merge)"

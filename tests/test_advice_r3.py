@@ -93,3 +93,36 @@ def test_cli_rejects_unsupported_flag_combos(spark, tmp_path):
     with pytest.raises(SystemExit, match="min-should-match"):
         main(["query", "--index", idx, "--query", "web", "--phrase",
               "--min-should-match", "2"])
+
+
+def test_cli_suggest_and_explain(spark, tmp_path, capsys):
+    from sparkfts.cli import main
+    from sparkfts.index import build_index
+    from sparkfts.synth import gen_corpus
+    from sparkfts.analysis import tokenize
+    import json as _json
+
+    idx = os.path.join(str(tmp_path), "cli_sx_idx")
+    corpus = gen_corpus(60, seed=5)
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=2, n_tbuckets=4)
+    term = next(t for t in tokenize(pdf.iloc[0]["text"]) if len(t) >= 5)
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    main(["suggest", "--index", idx, "--query", typo, "--cores", "4"])
+    out = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert any(r["suggestion"] == term for r in out)
+
+    from sparkfts.query import bm25_index_batch
+
+    top = bm25_index_batch(spark, idx, [(0, term, 1)], mode="or").collect()
+    main(["explain", "--index", idx, "--query", term,
+          "--doc-id", str(top[0]["doc_id"]), "--mode", "or", "--cores", "4"])
+    out2 = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out2 and out2[0]["term"] == term
+    assert out2[0]["contribution"] == pytest.approx(top[0]["score"], rel=1e-12)
