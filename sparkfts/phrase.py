@@ -453,7 +453,12 @@ class PhraseSearcher:
         self.meta = read_meta(index_dir)
         self._positions = load_positions(spark, index_dir)
         if cache_positions:
-            self._positions = self._positions.cache()
+            # same cached-partition-count fix as Searcher: coalesce to
+            # core count so warm sweeps don't pay per-partition task
+            # launches proportional to file-split granularity
+            self._positions = self._positions.coalesce(
+                spark.sparkContext.defaultParallelism
+            ).cache()
         self._terms = load_terms(spark, index_dir)
         self.local_threshold = int(local_threshold)
         from sparkfts.deletes import load_tombstones

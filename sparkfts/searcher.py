@@ -55,7 +55,17 @@ class Searcher:
         self._terms = load_terms(spark, index_dir)
         self._postings = load_postings(spark, index_dir)
         if cache_postings:
-            self._postings = self._postings.cache()
+            # coalesce the cache to core count first: the file scan uses
+            # small maxPartitionBytes for split parallelism, which at
+            # ~1M docs leaves 300+ cached partitions — every warm
+            # distributed query then pays 300+ task launches just to
+            # sweep the cache (~0.6 s measured scheduling floor at 1M
+            # docs). Coalesced to defaultParallelism the same sweep is
+            # ~0.25 s; per-shard kernel parallelism is unaffected (the
+            # groupby("shard") exchange re-spreads work).
+            self._postings = self._postings.coalesce(
+                spark.sparkContext.defaultParallelism
+            ).cache()
         self._docmap = load_docmap(spark, index_dir)
         self._df_lru: OrderedDict[str, int] = OrderedDict()
         self._df_cache_size = df_cache_size
