@@ -534,6 +534,38 @@ def q_term_suggest(spark, sf_dir):
     )
 
 
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms (pinned JLH scoring) over the OR query's
+    match set: terms over-represented vs the corpus background."""
+    from sparkfts.aggs import significant_terms
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = significant_terms(
+        spark, idx, BM25_QUERY_OR, mode="or", size=10, min_doc_count=3
+    )
+    return res.select(
+        "term", "df_fg", "df_bg",
+        F.floor(F.col("score_jlh") * 1_000_000 + 0.5).cast("long").alias(
+            "score_e6"
+        ),
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this: docs similar to the min-doc_id document
+    (tf*idf term selection, OR BM25, source excluded)."""
+    from sparkfts.mlt import more_like_this
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    src_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    res = more_like_this(
+        spark, idx, docs, int(src_id), k=10,
+        max_query_terms=10, min_term_freq=1, min_doc_freq=2,
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -987,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_agg": q_percentiles_agg,
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "term_suggest": q_term_suggest,
+        "significant_terms": q_significant_terms,
+        "more_like_this": q_more_like_this,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
@@ -1374,6 +1408,69 @@ SELECT input_term, suggestion, CAST(dist AS INT) AS dist, df,
 FROM cand
 QUALIFY rank <= 3
 ORDER BY input_term, rank
+"""
+
+    sqls["significant_terms"] = f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ({or_terms})),
+nm AS (SELECT count(*) AS n FROM matched),
+nd AS (SELECT count(*) AS n FROM documents),
+fg AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df_fg
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+bg AS (SELECT tok AS term, count(DISTINCT doc_id) AS df_bg
+       FROM toks GROUP BY 1),
+scored AS (
+  SELECT f.term, f.df_fg, b.df_bg,
+         (f.df_fg / (SELECT n * 1.0 FROM nm)
+          - b.df_bg / (SELECT n * 1.0 FROM nd))
+         * ((f.df_fg / (SELECT n * 1.0 FROM nm))
+            / (b.df_bg / (SELECT n * 1.0 FROM nd))) AS s
+  FROM fg f JOIN bg b USING (term))
+SELECT term, df_fg, df_bg,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored WHERE s > 0 ORDER BY s DESC, term LIMIT 10
+"""
+
+    sqls["more_like_this"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+src AS (SELECT min(doc_id) AS d FROM documents),
+dtf AS (SELECT tok AS term, count(*) AS tf FROM toks
+        WHERE doc_id = (SELECT d FROM src) GROUP BY 1
+        HAVING count(*) >= 1),
+ddf AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY 1),
+qterms AS (
+  SELECT t.term
+  FROM dtf t JOIN ddf d USING (term) CROSS JOIN stats s
+  WHERE d.df >= 2
+  ORDER BY t.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC,
+           t.term
+  LIMIT 10),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN (SELECT term FROM qterms) GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE doc_id <> (SELECT d FROM src)
+ORDER BY score DESC, doc_id LIMIT 10
 """
 
     sqls["cardinality_agg"] = f"""

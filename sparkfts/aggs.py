@@ -370,6 +370,99 @@ def percentiles_agg(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "and",
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation -> (term, df_fg, df_bg,
+    score_jlh), score desc then term asc, top ``size``.
+
+    Pinned scoring = ES's JLH: with foreground rate ``fg = df_fg /
+    n_matched`` and background rate ``bg = df_bg / n_docs``,
+    ``score = (fg - bg) * (fg / bg)`` for terms with ``df_fg >=
+    min_doc_count`` and ``fg > bg``.
+
+    Plan shape (the honest cost ES also pays): per-shard the match set
+    cogroups with ALL postings, and the kernel counts, per term, how
+    many matched docs its (decoded) posting list contains — one linear
+    sweep of the index's doc_ids columns, no scoring, partial counts
+    summed per term. Background df comes from the terms dictionary.
+    """
+    import numpy as np
+
+    from sparkfts.index import load_postings, load_terms, read_meta
+
+    meta = read_meta(index_dir)
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode).select(
+        F.col("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(meta["n_shards"])).cast("int").alias(
+            "shard"
+        ),
+    )
+    n_matched = matched.count()
+    if n_matched == 0:
+        return spark.createDataFrame(
+            [], "term string, df_fg long, df_bg long, score_jlh double"
+        )
+    postings = load_postings(spark, index_dir).select(
+        "term", "shard", "doc_ids"
+    )
+
+    def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        from sparkfts.codec import decode_varint, delta_decode
+
+        if not len(l) or not len(r):
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df_fg_shard": pd.Series([], dtype="int64"),
+                }
+            )
+        m = np.sort(r["doc_id"].to_numpy(np.int64))
+        terms_out, counts = [], []
+        by_term: dict[str, list] = {}
+        for _, row in l.iterrows():
+            by_term.setdefault(row["term"], []).append(row["doc_ids"])
+        for t, blobs in by_term.items():
+            ids = np.concatenate(
+                [delta_decode(decode_varint(b)) for b in blobs]
+            ).astype(np.int64)
+            from sparkfts.wand import include_mask
+
+            c = int(include_mask(np.unique(ids), m).sum())
+            if c:
+                terms_out.append(t)
+                counts.append(c)
+        return pd.DataFrame({"term": terms_out, "df_fg_shard": counts})
+
+    fg = (
+        postings.groupby("shard")
+        .cogroup(matched.groupby("shard"))
+        .applyInPandas(kernel, "term string, df_fg_shard long")
+        .groupBy("term")
+        .agg(F.sum("df_fg_shard").alias("df_fg"))
+        .where(F.col("df_fg") >= F.lit(int(min_doc_count)))
+    )
+    bg = load_terms(spark, index_dir).select(
+        "term", F.col("df").alias("df_bg")
+    )
+    n_docs = meta["n_docs"]
+    fg_rate = F.col("df_fg") / F.lit(float(n_matched))
+    bg_rate = F.col("df_bg") / F.lit(float(n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score_jlh", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+        .where(F.col("score_jlh") > 0)
+        .select("term", "df_fg", "df_bg", "score_jlh")
+        .orderBy(F.desc("score_jlh"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def terms_facet_from_index(
     spark: SparkSession,
     index_dir: str,

@@ -316,3 +316,69 @@ def test_cardinality_and_percentiles(spark, corpus, tmp_path):
     assert [r["pct"] for r in pr] == [50.0, 90.0]
     for r, e in zip(pr, exp):
         assert r["value"] == pytest.approx(e, rel=1e-12)
+
+
+def test_significant_terms_jlh(spark, corpus, tmp_path):
+    """significant_terms: JLH scores vs pure-Python ground truth."""
+    import math
+    from collections import Counter
+
+    from sparkfts.aggs import match_docs_batch, significant_terms
+    from sparkfts.analysis import tokenize
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+    import pandas as pd
+
+    idx = str(tmp_path / "sig_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    got = significant_terms(spark, idx, q, mode="or", size=10,
+                            min_doc_count=2).collect()
+    assert got
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    ids = sha1_doc_id(pdf["url"]).tolist()
+    toks = [set(tokenize(t)) for t in pdf["text"]]
+    n_docs, n_m = len(pdf), len(matched)
+    fg, bg = Counter(), Counter()
+    for d, tk in zip(ids, toks):
+        bg.update(tk)
+        if int(d) in matched:
+            fg.update(tk)
+    exp = []
+    for t, c in fg.items():
+        if c >= 2:
+            fgr, bgr = c / n_m, bg[t] / n_docs
+            s = (fgr - bgr) * (fgr / bgr)
+            if s > 0:
+                exp.append((t, s))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["term"]) for r in got] == [t for t, _ in exp[:10]]
+    for r, (_, s) in zip(got, exp):
+        assert r["score_jlh"] == pytest.approx(s, rel=1e-12)
+    # the query's own terms dominate (sanity: they are 100% foreground)
+    assert got[0]["term"] == q or q in {r["term"] for r in got}
+
+
+def test_more_like_this_excludes_source(spark, corpus, tmp_path):
+    from sparkfts.index import build_index
+    from sparkfts.mlt import mlt_query_terms, more_like_this
+    from sparkfts.tokens import sha1_doc_id, prepare_pages
+
+    idx = str(tmp_path / "mlt_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    pages = prepare_pages(spark.createDataFrame(pdf))
+    src = int(sha1_doc_id(pdf["url"])[0])
+    terms = mlt_query_terms(spark, idx, pages, src, max_query_terms=5)
+    assert 0 < len(terms) <= 5
+    from sparkfts.analysis import tokenize
+
+    assert set(terms) <= set(tokenize(pdf.iloc[0]["text"]))
+    res = more_like_this(spark, idx, pages, src, k=10,
+                         max_query_terms=5).collect()
+    assert res and src not in {r["doc_id"] for r in res}
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
