@@ -296,6 +296,13 @@ def cmd_positions(args: argparse.Namespace) -> None:
     print(json.dumps({"sec": round(time.time() - t0, 2), "index": args.index}))
 
 
+def cmd_stats(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-stats")
+    from sparkfts.index import index_stats
+
+    print(json.dumps(index_stats(spark, args.index)))
+
+
 def cmd_suggest(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-suggest")
     from sparkfts.suggest import suggest_terms
@@ -513,6 +520,11 @@ def main(argv: list[str] | None = None) -> None:
     fa.add_argument("--size", type=int, default=10)
     fa.add_argument("--cores", default="*")
     fa.set_defaults(fn=cmd_facet)
+
+    st = sub.add_parser("stats", help="index introspection (_stats)")
+    st.add_argument("--index", required=True)
+    st.add_argument("--cores", default="*")
+    st.set_defaults(fn=cmd_stats)
 
     sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
     sg.add_argument("--index", required=True)

@@ -436,3 +436,51 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def load_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
     return _load_union(spark, index_dir, "docmap")
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """ES ``_stats``-style introspection: per-segment and total doc /
+    term / posting counts, tombstones, on-disk bytes. Columnar reads
+    only (df_shard / doclen columns; posting blobs untouched)."""
+    import glob
+
+    from sparkfts.deletes import load_tombstones
+    from sparkfts.storage import read_table
+
+    meta = read_meta(index_dir)
+    segs = []
+    for d in segment_dirs(index_dir):
+        postings = read_table(spark, os.path.join(d, "postings"))
+        agg = postings.agg(
+            F.count("*").alias("rows"),
+            F.sum("df_shard").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+        ).collect()[0]
+        n_docs = read_table(spark, os.path.join(d, "docmap")).count()
+        nbytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+        segs.append(
+            {
+                "segment": os.path.relpath(d, index_dir),
+                "docs": int(n_docs),
+                "terms": int(agg["terms"]),
+                "postings": int(agg["postings"] or 0),
+                "posting_rows": int(agg["rows"]),
+                "bytes": int(nbytes),
+            }
+        )
+    tombs = load_tombstones(spark, index_dir)
+    return {
+        "n_docs": meta["n_docs"],
+        "avgdl": meta["avgdl"],
+        "n_shards": meta["n_shards"],
+        "n_tbuckets": meta["n_tbuckets"],
+        "blockmax_safe": meta.get("blockmax_safe", True),
+        "tombstones": 0 if tombs is None else int(tombs.size),
+        "segments": segs,
+        "total_bytes": sum(s["bytes"] for s in segs),
+        "total_postings": sum(s["postings"] for s in segs),
+    }

@@ -324,10 +324,16 @@ def score_disjunctive_blockmax(
     ]
     if not nonempty:
         return _EMPTY
+    # per-term upper bounds with the SAME float association as
+    # _contribution ((idf * tfn) * (k1+1)): correctly-rounded float
+    # multiplication is monotone, so ub >= every member contribution
+    # BITWISE. The previous association (idf * (k1+1) * maxtfn) could
+    # land one ULP below the exact-score theta and prune the winning
+    # block — observed as k=1 single-term queries returning nothing.
     ubs = np.array(
-        [i * (k1 + 1.0) * bm[1].max() for _, i, bm in nonempty], np.float64
+        [(i * bm[1].max()) * (k1 + 1.0) for _, i, bm in nonempty],
+        np.float64,
     )
-    total_ub = ubs.sum()
 
     seed_j = int(np.argmax(ubs))
     (s_ids, s_tfs, s_dls), s_idf, _ = nonempty[seed_j]
@@ -336,11 +342,17 @@ def score_disjunctive_blockmax(
         theta = float(np.partition(s_score, s_score.size - k)[s_score.size - k])
     else:
         theta = 0.0  # fewer than k seed candidates: prune nothing
+    # absolute slack absorbing summation-order ULP noise between the
+    # bound arithmetic and the kernels' sorted-term accumulation; scores
+    # are O(1-100), so 1e-9 is ~1e4 ULPs of safety at zero pruning cost
+    theta -= 1e-9
 
     survivors: list[np.ndarray] = []
-    for (ids, tfs, _), idf, (first, maxtfn) in nonempty:
-        others = total_ub - idf * (k1 + 1.0) * maxtfn.max()
-        block_ub = idf * (k1 + 1.0) * maxtfn + others
+    for j, ((ids, tfs, _), idf, (first, maxtfn)) in enumerate(nonempty):
+        # exact sum of the OTHER terms' bounds (total-minus-own could
+        # round below the true remainder and over-prune)
+        others = float(np.sum(np.delete(ubs, j))) if ubs.size > 1 else 0.0
+        block_ub = (idf * maxtfn) * (k1 + 1.0) + others
         keep = block_ub >= theta
         if keep.all():
             survivors.append(ids)

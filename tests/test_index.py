@@ -112,3 +112,28 @@ def test_index_build_deterministic(spark, corpus, index_dir, tmp_path_factory):
         for r in load_postings(spark, d2).collect()
     }
     assert a == b
+
+
+def test_index_stats(spark, tmp_path, corpus):
+    from sparkfts.index import build_index, index_stats
+    from sparkfts.deletes import delete_docs
+    from sparkfts.query import bm25_index_batch
+
+    idx = str(tmp_path / "stats_idx")
+    build_index(spark.createDataFrame(corpus.to_pandas()), idx,
+                n_shards=4, n_tbuckets=8)
+    s = index_stats(spark, idx)
+    assert s["n_docs"] == 400 and s["segments"][0]["docs"] == 400
+    assert s["total_postings"] > 0 and s["total_bytes"] > 0
+    assert s["tombstones"] == 0 and s["blockmax_safe"] is True
+    from sparkfts.index import load_terms
+    from pyspark.sql import functions as F
+
+    term = (
+        load_terms(spark, idx).orderBy(F.desc("df"), "term").limit(1)
+        .collect()[0]["term"]
+    )
+    victim = bm25_index_batch(spark, idx, [(0, term, 1)],
+                              mode="or").collect()[0]["doc_id"]
+    delete_docs(spark, idx, [victim])
+    assert index_stats(spark, idx)["tombstones"] == 1

@@ -114,3 +114,34 @@ def test_blockmax_prunes_something():
     )
     assert ie.tolist() == ib.tolist()
     assert se.tolist() == sb.tolist()
+
+
+def test_blockmax_k1_every_term(spark, tmp_path):
+    """Regression: block-max at k=1 must equal exhaustive for EVERY
+    dictionary term. The old upper-bound float association
+    (idf*(k1+1)*maxtfn vs the kernels' (idf*tfn)*(k1+1)) could land one
+    ULP below the exact k=1 theta and prune the winning block — single-
+    rare-term queries silently returned nothing."""
+    from sparkfts.index import build_index, load_terms
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.synth import gen_corpus
+
+    idx = str(tmp_path / "k1_idx")
+    corpus = gen_corpus(300, seed=42)
+    build_index(spark.createDataFrame(corpus.to_pandas()), idx,
+                n_shards=4, n_tbuckets=8)
+    terms = [r["term"] for r in load_terms(spark, idx).collect()]
+    assert len(terms) > 50
+    for k in (1, 3):
+        batch = [(i, t, k) for i, t in enumerate(terms)]
+        bm = bm25_index_batch(spark, idx, batch, mode="or",
+                              use_blockmax=True).collect()
+        ex = bm25_index_batch(spark, idx, batch, mode="or",
+                              use_blockmax=False).collect()
+        key = lambda rows: {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in rows
+        }
+        assert key(bm) == key(ex), f"k={k}"
+        # every term matches at least its own df docs -> nonempty result
+        assert {r["query_id"] for r in bm} == set(range(len(terms)))
