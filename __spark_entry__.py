@@ -566,6 +566,25 @@ def q_more_like_this(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_rescore_topk(spark, sf_dir):
+    """ES rescore: phrase-proximity re-rank of the OR query's top-50
+    window (score_mode total, rescore_weight 2)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.rescore import rescore_phrase
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = rescore_phrase(
+        spark, idx, BM25_QUERY_OR, PHRASE_QUERY,
+        k=10, window_size=50, query_weight=1.0, rescore_weight=2.0,
+        mode="or",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_terms_facet(spark, sf_dir):
     """ES terms aggregation: lang buckets over the FULL match set of an
     OR query (aggregations run over all matches, not the top-k page)."""
@@ -1021,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
         "more_like_this": q_more_like_this,
+        "fts_rescore_topk": q_fts_rescore_topk,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
         "threshold_filter": q_threshold_filter,
@@ -1408,6 +1428,62 @@ SELECT input_term, suggestion, CAST(dist AS INT) AS dist, df,
 FROM cand
 QUALIFY rank <= 3
 ORDER BY input_term, rank
+"""
+
+    # rescore: primary OR-BM25 top-50 window re-ranked by 2x the phrase
+    # score (score_mode total). Primary CTE = the standard bm25 oracle
+    # shape; phrase CTE = the standard phrase oracle shape.
+    resc_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
+    rp_terms = PHRASE_QUERY.split()
+    rp_vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(rp_terms))
+    rp_in = ", ".join(f"'{t}'" for t in sorted(set(rp_terms)))
+    sqls["fts_rescore_topk"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+       WHERE tok IN ({resc_terms}) GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+prim AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS pscore
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, pscore FROM prim
+        ORDER BY pscore DESC, doc_id LIMIT 50),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+       FROM documents),
+ptoks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                 unnest(tk) AS tok FROM t2),
+pterms(term, i) AS (VALUES {rp_vals}),
+pdfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ptoks
+         WHERE tok IN ({rp_in}) GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN pdfs d USING (term) CROSS JOIN stats s),
+hits AS (
+  SELECT tk.doc_id, tk.pos - p.i AS st
+  FROM ptoks tk JOIN pterms p ON tk.tok = p.term
+  WHERE tk.pos - p.i >= 0
+  GROUP BY 1, 2 HAVING count(*) = {len(rp_terms)}),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+ph AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS sscore
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s),
+comb AS (
+  SELECT w.doc_id,
+         1.0 * w.pscore + 2.0 * COALESCE(ph.sscore, 0) AS score
+  FROM win w LEFT JOIN ph USING (doc_id))
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM comb ORDER BY score DESC, doc_id LIMIT 10
 """
 
     sqls["significant_terms"] = f"""

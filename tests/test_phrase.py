@@ -355,3 +355,35 @@ def test_phrase_searcher_slop_parity(spark, pos_index, corpus):
     ]
     assert warm == cold and warm
     s.close()
+
+
+def test_rescore_phrase_reranks_window(spark, pos_index, corpus):
+    """rescore: combined = qw*primary + rw*phrase over the window;
+    docs outside the window never enter; phrase-matching docs rise."""
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.rescore import rescore_phrase
+
+    phrases = _corpus_phrases(corpus)
+    phrase = phrases[0]
+    q = phrase.split()[0]  # primary shares a term -> window overlaps
+    window = 30
+    prim = bm25_index_batch(spark, pos_index, [(0, q, window)],
+                            mode="or").collect()
+    from sparkfts.phrase import match_phrase_batch
+
+    ph = {r["doc_id"]: r["score"]
+          for r in match_phrase_batch(
+              spark, pos_index, [(0, phrase, 10_000)]).collect()}
+    got = rescore_phrase(spark, pos_index, q, phrase, k=10,
+                         window_size=window, rescore_weight=2.0,
+                         mode="or").collect()
+    exp = [
+        (r["doc_id"], r["score"] + 2.0 * ph.get(r["doc_id"], 0.0))
+        for r in prim
+    ]
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-12)) for d, s in exp[:10]
+    ]
+    with pytest.raises(ValueError):
+        rescore_phrase(spark, pos_index, q, phrase, k=60, window_size=50)

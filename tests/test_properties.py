@@ -123,3 +123,47 @@ def test_min_should_match_counts(tp, min_match):
             cnt[int(d)] += 1
     expected = sorted(d for d, c in cnt.items() if c >= min_match)
     assert sorted(int(x) for x in ids) == expected
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    pos_lists=st.lists(
+        st.lists(st.integers(0, 60), min_size=1, max_size=25).map(
+            lambda xs: sorted(set(xs))
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    slop=st.integers(0, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_sloppy_kernel_matches_oracle_greedy(pos_lists, slop):
+    """Property: the vectorized slop kernel == the oracle's pure-python
+    greedy chain on arbitrary position lists."""
+    import numpy as np
+
+    from oracle.phrase import PhraseOracle
+    from sparkfts.phrase import _phrase_starts
+
+    arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
+    got = _phrase_starts(arrs, slop)
+
+    # oracle greedy, reimplemented over raw position lists
+    from bisect import bisect_right
+
+    m = len(pos_lists)
+    exp = 0
+    for p0 in pos_lists[0]:
+        cur, ok = p0, True
+        for plist in pos_lists[1:]:
+            j = bisect_right(plist, cur)
+            if j >= len(plist):
+                ok = False
+                break
+            cur = plist[j]
+        if ok and cur - p0 - (m - 1) <= slop:
+            exp += 1
+    assert got == exp
