@@ -426,6 +426,26 @@ def q_fts_must_not_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_bool_topk(spark, sf_dir):
+    """Full ES bool tree executed in ONE single-pass shard-kernel plan
+    (sparkfts.booltree): must (fuzzy conjunctive multi_match, the shape
+    the reference pins at ElasticsearchToNeo4jSync.py:92-102) + should
+    (score bonus) + must_not (exclusion) — per-shard top-k, global
+    window over <= n_shards*k rows, no per-clause full match sets."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Clause, SearchRequest
+
+    idx = _index_dir_for(spark, sf_dir)
+    req = SearchRequest(
+        clauses=(Clause(query=BM25_QUERY_FUZZY),),
+        should=(Clause(query="vector"),),
+        must_not=("stream",),
+        k=10,
+    )
+    res = bool_topk_batch(spark, idx, [req])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_bm25f_topk(spark, sf_dir):
     """BM25F combined-fields scoring over [title^2, text] (ES
     combined_fields family; pinned spec oracle/bm25f.py): per-field
@@ -1031,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
+        "fts_bool_topk": q_fts_bool_topk,
         "terms_facet": q_terms_facet,
         "stats_agg": q_stats_agg,
         "histogram_facet": q_histogram_facet,
@@ -1373,6 +1394,60 @@ SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
+
+    def _fuzzy_clause_ctes(p: str, terms: list[str]) -> str:
+        """CTEs scoring one fuzzy(AUTO) conjunctive clause (shares the
+        toks/dl/stats/tf/dict CTEs) -> ``{p}scored(doc_id, score, nm)``."""
+        vals = ", ".join(
+            f"('{t}', {auto_fuzz(t)}, {len(t)})" for t in terms
+        )
+        return f"""
+{p}terms(q_term, maxd, qlen) AS (VALUES {vals}),
+{p}exp AS (
+  SELECT q.q_term, d.term, d.df,
+         1.0 - levenshtein(d.term, q.q_term) * 1.0 / q.qlen AS boost
+  FROM dict d JOIN {p}terms q
+    ON abs(length(d.term) - q.qlen) <= q.maxd
+   AND levenshtein(d.term, q.q_term) <= q.maxd
+),
+{p}contrib AS (
+  SELECT e.q_term, tf.doc_id,
+         max(e.boost * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+             * 2.2) AS best
+  FROM tf JOIN {p}exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY e.q_term, tf.doc_id
+),
+{p}scored AS (
+  SELECT doc_id, sum(best) AS score, count(*) AS nm
+  FROM {p}contrib GROUP BY doc_id
+)"""
+
+    must_terms = tokenize_query(BM25_QUERY_FUZZY)
+    should_terms = tokenize_query("vector")
+    sqls["fts_bool_topk"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{_fuzzy_clause_ctes("m", must_terms)},
+{_fuzzy_clause_ctes("s", should_terms)},
+final AS (
+  SELECT m.doc_id, m.score + COALESCE(s.score, 0) AS score
+  FROM mscored m
+  LEFT JOIN (SELECT doc_id, score FROM sscored
+             WHERE nm = {len(should_terms)}) s USING (doc_id)
+  WHERE m.nm = {len(must_terms)}
+    AND m.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'stream')
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM final ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     or_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
     sqls["terms_facet"] = f"""

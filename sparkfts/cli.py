@@ -145,6 +145,10 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--must-not")
         if args.slop and not args.phrase:
             unsupported.append("--slop")
+        if args.max_expansions is not None and not args.fuzzy:
+            # fuzzy paths thread it through (below); phrase / plain
+            # multifield have no expansion set to cap
+            unsupported.append("--max-expansions")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -156,6 +160,10 @@ def cmd_query(args: argparse.Namespace) -> None:
             )
     elif args.slop:
         raise SystemExit("--slop requires --phrase")
+    elif args.max_expansions is not None and not (args.prefix or args.wildcard):
+        raise SystemExit(
+            "--max-expansions requires --fuzzy/--prefix/--wildcard"
+        )
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
@@ -212,6 +220,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 [(0, args.query, args.k)],
                 fields=args.fields.split(","),
                 mode=args.mode,
+                max_expansions=args.max_expansions,
                 offset=args.offset,
             )
         else:
@@ -243,6 +252,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             args.index,
             [(0, args.query, args.k)],
             mode=args.mode,
+            max_expansions=args.max_expansions,
             offset=args.offset,
             filter_expr=args.filter,
         )

@@ -483,9 +483,18 @@ def _make_bm25f_scorer(
                             [decode_varint(r["doclens"]) for r in rs]
                         )
                         order = np.argsort(ids, kind="stable")
-                        decoded[key] = (
-                            ids[order], tfs[order], dls[order]
-                        )
+                        ids, tfs, dls = ids[order], tfs[order], dls[order]
+                        if ids.size > 1:
+                            # a doc_id can repeat across uncompacted
+                            # segments (re-crawl before merge); keep ONE
+                            # entry per doc so np.add.at folds its tf
+                            # into tfc once — matching build_terms_any's
+                            # np.unique df_any semantics (supersede
+                            # resolution itself is merge's job)
+                            keep = np.ones(ids.size, bool)
+                            keep[1:] = ids[1:] != ids[:-1]
+                            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                        decoded[key] = (ids, tfs, dls)
                 return decoded[key]
 
             group_cache: dict[str, tuple] = {}

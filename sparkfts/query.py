@@ -648,36 +648,41 @@ def explain_score(
     target = int(doc_id)
     k1, b = BM25_K1, BM25_B
 
-    def kernel(batches):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # grouped by shard (not mapInPandas): ALL of a term's rows —
+        # including multi-segment runs of an uncompacted re-crawl —
+        # arrive in one call, so _postings_reader's sorted merge sees
+        # them together and searchsorted picks exactly ONE entry per
+        # term; per-Arrow-batch partial decode previously emitted a
+        # duplicate row (and a double-counted total) for such docs
         import numpy as np
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            _, postings_of = _postings_reader(pdf, avgdl, block_size)
-            rows = []
-            for t in sorted(set(pdf["term"])):
-                ids, tfs, dls, _bm = postings_of(t)
-                pos = np.searchsorted(ids, target)
-                if pos < ids.size and ids[pos] == target:
-                    tf = int(tfs[pos])
-                    dl = int(dls[pos])
-                    idf = idf_fn(n_docs, df_map.get(t, 0))
-                    tfn = tf / (tf + k1 * (1 - b + b * dl / avgdl))
-                    rows.append(
-                        (t, tf, df_map.get(t, 0), dl, idf, tfn,
-                         idf * tfn * (k1 + 1.0))
-                    )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "term", "tf", "df", "doclen", "idf", "tf_norm",
-                        "contribution",
-                    ],
+        cols = [
+            "term", "tf", "df", "doclen", "idf", "tf_norm", "contribution",
+        ]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        _, postings_of = _postings_reader(pdf, avgdl, block_size)
+        rows = []
+        for t in sorted(set(pdf["term"])):
+            ids, tfs, dls, _bm = postings_of(t)
+            pos = np.searchsorted(ids, target)
+            if pos < ids.size and ids[pos] == target:
+                tf = int(tfs[pos])
+                dl = int(dls[pos])
+                idf = idf_fn(n_docs, df_map.get(t, 0))
+                tfn = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+                rows.append(
+                    (t, tf, df_map.get(t, 0), dl, idf, tfn,
+                     idf * tfn * (k1 + 1.0))
                 )
+        return pd.DataFrame(rows, columns=cols)
 
-    out = postings.mapInPandas(kernel, schema).orderBy("term")
+    out = (
+        postings.groupby("shard")
+        .applyInPandas(lambda pdf: kernel(pdf), schema)
+        .orderBy("term")
+    )
     if mode == "and":
         # conjunctive: the doc must carry EVERY query term or nothing
         # matches (checked driver-side on the tiny result)

@@ -56,12 +56,25 @@ def equalize_list_values(data: dict) -> dict:
 
 @dataclass(frozen=True)
 class Clause:
-    """One conjunctive fuzzy full-text clause (one ``multi_match``)."""
+    """One fuzzy full-text clause (one ``multi_match``); ``operator``
+    combines the clause's own terms (and = conjunctive, or = any);
+    ``fuzziness="AUTO"`` expands terms ES-style, ``"0"`` pins exact."""
 
     query: str
     fields: tuple[str, ...] = DEFAULT_FIELDS
     operator: str = "and"
     fuzziness: str = "AUTO"
+
+
+@dataclass(frozen=True)
+class Bool:
+    """A nested ES ``bool`` node (full grammar): members of must /
+    should / must_not are :class:`Clause` or :class:`Bool`. Semantics
+    pinned in :mod:`sparkfts.booltree` (single-pass kernel)."""
+
+    must: tuple = field(default_factory=tuple)
+    should: tuple = field(default_factory=tuple)
+    must_not: tuple = field(default_factory=tuple)
 
 
 @dataclass(frozen=True)
@@ -217,6 +230,18 @@ def run_search_request_indexed(
         )
         return match_all_topk(docs, request.k)
 
+    if not multifield:
+        # single-pass bool-tree kernel: every clause of the request is
+        # scored inside ONE shard-kernel pass (per-shard top-k, global
+        # window over <= n_shards*k rows) instead of materializing
+        # per-clause complete match sets merged on an unpartitioned
+        # window — identical results (tested), web-scale plan
+        from sparkfts.booltree import bool_topk_batch
+
+        return bool_topk_batch(spark, index_dir, [request]).select(
+            "rank", "doc_id", "score"
+        )
+
     if not request.clauses:
         # pure-should bool query: minimum_should_match=1, score = sum of
         # matching should clause scores
@@ -318,15 +343,29 @@ def _should_scores_indexed(
         ]
         per_clause = reduce(lambda a, b: a.unionByName(b), parts)
     else:
+        from functools import reduce
+
         from sparkfts.index import read_meta
         from sparkfts.query import bm25_index_fuzzy_batch
 
         n_docs = read_meta(index_dir)["n_docs"]
-        per_clause = bm25_index_fuzzy_batch(
-            spark,
-            index_dir,
-            [(i, c.query, n_docs) for i, c in enumerate(request.should)],
-        )
+        # one batched plan per distinct clause operator (a should clause
+        # with operator='or' must run disjunctively, matching the
+        # multifield branch's mode=c.operator)
+        parts = [
+            bm25_index_fuzzy_batch(
+                spark,
+                index_dir,
+                [
+                    (i, c.query, n_docs)
+                    for i, c in enumerate(request.should)
+                    if c.operator == op
+                ],
+                mode=op,
+            )
+            for op in sorted({c.operator for c in request.should})
+        ]
+        per_clause = reduce(lambda a, b: a.unionByName(b), parts)
     return per_clause.groupBy("doc_id").agg(
         F.count("*").alias("n_should_matched"),
         F.aggregate(
@@ -405,11 +444,29 @@ def run_search_request(
                 )
         return df
 
-    def _should_scores() -> DataFrame:
-        batch = [
-            (i, c.query, n_docs) for i, c in enumerate(request.should)
+    def _scan_clauses(clauses) -> DataFrame:
+        """One batched plan per distinct clause operator (honoring
+        ``Clause.operator`` — previously hardcoded 'and')."""
+        from functools import reduce
+
+        parts = [
+            bm25_fuzzy_scan_batch(
+                tokens,
+                [
+                    (i, c.query, n_docs)
+                    for i, c in enumerate(clauses)
+                    if c.operator == op
+                ],
+                n_docs,
+                avgdl,
+                mode=op,
+            )
+            for op in sorted({c.operator for c in clauses})
         ]
-        per = bm25_fuzzy_scan_batch(tokens, batch, n_docs, avgdl, mode="and")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _should_scores() -> DataFrame:
+        per = _scan_clauses(request.should)
         return per.groupBy("doc_id").agg(
             F.aggregate(
                 F.transform(
@@ -444,11 +501,10 @@ def run_search_request(
             .orderBy("rank")
         )
 
-    batch = [
-        (i, c.query, n_docs)  # per-clause k = n_docs: need ALL matching
-        for i, c in enumerate(request.clauses)  # docs before the must-join
-    ]
-    per_clause = bm25_fuzzy_scan_batch(tokens, batch, n_docs, avgdl, mode="and")
+    # per-clause k = n_docs: need ALL matching docs before the must-join
+    # (the scan path IS the full-corpus baseline; the indexed path's
+    # single-pass kernel is the scale shape)
+    per_clause = _scan_clauses(request.clauses)
     n_clauses = len(request.clauses)
     merged = (
         per_clause.groupBy("doc_id")

@@ -217,18 +217,18 @@ def fuzzy_group(
     return union, best
 
 
-def score_grouped(
+def match_grouped_all(
     groups: list[tuple[np.ndarray, np.ndarray]],
-    k: int,
     mode: str = "and",
-    exclude: np.ndarray | None = None,
-    include: np.ndarray | None = None,
 ):
-    """Top-k over per-query-term virtual postings (``fuzzy_group`` output).
+    """COMPLETE match set over per-query-term virtual postings
+    (``fuzzy_group`` output) -> ``(doc_ids asc, scores)``, no top-k.
 
-    ``groups`` in sorted-q_term order (pinned summation order). AND: doc
-    must appear in every group (the reference's ``bool.must`` +
-    ``operator:"and"``); OR: any group.
+    Arithmetic is exactly :func:`score_grouped` minus the selection
+    step (same fold order, same float64 ops) — the single-pass bool-tree
+    kernel composes these per-clause sets in-shard and only then
+    selects, so per-shard results stay bit-identical to the per-clause
+    composed plans.
     """
     if not groups:
         return _EMPTY
@@ -249,7 +249,7 @@ def score_grouped(
         scores = np.zeros(inter.size, np.float64)
         for ids, best in groups:  # sorted-q_term fold order
             scores += best[np.searchsorted(ids, inter)]
-        return _topk(inter, scores, k, exclude=exclude, include=include)
+        return inter, scores
     if mode != "or":
         raise ValueError(f"unknown mode {mode!r}")
     nonempty = [g for g in groups if g[0].size > 0]
@@ -259,7 +259,24 @@ def score_grouped(
     scores = np.zeros(union.size, np.float64)
     for ids, best in nonempty:
         scores[np.searchsorted(union, ids)] += best
-    return _topk(union, scores, k, exclude=exclude, include=include)
+    return union, scores
+
+
+def score_grouped(
+    groups: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    mode: str = "and",
+    exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
+):
+    """Top-k over per-query-term virtual postings (``fuzzy_group`` output).
+
+    ``groups`` in sorted-q_term order (pinned summation order). AND: doc
+    must appear in every group (the reference's ``bool.must`` +
+    ``operator:"and"``); OR: any group.
+    """
+    ids, scores = match_grouped_all(groups, mode)
+    return _topk(ids, scores, k, exclude=exclude, include=include)
 
 
 def score_disjunctive(
