@@ -193,12 +193,17 @@ def _make_phrase_scorer(
     exclude: np.ndarray | None = None,
     slop: int = 0,
     filtered: bool = False,
+    include_map: dict[int, "np.ndarray"] | None = None,
 ):
     """Kernel factory: phrase-score ALL queries against ONE shard.
 
     ``filtered=True``: cogrouped signature — the second frame is this
     shard's bool.filter allowed doc_id set; docs outside it never enter
-    the candidate loop."""
+    the candidate loop.
+
+    ``include_map``: per query_id, a SORTED doc_id array the query is
+    restricted to (the rescore window) — docs outside it are skipped
+    before any position work."""
 
     k1, b = BM25_K1, BM25_B
 
@@ -235,6 +240,7 @@ def _make_phrase_scorer(
                 rare = min(maps, key=len)
                 from sparkfts.wand import exclude_mask
 
+                q_include = (include_map or {}).get(qid)
                 doc_scores: list[tuple[int, float]] = []
                 for doc_id, (rare_pos, dl) in rare.items():
                     if include is not None:
@@ -242,6 +248,13 @@ def _make_phrase_scorer(
 
                         if not include_mask(
                             np.array([doc_id], np.int64), include
+                        )[0]:
+                            continue
+                    if q_include is not None:
+                        from sparkfts.wand import include_mask
+
+                        if not include_mask(
+                            np.array([doc_id], np.int64), q_include
                         )[0]:
                             continue
                     if exclude is not None and exclude.size and not \
@@ -337,6 +350,7 @@ def match_phrase_batch(
     offset: int = 0,
     slop: int = 0,
     filter_expr: str | None = None,
+    include_doc_ids: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """Answer a batch of match_phrase top-k queries -> (query_id, rank,
     doc_id, score). Requires ``build_positions`` to have run.
@@ -344,6 +358,12 @@ def match_phrase_batch(
     ``slop``: ES match_phrase slop — ordered window-tolerant matching
     with total inserted gap <= slop (pinned spec: oracle.phrase
     ``sloppy_freq``); 0 = exact adjacency.
+
+    ``include_doc_ids``: per query_id, restrict matching to these docs
+    (the rescore window). The union of the id sets is ALSO pushed into
+    the positions scan as a ``doc_id IN (...)`` predicate, so only the
+    window docs' position rows are ever read/decoded — a common phrase
+    costs O(window), not O(df(phrase)).
     """
     from sparkfts.index import load_terms, read_meta, term_bucket
     from sparkfts.query import _empty_results
@@ -378,11 +398,26 @@ def match_phrase_batch(
     pos = load_positions(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
     )
+    include_map = None
+    if include_doc_ids is not None:
+        import numpy as np
+
+        include_map = {
+            qid: np.sort(np.asarray(list(ids), np.int64))
+            for qid, ids in include_doc_ids.items()
+        }
+        union_ids = sorted(
+            {int(d) for ids in include_doc_ids.values() for d in ids}
+        )
+        if not union_ids:
+            return _empty_results(spark)
+        pos = pos.where(F.col("doc_id").isin(union_ids))
     scorer = _make_phrase_scorer(
         analyzed, idf_sums, meta["avgdl"],
         exclude=load_tombstones(spark, index_dir),
         slop=int(slop),
         filtered=filter_expr is not None,
+        include_map=include_map,
     )
     result_schema = "query_id int, doc_id long, score double"
     if filter_expr is not None:

@@ -15,9 +15,14 @@ ES's rescorer with ``score_mode: total`` (the default):
 ``k <= window_size`` is required (ES: documents below the window keep
 their primary order, so a page cut inside the window is exact).
 
-Scale shape: the window is k-sized driver data; the phrase pass is the
-standard pruned positional plan. Only the window join is new — a
-broadcast of <= window_size ids.
+Scale shape: the window is k-sized driver data, and the secondary
+phrase pass is RESTRICTED to it — the window's doc_ids are pushed into
+the positions scan as a predicate and into the phrase kernel as an
+include mask (``match_phrase_batch(include_doc_ids=...)``), so only
+<= window_size docs are ever position-decoded and scored. A common
+phrase ("of the") costs O(window), never O(df(phrase)) — exactly ES's
+rescorer cost model (it rescores the window, not the phrase's match
+set).
 """
 
 from __future__ import annotations
@@ -45,14 +50,31 @@ def rescore_phrase(
 
     if k > window_size:
         raise ValueError("k must be <= window_size")
-    meta = read_meta(index_dir)
-    primary = bm25_index_batch(
+    read_meta(index_dir)  # fail fast on a non-index dir
+    # the primary window is <= window_size rows BY CONSTRUCTION —
+    # collecting it is the rescorer's contract (ES holds the same
+    # window in the coordinator), and it becomes the include mask that
+    # bounds the secondary pass
+    window_rows = bm25_index_batch(
         spark, index_dir, [(0, query, int(window_size))], mode=mode
-    ).select("doc_id", F.col("score").alias("primary_score"))
-    # full phrase match set (phrase dfs are small); the join below
-    # restricts to the window
+    ).select("doc_id", "score").collect()
+    if not window_rows:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    window_ids = [int(r["doc_id"]) for r in window_rows]
+    primary = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in window_rows],
+        "doc_id long, primary_score double",
+    )
+    # secondary pass restricted to the window: the kernel receives the
+    # <= window_size include ids and the positions scan is pruned to
+    # them (see match_phrase_batch docstring)
     secondary = match_phrase_batch(
-        spark, index_dir, [(0, phrase, int(meta["n_docs"]))]
+        spark,
+        index_dir,
+        [(0, phrase, int(window_size))],
+        include_doc_ids={0: window_ids},
     ).select("doc_id", F.col("score").alias("rescore_score"))
     combined = (
         primary.join(secondary, "doc_id", "left")

