@@ -328,6 +328,26 @@ def q_fts_phrase_slop(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix (search-as-you-type): 'table ha' — fixed
+    term 'table' followed by any dictionary term with prefix 'ha' at the
+    next position. Pinned spec: oracle.phrase.search_phrase_prefix
+    (last-slot position union, union-df virtual-prefix idf, sorted
+    expansion cap)."""
+    from sparkfts.phrase import build_positions, match_phrase_prefix_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    p0, p1 = PHRASE_QUERY.split()
+    res = match_phrase_prefix_batch(
+        spark, idx, [(0, f"{p0} {p1[:2]}", 10)], max_expansions=50
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_prefix_topk(spark, sf_dir):
     """ES prefix query over the sorted term dictionary: prefix 's'
     expands to {scan, slow, small, sort, spark, stream} at this SF;
@@ -495,6 +515,52 @@ def q_histogram_facet(spark, sf_dir):
     )
     return res.select(
         F.col("bucket").cast("long").alias("bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_terms_stats_nested(spark, sf_dir):
+    """ES sub-aggregation: terms buckets (lang) with a nested stats agg
+    (n_chars) per bucket over the OR query's full match set."""
+    from sparkfts.aggs import terms_stats_nested
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = terms_stats_nested(
+        spark, idx, BM25_QUERY_OR,
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", mode="or", size=10,
+    )
+    return res.select(
+        "value",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("min").cast("long").alias("min_chars"),
+        F.col("max").cast("long").alias("max_chars"),
+        F.col("sum").cast("long").alias("sum_chars"),
+        F.floor(F.col("avg") * 1_000_000 + 0.5).cast("long").alias("avg_e6"),
+    )
+
+
+def q_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar_interval=month, UTC truncation) over
+    a deterministic per-doc crawl timestamp (2024-01-01 + doc_id%400
+    days — synthesized identically in the DuckDB oracle)."""
+    from sparkfts.aggs import date_histogram
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, CAST(doc_id % 400 AS INT))"
+        ).alias("crawl_ts"),
+    )
+    res = date_histogram(
+        spark, idx, BM25_QUERY_OR, docs, "crawl_ts",
+        calendar_interval="month", mode="or",
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
         F.col("doc_count").cast("long").alias("doc_count"),
     )
 
@@ -1042,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_topk": q_fts_index_topk,
         "fts_phrase_topk": q_fts_phrase_topk,
         "fts_phrase_slop": q_fts_phrase_slop,
+        "fts_phrase_prefix": q_fts_phrase_prefix,
         "fts_prefix_topk": q_fts_prefix_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_bm25f_topk": q_fts_bm25f_topk,
@@ -1057,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facet": q_histogram_facet,
         "cardinality_agg": q_cardinality_agg,
         "percentiles_agg": q_percentiles_agg,
+        "terms_stats_nested": q_terms_stats_nested,
+        "date_histogram": q_date_histogram,
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
@@ -1249,6 +1318,45 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
     t0_term, t1_term = p_terms[0], p_terms[1]
+    pfx = t1_term[:2]
+    sqls["fts_phrase_prefix"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+exps AS (SELECT DISTINCT tok AS term FROM toks WHERE tok LIKE '{pfx}%'
+         ORDER BY term LIMIT 50),
+fdf AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok = '{t0_term}'),
+dfp AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN (SELECT term FROM exps)),
+weight AS (
+  SELECT ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         + ln(1 + (s.n_docs - p.df + 0.5) / (p.df + 0.5)) AS w
+  FROM fdf f CROSS JOIN dfp p CROSS JOIN stats s),
+hits AS (
+  SELECT a.doc_id, a.pos AS st
+  FROM toks a
+  WHERE a.tok = '{t0_term}'
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.tok IN (SELECT term FROM exps))),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         wt.w * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                         / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN weight wt CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
     sqls["fts_phrase_slop"] = f"""
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
            FROM documents),
@@ -1467,6 +1575,29 @@ SELECT count(*) AS n,
        CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
        CAST(floor(avg(d.n_chars * 1.0) * 1000000 + 0.5) AS BIGINT) AS avg_e6
 FROM matched m JOIN documents d USING (doc_id)
+"""
+
+    sqls["terms_stats_nested"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT d.lang AS value, count(*) AS doc_count,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(floor(avg(d.n_chars * 1.0) * 1000000 + 0.5) AS BIGINT) AS avg_e6
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, value LIMIT 10
+"""
+
+    sqls["date_histogram"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT CAST(floor(epoch(date_trunc('month',
+         TIMESTAMP '2024-01-01 00:00:00'
+         + (d.doc_id % 400) * INTERVAL 1 DAY))) AS BIGINT) AS bucket_epoch,
+       count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """
 
     sqls["histogram_facet"] = f"""

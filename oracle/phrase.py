@@ -61,16 +61,43 @@ class PhraseOracle:
         df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    @staticmethod
+    def _freq_from_plists(plists: list[list[int]]) -> int:
+        """Exact-adjacency start count from per-slot position lists."""
+        pos_sets = [
+            {p - i for p in plist} for i, plist in enumerate(plists)
+        ]
+        return len(set.intersection(*pos_sets))
+
+    @staticmethod
+    def _sloppy_from_plists(plists: list[list[int]], slop: int) -> int:
+        """Greedy ordered-chain start count (see :meth:`sloppy_freq`)."""
+        from bisect import bisect_right
+
+        m = len(plists)
+        tfp = 0
+        for p0 in plists[0]:
+            cur = p0
+            ok = True
+            for plist in plists[1:]:
+                j = bisect_right(plist, cur)
+                if j >= len(plist):
+                    ok = False
+                    break
+                cur = plist[j]
+            if ok and cur - p0 - (m - 1) <= slop:
+                tfp += 1
+        return tfp
+
     def phrase_freq(self, terms: list[str], doc_id: int) -> int:
         """Count of positions p with terms[i] at p+i for every i."""
-        pos_sets = []
-        for i, t in enumerate(terms):
+        plists = []
+        for t in terms:
             plist = self.positions.get(t, {}).get(doc_id)
             if not plist:
                 return 0
-            pos_sets.append({p - i for p in plist})
-        starts = set.intersection(*pos_sets)
-        return len(starts)
+            plists.append(plist)
+        return self._freq_from_plists(plists)
 
     def sloppy_freq(self, terms: list[str], doc_id: int, slop: int) -> int:
         """PINNED slop semantics (ordered window-tolerant matching):
@@ -87,28 +114,100 @@ class PhraseOracle:
         order, and tfp counts matches unweighted (no 1/(1+distance)
         sloppy-freq damping) — a deliberate, simpler pin.
         """
-        from bisect import bisect_right
-
         plists = []
         for t in terms:
             plist = self.positions.get(t, {}).get(doc_id)
             if not plist:
                 return 0
             plists.append(plist)
-        m = len(terms)
-        tfp = 0
-        for p0 in plists[0]:
-            cur = p0
+        return self._sloppy_from_plists(plists, slop)
+
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        slop: int = 0,
+    ) -> list[tuple[int, float]]:
+        """PINNED ``match_phrase_prefix`` semantics (ES
+        search-as-you-type: phrase whose LAST term is a prefix):
+
+        - expansions E = dictionary terms starting with the last term,
+          in sorted term order, capped at ``max_expansions`` (ES caps
+          the same way; sorted-order cap is the deterministic pin);
+        - the last slot matches at a position iff ANY e in E occurs
+          there (the per-doc last-slot position list is the union of
+          the expansions' lists); fixed slots match exactly; start
+          counting (exact or sloppy) is identical to
+          :meth:`phrase_freq` / :meth:`sloppy_freq` over those lists;
+        - weight = sum of the fixed terms' idfs (phrase order) plus
+          ONE virtual-prefix idf computed from
+          ``df_prefix = |{docs containing any e in E}|`` — the union
+          df, not a sum of expansion dfs (a doc with two expansions
+          counts once);
+        - score(d) = weight * tfp/(tfp + k1*(1-b+b*dl/avgdl)) * (k1+1),
+          ties (-score, doc_id asc). A one-term query degenerates to a
+          pure prefix-as-phrase: every expansion occurrence is a match.
+        """
+        terms = tokenize(phrase)
+        if not terms or self.n_docs == 0:
+            return []
+        fixed, prefix = terms[:-1], terms[-1]
+        expansions = sorted(
+            t for t in self.positions if t.startswith(prefix)
+        )[: int(max_expansions)]
+        if not expansions:
+            return []
+        docs_any = {
+            d for t in expansions for d in self.positions.get(t, ())
+        }
+        dfp = len(docs_any)
+        weight = sum(self.idf(t) for t in fixed)  # phrase-order fold
+        weight += math.log(1.0 + (self.n_docs - dfp + 0.5) / (dfp + 0.5))
+        # candidates: docs containing the rarest fixed term, else the
+        # prefix union set
+        if fixed:
+            rare = min(fixed, key=self.df)
+            cand = set(self.positions.get(rare, ())) & docs_any \
+                if self.df(rare) > dfp else set(self.positions.get(rare, ()))
+        else:
+            cand = docs_any
+        scored = []
+        for doc_id in cand:
+            plists = []
             ok = True
-            for plist in plists[1:]:
-                j = bisect_right(plist, cur)
-                if j >= len(plist):
+            for t in fixed:
+                plist = self.positions.get(t, {}).get(doc_id)
+                if not plist:
                     ok = False
                     break
-                cur = plist[j]
-            if ok and cur - p0 - (m - 1) <= slop:
-                tfp += 1
-        return tfp
+                plists.append(plist)
+            if not ok:
+                continue
+            last = sorted(
+                {
+                    p
+                    for t in expansions
+                    for p in self.positions.get(t, {}).get(doc_id, ())
+                }
+            )
+            if not last:
+                continue
+            plists.append(last)
+            tfp = (
+                self._freq_from_plists(plists)
+                if slop == 0
+                else self._sloppy_from_plists(plists, slop)
+            )
+            if tfp == 0:
+                continue
+            dl = self.doclen[doc_id]
+            norm = self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+            scored.append(
+                (doc_id, weight * (tfp / (tfp + norm)) * (self.k1 + 1))
+            )
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
 
     def search(
         self, phrase: str, k: int = 10, slop: int = 0

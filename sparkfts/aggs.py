@@ -370,6 +370,88 @@ def percentiles_agg(
     )
 
 
+def terms_stats_nested(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    bucket_field: str,
+    metric_field: str,
+    mode: str = "and",
+    size: int = 10,
+) -> DataFrame:
+    """ES sub-aggregation: ``terms`` buckets with a nested ``stats``
+    per bucket -> (value, doc_count, min, max, sum, avg), ordered
+    count desc then key asc, top ``size`` buckets — the shape behind
+    every Kibana "top categories with per-category metrics" panel.
+
+    Composition layer over the same matched-join frame as
+    :func:`terms_facet`: the score-free match kernel produces
+    (query_id, doc_id); ONE join to the doc-values table and ONE
+    grouped agg computes bucket counts AND the nested metrics together
+    (all partial-aggregated map-side — only (partitions x buckets)
+    rows cross the exchange, same as the flat facet). Deeper nesting
+    (bucket inside bucket) is the same plan with a composite groupBy
+    key; metric-only nesting never adds a shuffle.
+    """
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    c = F.col(metric_field).cast("double")
+    return (
+        matched.join(
+            doc_values.select("doc_id", bucket_field, metric_field),
+            "doc_id",
+        )
+        .groupBy(F.col(bucket_field).alias("value"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.sum(c).alias("sum"),
+            F.avg(c).alias("avg"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("value"))
+        .limit(size)
+    )
+
+
+DATE_INTERVALS = (
+    "year", "quarter", "month", "week", "day", "hour", "minute",
+)
+
+
+def date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    calendar_interval: str = "month",
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``date_histogram`` with ``calendar_interval`` semantics ->
+    (bucket, doc_count), bucket asc — the most common aggregation over
+    a web corpus's crawl timestamps (``warc_ts``).
+
+    Pinned ES behavior: bucket key = the timestamp truncated to the
+    calendar interval in UTC (weeks start Monday, ISO — both Spark's
+    ``date_trunc('week', ...)`` and DuckDB's agree); empty buckets
+    omitted (``min_doc_count=1``). Same single-join partial-aggregated
+    plan as :func:`histogram_facet`.
+    """
+    if calendar_interval not in DATE_INTERVALS:
+        raise ValueError(
+            f"calendar_interval must be one of {DATE_INTERVALS}"
+        )
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    bucket = F.date_trunc(calendar_interval, F.col(field)).alias("bucket")
+    return (
+        matched.join(doc_values.select("doc_id", field), "doc_id")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -197,6 +197,11 @@ def _make_phrase_scorer(
 ):
     """Kernel factory: phrase-score ALL queries against ONE shard.
 
+    A slot in a query's term list may be a plain term (str) or a TUPLE
+    of alternative terms (``match_phrase_prefix``'s expanded last slot):
+    the slot's per-doc position list is the union of the alternatives'
+    lists (Lucene MultiPhraseQuery's position union).
+
     ``filtered=True``: cogrouped signature — the second frame is this
     shard's bool.filter allowed doc_id set; docs outside it never enter
     the candidate loop.
@@ -206,6 +211,26 @@ def _make_phrase_scorer(
     before any position work."""
 
     k1, b = BM25_K1, BM25_B
+
+    def _slot_map(by_term, slot):
+        """term | tuple-of-alternatives -> {doc_id: (positions, dl)}."""
+        if isinstance(slot, str):
+            return by_term.get(slot)
+        parts = [m for m in (by_term.get(a) for a in slot) if m]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        out: dict[int, tuple[np.ndarray, int]] = {}
+        for m in parts:
+            for doc, (pos, dl) in m.items():
+                prev = out.get(doc)
+                out[doc] = (
+                    (np.unique(np.concatenate([prev[0], pos])), dl)
+                    if prev is not None
+                    else (pos, dl)
+                )
+        return out
 
     def scorer(
         pdf: pd.DataFrame, pdf_allowed: pd.DataFrame | None = None
@@ -233,7 +258,7 @@ def _make_phrase_scorer(
                     int(dl_np[i]),
                 )
             for qid, terms, k in queries_analyzed:
-                maps = [by_term.get(t) for t in terms]
+                maps = [_slot_map(by_term, t) for t in terms]
                 if any(m is None for m in maps):
                     continue
                 # candidates: docs containing the rarest member term
@@ -437,6 +462,134 @@ def match_phrase_batch(
         local = pos.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
         )
+    k_map = F.create_map(
+        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(
+            (F.col("rank") <= F.element_at(k_map, F.col("query_id")))
+            & (F.col("rank") > F.lit(int(offset)))
+        )
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def match_phrase_prefix_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    max_expansions: int = 50,
+    offset: int = 0,
+    slop: int = 0,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): the LAST term is
+    a prefix expanded against the sorted term dictionary; a phrase
+    matches when the fixed terms align and ANY expansion occupies the
+    last slot. Pinned spec (executable: ``oracle.phrase.PhraseOracle.
+    search_phrase_prefix``): sorted-order expansion cap, last-slot
+    position UNION, weight = fixed idfs + ONE virtual-prefix idf over
+    the union df.
+
+    Plan: dictionary range expansion (tiny collect, prefix.py's
+    machinery) -> ONE extra small job for the union df (countDistinct
+    over the expansion terms' pruned position rows) -> the standard
+    phrase plan with the expanded last slot riding the same pruned
+    positions scan -> per-shard kernel -> global window top-k.
+    """
+    from sparkfts.index import read_meta, term_bucket
+    from sparkfts.prefix import expand_prefix
+    from sparkfts.query import _empty_results
+
+    meta = read_meta(index_dir)
+    parsed = [(qid, tokenize(text), k + int(offset)) for qid, text, k in queries]
+    parsed = [(qid, t, k) for qid, t, k in parsed if t]
+    if not parsed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    exp_map = expand_prefix(
+        spark,
+        index_dir,
+        [(qid, terms[-1]) for qid, terms, _ in parsed],
+        meta["n_docs"],
+        # expand_prefix caps in sorted term order — the pinned cap
+        max_expansions=int(max_expansions),
+    )
+    analyzed = []
+    for qid, terms, k in parsed:
+        exps = tuple(t for t, _w in exp_map.get(qid, []))
+        if not exps:
+            continue  # no dictionary term carries the prefix
+        analyzed.append((qid, terms[:-1] + [exps], k))
+    if not analyzed:
+        return _empty_results(spark)
+
+    fixed_terms = sorted(
+        {t for _, slots, _ in analyzed for t in slots if isinstance(t, str)}
+    )
+    exp_terms = sorted(
+        {t for _, slots, _ in analyzed for t in slots[-1]}
+    )
+    all_terms = sorted(set(fixed_terms) | set(exp_terms))
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
+
+    from sparkfts.index import load_terms
+
+    df_map = {}
+    if fixed_terms:
+        df_rows = (
+            load_terms(spark, index_dir)
+            .where(
+                F.col("tbucket").isin(buckets)
+                & F.col("term").isin(fixed_terms)
+            )
+            .select("term", "df")
+            .collect()
+        )
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+
+    pos = load_positions(spark, index_dir).where(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    # union df per query over ITS expansion set: a (term -> query_id)
+    # broadcast join on the already-pruned position rows, one
+    # countDistinct per query (a doc with two expansions counts once)
+    qmap = spark.createDataFrame(
+        [
+            (t, qid)
+            for qid, slots, _ in analyzed
+            for t in slots[-1]
+        ],
+        "term string, query_id int",
+    )
+    dfp_rows = (
+        pos.join(F.broadcast(qmap), "term")
+        .groupBy("query_id")
+        .agg(F.countDistinct("doc_id").alias("dfp"))
+        .collect()
+    )
+    dfp = {int(r["query_id"]): int(r["dfp"]) for r in dfp_rows}
+
+    idf_sums = {}
+    for qid, slots, _ in analyzed:
+        s = 0.0
+        for t in slots[:-1]:  # phrase-order fold over the fixed terms
+            s += idf_fn(meta["n_docs"], df_map.get(t, 0))
+        s += idf_fn(meta["n_docs"], dfp.get(qid, 0))
+        idf_sums[qid] = s
+
+    from sparkfts.deletes import load_tombstones
+
+    scorer = _make_phrase_scorer(
+        analyzed, idf_sums, meta["avgdl"],
+        exclude=load_tombstones(spark, index_dir),
+        slop=int(slop),
+    )
+    local = pos.groupby("shard").applyInPandas(
+        lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
+    )
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
     )

@@ -382,3 +382,94 @@ def test_more_like_this_excludes_source(spark, corpus, tmp_path):
                          max_query_terms=5).collect()
     assert res and src not in {r["doc_id"] for r in res}
     assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_terms_stats_nested_sub_agg(spark, corpus, tmp_path):
+    """terms bucket + nested stats per bucket vs pandas ground truth;
+    ES ordering (count desc, key asc) and bucket truncation."""
+    import pandas as pd
+
+    from sparkfts.aggs import match_docs_batch, terms_stats_nested
+    from sparkfts.analysis import tokenize
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+
+    idx = str(tmp_path / "nested_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    dvpdf = pd.DataFrame(
+        {
+            "doc_id": sha1_doc_id(pdf["url"]),
+            "lang": pdf["lang"],
+            "nchars": pdf["text"].str.len().astype("int64"),
+        }
+    )
+    dv = spark.createDataFrame(dvpdf)
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    sub = dvpdf[dvpdf["doc_id"].isin(matched)]
+    exp = (
+        sub.groupby("lang")["nchars"]
+        .agg(["count", "min", "max", "sum", "mean"])
+        .reset_index()
+        .sort_values(["count", "lang"], ascending=[False, True])
+    )
+    got = terms_stats_nested(
+        spark, idx, q, dv, "lang", "nchars", mode="or", size=2
+    ).collect()
+    assert len(got) == min(2, len(exp))  # size truncates buckets
+    for r, (_, e) in zip(got, exp.iterrows()):
+        assert r["value"] == e["lang"]
+        assert r["doc_count"] == int(e["count"])
+        assert r["min"] == float(e["min"])
+        assert r["max"] == float(e["max"])
+        assert r["sum"] == float(e["sum"])
+        assert r["avg"] == pytest.approx(float(e["mean"]), rel=1e-12)
+
+
+def test_date_histogram_calendar_buckets(spark, corpus, tmp_path):
+    """date_histogram: UTC calendar truncation (month + week), empty
+    buckets omitted, bad interval rejected."""
+    import pandas as pd
+
+    from sparkfts.aggs import date_histogram, match_docs_batch
+    from sparkfts.analysis import tokenize
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+
+    idx = str(tmp_path / "dh_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    ids = sha1_doc_id(pdf["url"])
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        (ids % 97).astype("int64"), unit="D"
+    )
+    dvpdf = pd.DataFrame({"doc_id": ids, "ts": ts})
+    dv = spark.createDataFrame(dvpdf)
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    sub = dvpdf[dvpdf["doc_id"].isin(matched)]
+    for interval, trunc in [("month", "MS"), ("week", "W-MON")]:
+        got = date_histogram(
+            spark, idx, q, dv, "ts", calendar_interval=interval, mode="or"
+        ).collect()
+        if interval == "month":
+            exp = sub["ts"].dt.to_period("M").dt.start_time
+        else:
+            # ISO weeks start Monday (ES + Spark + DuckDB agree)
+            exp = sub["ts"] - pd.to_timedelta(
+                sub["ts"].dt.weekday, unit="D"
+            )
+        counts = exp.value_counts().sort_index()
+        assert [(r["bucket"], r["doc_count"]) for r in got] == [
+            (b.to_pydatetime(), int(c)) for b, c in counts.items()
+        ]
+        assert all(r["doc_count"] >= 1 for r in got)  # min_doc_count=1
+    with pytest.raises(ValueError):
+        date_histogram(spark, idx, q, dv, "ts", calendar_interval="fortnight")

@@ -420,3 +420,64 @@ def test_rescore_restricts_phrase_to_window(spark, pos_index, corpus,
     assert all(k < n_docs for k in captured["ks"]), (
         "secondary phrase query widened beyond the window"
     )
+
+
+def test_phrase_prefix_oracle_semantics():
+    """Pinned match_phrase_prefix spec on a hand corpus: last-slot
+    union matching, union df for the virtual-prefix idf, sorted cap."""
+    o = PhraseOracle(
+        [
+            (1, "quick brown fox"),
+            (2, "quick browse fox"),
+            (3, "quick brim"),
+            (4, "slow brown fox"),
+            (5, "quick quick"),
+        ]
+    )
+    got = o.search_phrase_prefix("quick br", k=10)
+    # docs 1,2,3 match ("quick br…"); doc 3 is shortest -> best norm
+    assert {d for d, _ in got} == {1, 2, 3}
+    assert got[0][0] == 3
+    assert [s for _, s in got] == sorted(
+        (s for _, s in got), reverse=True
+    )
+    # expansion cap in sorted term order: brim < brown < browse
+    got_capped = o.search_phrase_prefix("quick br", k=10, max_expansions=1)
+    assert [d for d, _ in got_capped] == [3]  # only 'brim' expands
+    assert o.search_phrase_prefix("quick zz", k=10) == []
+    # single-term query: pure prefix-as-phrase
+    assert {d for d, _ in o.search_phrase_prefix("br", k=10)} == {1, 2, 3, 4}
+
+
+def test_phrase_prefix_matches_oracle(spark, pos_index, corpus,
+                                      phrase_oracle):
+    """Distributed match_phrase_prefix == the Python oracle (exact and
+    sloppy), including expansion caps."""
+    from sparkfts.phrase import match_phrase_prefix_batch
+
+    phrases = _corpus_phrases(corpus)[:4]
+    # turn each into a phrase-prefix query: keep first term + a prefix
+    # of the second
+    qs = [f"{p.split()[0]} {p.split()[1][:3]}" for p in phrases]
+    for slop in (0, 2):
+        for cap in (50, 2):
+            batch = [(i, q, 10) for i, q in enumerate(qs)]
+            got = match_phrase_prefix_batch(
+                spark, pos_index, batch, max_expansions=cap, slop=slop
+            ).collect()
+            by_qid: dict[int, list] = {}
+            for r in got:
+                by_qid.setdefault(r["query_id"], []).append(r)
+            any_rows = False
+            for i, q in enumerate(qs):
+                exp = phrase_oracle.search_phrase_prefix(
+                    q, k=10, max_expansions=cap, slop=slop
+                )
+                rows = sorted(by_qid.get(i, []), key=lambda r: r["rank"])
+                assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (
+                    f"slop={slop} cap={cap} q={q!r}"
+                )
+                for r, (_, s) in zip(rows, exp):
+                    assert r["score"] == pytest.approx(s, rel=1e-9)
+                any_rows = any_rows or bool(exp)
+            assert any_rows, "test premise: some query matched"
