@@ -37,9 +37,14 @@ class BM25Oracle:
         docs: Iterable[tuple[int, str]],
         k1: float = BM25_K1,
         b: float = BM25_B,
+        stopwords: Iterable[str] | None = None,
     ) -> None:
         self.k1 = float(k1)
         self.b = float(b)
+        # index-time stop filter (sparkfts.analysis.tokenize semantics:
+        # removed tokens do not count toward doclen); the SAME list
+        # applies at query analysis in search()
+        self.stopwords = frozenset(stopwords) if stopwords else None
         self.doclen: dict[int, int] = {}
         # term -> {doc_id: tf}
         self.postings: dict[str, dict[int, int]] = {}
@@ -47,7 +52,7 @@ class BM25Oracle:
             doc_id = int(doc_id)
             if doc_id in self.doclen:
                 raise ValueError(f"duplicate doc_id {doc_id}")
-            terms = tokenize(text)
+            terms = tokenize(text, self.stopwords)
             self.doclen[doc_id] = len(terms)
             for term, tf in Counter(terms).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -88,7 +93,7 @@ class BM25Oracle:
         match-all at the *search layer* for empty input — we pin
         empty -> empty result set for the engine, asserted in tests).
         """
-        terms = tokenize_query(query)
+        terms = tokenize_query(query, self.stopwords)
         if not terms:
             return []
         if mode == "and":

@@ -115,7 +115,8 @@ def match_docs_batch(
     from sparkfts.index import load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
-    analyzed = [(qid, tokenize_query(text)) for qid, text in queries]
+    sw = frozenset(meta.get("stopwords") or []) or None
+    analyzed = [(qid, tokenize_query(text, sw)) for qid, text in queries]
     analyzed = [(qid, t) for qid, t in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
         return spark.createDataFrame([], "query_id int, doc_id long")
@@ -459,6 +460,7 @@ def significant_terms(
     mode: str = "and",
     size: int = 10,
     min_doc_count: int = 3,
+    sample_size: int | None = None,
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation -> (term, df_fg, df_bg,
     score_jlh), score desc then term asc, top ``size``.
@@ -468,11 +470,29 @@ def significant_terms(
     ``score = (fg - bg) * (fg / bg)`` for terms with ``df_fg >=
     min_doc_count`` and ``fg > bg``.
 
-    Plan shape (the honest cost ES also pays): per-shard the match set
-    cogroups with ALL postings, and the kernel counts, per term, how
-    many matched docs its (decoded) posting list contains — one linear
-    sweep of the index's doc_ids columns, no scoring, partial counts
-    summed per term. Background df comes from the terms dictionary.
+    ``sample_size``: ES ``sampler``-style bounded foreground — the
+    significance statistics run over a DETERMINISTIC per-shard sample
+    of the match set (the ``ceil(sample_size / n_shards)`` LOWEST
+    doc_ids per shard; ES keeps best-scoring docs, but this match
+    kernel is score-free so doc_id order is the reproducible pin).
+    ``n_matched`` becomes the sample size, keeping the JLH rates
+    consistent. With ``sample_size >= |match set|`` results equal the
+    exact mode (tested). This is the 100-TB shape for head-term
+    queries: the per-kernel foreground array is bounded by
+    sample_size / n_shards instead of the match-set fraction of the
+    corpus. ``None`` (default) = exact/exhaustive (ES
+    ``sampler``-less behavior).
+
+    Plan shape (the honest cost ES also pays in exhaustive mode):
+    per-shard the (possibly sampled) match set cogroups with ALL
+    postings, and the kernel counts, per term, how many matched docs
+    its (decoded) posting list contains — one linear sweep of the
+    index's doc_ids columns, no scoring, partial counts summed per
+    term. Background df comes from the terms dictionary. (Zipf note:
+    terms with ``df_bg < min_doc_count`` can never qualify since
+    ``df_fg <= df_bg``; a ``terms``-dictionary semi-join pre-pruning
+    them trades a co-partitioned shuffle for skipping the rare-term
+    tail's decode — worth it when min_doc_count is high.)
     """
     import numpy as np
 
@@ -485,6 +505,18 @@ def significant_terms(
             "shard"
         ),
     )
+    if sample_size is not None:
+        import math
+
+        from pyspark.sql import Window
+
+        per_shard = max(1, math.ceil(int(sample_size) / meta["n_shards"]))
+        w = Window.partitionBy("shard").orderBy(F.asc("doc_id"))
+        matched = (
+            matched.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= F.lit(per_shard))
+            .drop("rn")
+        )
     n_matched = matched.count()
     if n_matched == 0:
         return spark.createDataFrame(

@@ -89,15 +89,30 @@ def extract_text(html: bytes | str) -> str:
 # -- Tokenization ------------------------------------------------------------
 
 
-def tokenize(text: str) -> list[str]:
+def tokenize(text: str, stopwords=None) -> list[str]:
     """Pinned analyzer: casefold via ``str.lower`` then ``[a-z0-9]+`` runs.
 
     Matches the reference's lowercase normalization
     (reference ElasticsearchToNeo4jSync.py:94) and stands in for the ES
     standard analyzer on ASCII-ish web text. Identical semantics in DuckDB:
     ``unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))``.
+
+    ``stopwords`` (OFF by default — the oracle-contract analyzer takes
+    none): an ES-style index-time stop filter. Pinned semantics follow
+    Lucene's StopFilter as configured by ES's ``stop`` filter WITHOUT
+    position increments preserved for scoring-length purposes: removed
+    tokens do not count toward doclen, and (per the engine's positions
+    pin) surviving tokens are re-numbered densely — phrase adjacency is
+    over the surviving stream. The SAME list must be passed at query
+    analysis (the engine reads it back from the index meta).
     """
-    return TOKEN_RE.findall(text.lower())
+    toks = TOKEN_RE.findall(text.lower())
+    if stopwords:
+        sw = stopwords if isinstance(stopwords, (set, frozenset)) else set(
+            stopwords
+        )
+        toks = [t for t in toks if t not in sw]
+    return toks
 
 
 def auto_fuzz(term: str) -> int:
@@ -115,12 +130,14 @@ def auto_fuzz(term: str) -> int:
     return 2
 
 
-def tokenize_query(query: str) -> list[str]:
+def tokenize_query(query: str, stopwords=None) -> list[str]:
     """Query-side analysis: tokenize, dedupe, sort.
 
     Conjunctive (``operator: "and"`` + ``bool.must``,
     reference ElasticsearchToNeo4jSync.py:96,102) semantics treat the query
     as a *set* of required terms; we pin deduplication and sorted order so
-    BM25 summation order is deterministic (SURVEY.md §7.3).
+    BM25 summation order is deterministic (SURVEY.md §7.3). With a
+    ``stopwords`` list, stopword query terms drop (ES: removed at
+    analysis, so an AND query over "the spark" requires only "spark").
     """
-    return sorted(set(tokenize(query)))
+    return sorted(set(tokenize(query, stopwords)))

@@ -62,21 +62,21 @@ _FUZZY = "\x00f"
 _EXACT = "\x00e"
 
 
-def _to_node(obj, exact_df: dict[str, int] | None = None):
-    """Clause | Bool -> node spec; collects group keys as it goes."""
+def _to_node(obj, stopwords=None):
+    """Clause | Bool -> node spec; group keys carry the fuzzy/exact tag."""
     from sparkfts.querybuilder import Bool, Clause
 
     if isinstance(obj, Clause):
-        terms = tokenize_query(obj.query)
+        terms = tokenize_query(obj.query, stopwords)
         fuzzy = str(obj.fuzziness).upper() == "AUTO"
         keys = tuple(t + (_FUZZY if fuzzy else _EXACT) for t in terms)
         return ("clause", obj.operator, keys)
     if isinstance(obj, Bool):
         return (
             "bool",
-            tuple(_to_node(c) for c in obj.must),
-            tuple(_to_node(c) for c in obj.should),
-            tuple(_to_node(c) for c in obj.must_not),
+            tuple(_to_node(c, stopwords) for c in obj.must),
+            tuple(_to_node(c, stopwords) for c in obj.should),
+            tuple(_to_node(c, stopwords) for c in obj.must_not),
         )
     raise TypeError(f"unsupported bool-tree member: {type(obj)!r}")
 
@@ -296,6 +296,7 @@ def bool_local(
     meta = read_meta(index_dir)
     if meta["n_docs"] == 0:
         return None
+    sw = frozenset(meta.get("stopwords") or []) or None
 
     # requests -> node specs; gather every leaf group key + must_not term
     request_specs: list[tuple[int, tuple, int]] = []
@@ -309,10 +310,10 @@ def bool_local(
             raise ValueError("match-all request: use match_all_topk")
         root = (
             "bool",
-            tuple(_to_node(c) for c in req.clauses),
-            tuple(_to_node(c) for c in req.should),
+            tuple(_to_node(c, sw) for c in req.clauses),
+            tuple(_to_node(c, sw) for c in req.should),
             tuple(
-                ("terms_any", tuple(tokenize_query(t)))
+                ("terms_any", tuple(tokenize_query(t, sw)))
                 for t in req.must_not
             ),
         )

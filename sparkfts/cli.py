@@ -59,6 +59,9 @@ def cmd_build(args: argparse.Namespace) -> None:
             n_shards=args.shards,
             n_tbuckets=args.tbuckets,
             validate_extraction=args.validate,
+            stopwords=(
+                args.stopwords.split(",") if args.stopwords else None
+            ),
         )
         sec = time.time() - t0
         print(
@@ -76,6 +79,10 @@ def cmd_build(args: argparse.Namespace) -> None:
         )
         return
     if args.resume:
+        if args.stopwords:
+            # resumable builds pin global stats up front; stopword-aware
+            # stats aren't threaded there yet — fail loudly, never drop
+            raise SystemExit("--stopwords is not supported with --resume")
         from sparkfts.checkpoint import resumable_build
 
         meta = resumable_build(
@@ -97,6 +104,9 @@ def cmd_build(args: argparse.Namespace) -> None:
             validate_extraction=args.validate,
             docvalue_cols=(
                 args.docvalues.split(",") if args.docvalues else None
+            ),
+            stopwords=(
+                args.stopwords.split(",") if args.stopwords else None
             ),
         )
     sec = time.time() - t0
@@ -471,6 +481,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--docvalues", default=None,
                    help="comma list of page columns stored in the docmap "
                         "(facet/aggregation doc values), e.g. lang")
+    b.add_argument("--stopwords", default=None,
+                   help="comma list of index-time stopwords (stored in "
+                        "meta; query analysis drops them automatically)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -195,6 +195,7 @@ def build_index(
     fixed_stats: tuple[int, float] | None = None,
     id_source: str = "sha1",
     docvalue_cols: list[str] | None = None,
+    stopwords: list[str] | None = None,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -202,6 +203,11 @@ def build_index(
     sparkfts.checkpoint drives this); requires ``segment`` so re-runs are
     idempotent overwrites, and ``fixed_stats`` so every batch scores
     against the same global normalization.
+
+    ``stopwords``: OPTIONAL index-time stop filter (ES ``stop`` analyzer
+    option; OFF by default — the pinned oracle-contract analyzer takes
+    none). The list is stored in ``meta.json`` and read back by every
+    query path, so query analysis drops the same terms by construction.
 
     Returns the meta dict (also written to ``meta.json``).
     """
@@ -229,14 +235,16 @@ def build_index(
         prepared = prepared.where(F.col("shard").isin(list(shard_filter)))
     prepared = prepared.cache()
 
-    tokens = tokenize_docs(prepared).withColumn(
+    tokens = tokenize_docs(prepared, stopwords=stopwords).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     # stats come from the docmap pass (a vectorized regex COUNT per doc),
     # not from a second full tokenization: sum(doclen) == total tokens, so
     # avgdl is bit-identical to the oracle's and the expensive
     # tokenize+shuffle pipeline below runs exactly ONCE per build
-    docmap = build_docmap(prepared, docvalue_cols=docvalue_cols).withColumn(
+    docmap = build_docmap(
+        prepared, docvalue_cols=docvalue_cols, stopwords=stopwords
+    ).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     docmap = docmap.cache()
@@ -298,6 +306,7 @@ def build_index(
         "b": BM25_B,
         "segment": segment,
         "docvalue_cols": list(docvalue_cols or []),
+        "stopwords": sorted(stopwords) if stopwords else [],
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

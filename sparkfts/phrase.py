@@ -46,12 +46,22 @@ POSITIONS_SCHEMA = (
 )
 
 
-def _positions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _positions_batch(
+    pdf: pd.DataFrame, stopwords: frozenset | None = None
+) -> pd.DataFrame:
     """Vectorized batch kernel: (doc_id, text) -> one row per distinct
-    (doc, term) with the ascending occurrence-position list."""
+    (doc, term) with the ascending occurrence-position list.
+
+    With ``stopwords`` (read from the index meta), removed tokens are
+    dropped BEFORE position numbering — positions are dense over the
+    surviving stream (the pinned stop-filter semantics,
+    sparkfts.analysis.tokenize), so phrase adjacency skips stopwords.
+    """
     from sparkfts.analysis import TOKEN_RE
 
     toks = pdf["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+    if stopwords:
+        toks = toks.map(lambda lst: [t for t in lst if t not in stopwords])
     doclen = toks.str.len().astype("int32")
     n_per_doc = doclen.to_numpy()
     if n_per_doc.sum() == 0:
@@ -109,11 +119,12 @@ def build_positions(
     )
     meta = read_meta(meta_dir)
     n_shards, n_tbuckets = meta["n_shards"], meta["n_tbuckets"]
+    sw = frozenset(meta.get("stopwords") or []) or None
     prepared = prepare_pages(pages, id_source=id_source)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _positions_batch(pdf)
+            out = _positions_batch(pdf, stopwords=sw)
             if len(out):
                 out["shard"] = (out["doc_id"] % n_shards).astype("int32")
                 out["tbucket"] = np.fromiter(
@@ -394,8 +405,10 @@ def match_phrase_batch(
     from sparkfts.query import _empty_results
 
     meta = read_meta(index_dir)
+    sw = frozenset(meta.get("stopwords") or []) or None
     analyzed = [
-        (qid, tokenize(text), k + int(offset)) for qid, text, k in queries
+        (qid, tokenize(text, sw), k + int(offset))
+        for qid, text, k in queries
     ]
     analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
@@ -504,7 +517,11 @@ def match_phrase_prefix_batch(
     from sparkfts.query import _empty_results
 
     meta = read_meta(index_dir)
-    parsed = [(qid, tokenize(text), k + int(offset)) for qid, text, k in queries]
+    sw = frozenset(meta.get("stopwords") or []) or None
+    parsed = [
+        (qid, tokenize(text, sw), k + int(offset))
+        for qid, text, k in queries
+    ]
     parsed = [(qid, t, k) for qid, t, k in parsed if t]
     if not parsed or meta["n_docs"] == 0:
         return _empty_results(spark)

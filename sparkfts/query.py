@@ -472,8 +472,9 @@ def bm25_index_batch(
     # is gated off while tombstones exist (a theta seeded from a deleted
     # doc could over-prune) — merge reclaims and restores it
     tombstones = load_tombstones(spark, index_dir)
+    sw = frozenset(meta.get("stopwords") or []) or None
     analyzed = [
-        (qid, tokenize_query(text), k) for qid, text, k in queries
+        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
     ]
     # the shard kernel keeps offset+k local winners per query; the global
     # window slices the final page out of <= n_shards*(offset+k) rows
@@ -488,7 +489,7 @@ def bm25_index_batch(
     # mode must not require them)
     must_not_map: dict[int, list[str]] = {}
     for qid, text in (must_not or {}).items():
-        mn_terms = tokenize_query(text)
+        mn_terms = tokenize_query(text, sw)
         if mn_terms:
             must_not_map[qid] = mn_terms
 
@@ -871,7 +872,10 @@ def bm25_index_fuzzy_batch(
     from sparkfts.index import load_docmap, load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
-    analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
+    sw = frozenset(meta.get("stopwords") or []) or None
+    analyzed = [
+        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
+    ]
     analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
         return _empty_results(spark)

@@ -109,6 +109,7 @@ def ingest_batch(
     n_tbuckets: int = 16,
     dedup: bool = False,
     positions: bool = False,
+    stopwords: list[str] | None = None,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
@@ -117,10 +118,18 @@ def ingest_batch(
     earlier batch indexed (see :func:`_dedup_against_seen`).
     ``positions=True`` also writes the segment's positions table, so
     phrase queries work over streamed indexes.
+    ``stopwords``: defaults to the ROOT index's meta list when appending
+    to an existing index, so streamed segments analyze identically to
+    the base build (a silent analyzer mismatch would corrupt stats).
     """
     from pyspark.sql import functions as F
 
     from sparkfts.tokens import build_docmap, prepare_pages
+
+    if stopwords is None and os.path.exists(
+        os.path.join(index_dir, META_FILE)
+    ):
+        stopwords = read_meta(index_dir).get("stopwords") or None
 
     seg_name = f"stream_{int(batch_id):08d}"
     running = _read_running(index_dir)
@@ -130,7 +139,7 @@ def ingest_batch(
     if dedup:
         batch_df = _dedup_against_seen(batch_df, batch_id, index_dir)
     prepared = prepare_pages(batch_df).cache()
-    row = build_docmap(prepared).agg(
+    row = build_docmap(prepared, stopwords=stopwords).agg(
         F.count("*").alias("n"),
         F.sum(F.col("doclen").cast("long")).alias("t"),
     ).collect()[0]
@@ -151,6 +160,7 @@ def ingest_batch(
         segment=seg_name,
         shard_filter=list(range(n_shards)),
         fixed_stats=(new_docs, new_avgdl),
+        stopwords=stopwords,
     )
     if positions:
         # before the stats commit: a crash here replays the whole batch

@@ -68,27 +68,61 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+_EMPTY_TOKENS_PDF = {
+    "doc_id": "int64",
+    "term": "object",
+    "tf": "int32",
+    "doclen": "int32",
+}
+
+
+def _tokenize_batch(
+    pdf: pd.DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: frozenset | None = None,
+) -> pd.DataFrame:
     """Vectorized batch tokenize -> one row per (doc, distinct term).
 
     pandas str ops + numpy grouping; the only per-row work is the regex
-    findall itself (C-level via ``Series.str.findall``).
+    findall itself (C-level via ``Series.str.findall``). With
+    ``stopwords``, the flat term stream is masked with one ``np.isin``
+    and doclen recomputed as the SURVIVING token count (the pinned
+    stop-filter semantics, sparkfts.analysis.tokenize).
     """
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype=d)
+                for c, d in _EMPTY_TOKENS_PDF.items()
+            }
+        )
+
     toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
     doclen = toks.str.len().astype("int32")
     n_per_doc = doclen.to_numpy()
     if n_per_doc.sum() == 0:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "term": pd.Series([], dtype="object"),
-                "tf": pd.Series([], dtype="int32"),
-                "doclen": pd.Series([], dtype="int32"),
-            }
-        )
+        return _empty()
     doc_ids = np.repeat(pdf[id_col].to_numpy(dtype="int64"), n_per_doc)
-    dls = np.repeat(doclen.to_numpy(), n_per_doc)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    if stopwords:
+        keep = ~np.isin(flat_terms, sorted(stopwords))
+        doc_ids, flat_terms = doc_ids[keep], flat_terms[keep]
+        if doc_ids.size == 0:
+            return _empty()
+        tmp = pd.DataFrame({"doc_id": doc_ids, "term": flat_terms})
+        dl = tmp.groupby("doc_id", sort=False).size()
+        out = (
+            tmp.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        out["doclen"] = out["doc_id"].map(dl).astype("int32")
+        out["tf"] = out["tf"].astype("int32")
+        return out[["doc_id", "term", "tf", "doclen"]]
+    dls = np.repeat(doclen.to_numpy(), n_per_doc)
     # group by (doc, term): sort by term within doc blocks via pandas groupby
     out = (
         pd.DataFrame(
@@ -104,7 +138,10 @@ def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
 
 
 def tokenize_docs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """``(id, text)`` -> ``(doc_id, term, tf, doclen)`` (one row per distinct term).
 
@@ -116,10 +153,11 @@ def tokenize_docs(
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
+    sw = frozenset(stopwords) if stopwords else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _tokenize_batch(pdf, "doc_id", "text")
+            yield _tokenize_batch(pdf, "doc_id", "text", stopwords=sw)
 
     return src.mapInPandas(gen, TOKENS_SCHEMA)
 
@@ -171,15 +209,24 @@ def build_docmap(
     pages_with_ids: DataFrame,
     text_col: str = "text",
     docvalue_cols: list[str] | None = None,
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """``(doc_id, url, doclen[, docvalues...])`` — per-doc metadata.
 
     ``docvalue_cols``: extra page columns stored alongside (the ES
     doc-values equivalent — aggregations/facets then need no side table).
+    ``stopwords``: doclen counts SURVIVING tokens only (must match the
+    tokenize pass's list for avgdl/doclen consistency).
     """
+    sw = frozenset(stopwords) if stopwords else None
 
     @F.pandas_udf(T.IntegerType())
     def doclen_udf(text: pd.Series) -> pd.Series:
+        if sw:
+            toks = text.fillna("").str.lower().str.findall(TOKEN_RE)
+            return toks.map(
+                lambda lst: sum(1 for t in lst if t not in sw)
+            ).astype("int32")
         return (
             text.fillna("").str.lower().str.count(TOKEN_RE.pattern).astype("int32")
         )

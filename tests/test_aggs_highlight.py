@@ -473,3 +473,46 @@ def test_date_histogram_calendar_buckets(spark, corpus, tmp_path):
         assert all(r["doc_count"] >= 1 for r in got)  # min_doc_count=1
     with pytest.raises(ValueError):
         date_histogram(spark, idx, q, dv, "ts", calendar_interval="fortnight")
+
+
+def test_significant_terms_sampled(spark, corpus, tmp_path):
+    """sampler-bounded significant_terms: sample >= match set ==
+    exact; small samples are deterministic, bounded, and keep
+    df_fg <= exact df_fg per term."""
+    from sparkfts.aggs import match_docs_batch, significant_terms
+    from sparkfts.analysis import tokenize
+    from sparkfts.index import build_index
+
+    idx = str(tmp_path / "sigsamp_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    from collections import Counter
+
+    df_counts = Counter(
+        t for text in pdf["text"] for t in set(tokenize(text))
+    )
+    q = df_counts.most_common(1)[0][0]  # head term -> big match set
+    n_matched = match_docs_batch(spark, idx, [(0, q)], "or").count()
+    assert n_matched > 12, "test premise"
+
+    exact = significant_terms(
+        spark, idx, q, mode="or", size=10, min_doc_count=2
+    ).collect()
+    big = significant_terms(
+        spark, idx, q, mode="or", size=10, min_doc_count=2,
+        sample_size=n_matched * 2,
+    ).collect()
+    assert [tuple(r) for r in big] == [tuple(r) for r in exact]
+
+    small_a = significant_terms(
+        spark, idx, q, mode="or", size=10, min_doc_count=2, sample_size=8
+    ).collect()
+    small_b = significant_terms(
+        spark, idx, q, mode="or", size=10, min_doc_count=2, sample_size=8
+    ).collect()
+    assert [tuple(r) for r in small_a] == [tuple(r) for r in small_b]
+    exact_fg = {r["term"]: r["df_fg"] for r in exact}
+    for r in small_a:
+        # sampled foreground counts never exceed the exhaustive ones
+        assert r["df_fg"] <= exact_fg.get(r["term"], n_matched)
+        assert r["df_fg"] >= 2  # min_doc_count respected
