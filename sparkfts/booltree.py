@@ -10,11 +10,13 @@ plans #1/#2, querybuilder.py:227,260-262,288,297-345).
 Plan shape (the same zero-wide-shuffle family as every primary path):
 
   postings scan, tbucket partition-pruned + term row-group-pruned to the
-    union of all clause expansions and must_not terms
+    union of all clause expansions and must_not terms (multi-field: the
+    per-field scans union with a field tag, as bm25f does)
   groupBy(shard) -> ONE Arrow kernel evaluates every request's whole
     bool tree over that shard's decoded postings (a doc's postings all
-    live in its one shard, so per-shard clause match sets are complete
-    for that shard's docs) -> per-shard top-k per request
+    live in its one shard — identical shard layout across per-field
+    sub-indexes — so per-shard clause match sets are complete for that
+    shard's docs) -> per-shard top-k per request
   global merge: window partitioned by request over <= n_shards*k rows.
 
 Clause semantics (pinned, identical to the composed path it replaces —
@@ -25,6 +27,11 @@ parity asserted by tests/test_booltree.py):
   expansion group matches; or = any) and best-expansion-wins weights
   ``boost * idf`` (:mod:`oracle.fuzzy`); ``fuzziness="0"`` pins exact
   matching (the term is its own only expansion, weight = idf);
+- multi-field execution honors each clause's ``fields`` spec with ES
+  ``best_fields`` combination: the clause is scored per field (each
+  field's own dictionary, df and avgdl — a term can be a typo in one
+  field and exact in another) and a doc's clause score is
+  ``max over matching fields of boost_f * field_score``;
 - ``bool.must``: doc qualifies iff EVERY member matches; score = sum of
   member scores in member order (float64, pinned fold order);
 - ``bool.should`` with must present: pure score bonus, summed in member
@@ -32,7 +39,7 @@ parity asserted by tests/test_booltree.py):
   match set is the union, score = sum of matching members;
 - ``bool.must_not``: docs matching ANY member are excluded BEFORE
   top-k, no scoring contribution (root ``SearchRequest.must_not`` texts
-  become exact term-union exclusion nodes, as before);
+  become exact term-union exclusion nodes over every field, as before);
 - ``bool`` nodes NEST (ES's full grammar): a member of must/should/
   must_not may itself be a :class:`~sparkfts.querybuilder.Bool`; the
   kernel evaluates the tree bottom-up entirely in numpy;
@@ -41,8 +48,9 @@ parity asserted by tests/test_booltree.py):
   the primary paths, query.py).
 
 The reference pins the root shape at ElasticsearchToNeo4jSync.py:92-102
-(fuzzy multi_match clauses AND-ed under ``bool.must``); everything else
-here is the ES surface a real user of that query path hits next.
+(fuzzy multi_match clauses over a field list AND-ed under
+``bool.must``); everything else here is the ES surface a real user of
+that query path hits next.
 """
 
 from __future__ import annotations
@@ -55,14 +63,15 @@ from sparkfts.analysis import tokenize_query
 from sparkfts.stats import idf as idf_fn
 
 # node spec (pickled into the kernel closure):
-#   ("clause", mode, (group_key, ...))       leaf multi_match
-#   ("terms_any", (term, ...))               exact term-union (must_not text)
-#   ("bool", must, should, must_not)         nested tree; members are nodes
+#   ("clause", mode, (group_key, ...))         leaf (single-field index)
+#   ("clause", mode, (group_key, ...), specs)  leaf over ((field, boost),...)
+#   ("terms_any", (term, ...))                 exact term-union (must_not)
+#   ("bool", must, should, must_not)           nested tree; members = nodes
 _FUZZY = "\x00f"
 _EXACT = "\x00e"
 
 
-def _to_node(obj, stopwords=None):
+def _to_node(obj, stopwords=None, multifield: bool = False):
     """Clause | Bool -> node spec; group keys carry the fuzzy/exact tag."""
     from sparkfts.querybuilder import Bool, Clause
 
@@ -70,20 +79,32 @@ def _to_node(obj, stopwords=None):
         terms = tokenize_query(obj.query, stopwords)
         fuzzy = str(obj.fuzziness).upper() == "AUTO"
         keys = tuple(t + (_FUZZY if fuzzy else _EXACT) for t in terms)
+        if multifield:
+            from sparkfts.multifield import parse_field_boosts
+
+            specs = tuple(
+                (f, float(b)) for f, b in parse_field_boosts(obj.fields)
+            )
+            return ("clause", obj.operator, keys, specs)
         return ("clause", obj.operator, keys)
     if isinstance(obj, Bool):
         return (
             "bool",
-            tuple(_to_node(c, stopwords) for c in obj.must),
-            tuple(_to_node(c, stopwords) for c in obj.should),
-            tuple(_to_node(c, stopwords) for c in obj.must_not),
+            tuple(_to_node(c, stopwords, multifield) for c in obj.must),
+            tuple(_to_node(c, stopwords, multifield) for c in obj.should),
+            tuple(_to_node(c, stopwords, multifield) for c in obj.must_not),
         )
     raise TypeError(f"unsupported bool-tree member: {type(obj)!r}")
 
 
 def _walk_keys(node, keys: set, mn_terms: set) -> None:
+    """Collect ``(field_or_None, group_key)`` pairs + must_not terms."""
     if node[0] == "clause":
-        keys.update(node[2])
+        if len(node) == 4:
+            for fld, _b in node[3]:
+                keys.update((fld, k) for k in node[2])
+        else:
+            keys.update((None, k) for k in node[2])
     elif node[0] == "terms_any":
         mn_terms.update(node[1])
     else:
@@ -94,18 +115,21 @@ def _walk_keys(node, keys: set, mn_terms: set) -> None:
 
 def _make_bool_scorer(
     request_specs: list[tuple[int, tuple, int]],
-    expansions: dict[str, tuple[tuple[str, float], ...]],
-    avgdl: float,
+    expansions: dict[tuple, tuple[tuple[str, float], ...]],
+    avgdl_by_field: dict,
     block_size: int,
     exclude=None,
     filtered: bool = False,
+    multifield: bool = False,
 ):
     """Kernel factory: evaluate every request's bool tree over ONE shard.
 
     ``request_specs``: per request ``(request_id, root_node, k)``.
-    ``expansions``: group key -> ((index_term, weight), ...) —
-    driver-precomputed from the term dictionary (weight = boost * idf,
-    :mod:`oracle.fuzzy`); exact keys carry the single (term, idf) pair.
+    ``expansions``: ``(field_or_None, group_key)`` ->
+    ((index_term, weight), ...) — driver-precomputed from the (per-field)
+    term dictionary (weight = boost * idf, :mod:`oracle.fuzzy`); exact
+    keys carry the single (term, idf) pair.
+    ``avgdl_by_field``: field -> avgdl (key ``None`` for single-field).
     ``filtered=True`` switches to the cogrouped signature; the allowed
     frame carries (request_id, doc_id) rows for requests with a
     ``filter_expr`` (requests absent from it are unfiltered).
@@ -135,34 +159,76 @@ def _make_bool_scorer(
                     grp["doc_id"].to_numpy(np.int64)
                 )
         if len(pdf_postings):
-            rows_by_term, postings_of = _postings_reader(
-                pdf_postings, avgdl, block_size
-            )
-            group_cache: dict[str, tuple] = {}
+            # field -> (rows_by_term, postings_of); single-field = {None: ..}
+            if multifield:
+                readers = {
+                    fld: _postings_reader(
+                        sub, avgdl_by_field[fld], block_size
+                    )
+                    for fld, sub in pdf_postings.groupby("field")
+                }
+            else:
+                readers = {
+                    None: _postings_reader(
+                        pdf_postings, avgdl_by_field[None], block_size
+                    )
+                }
+            group_cache: dict[tuple, tuple] = {}
 
-            def virtual(key: str):
-                virt = group_cache.get(key)
+            def virtual(fld, key: str):
+                ck = (fld, key)
+                virt = group_cache.get(ck)
                 if virt is None:
-                    present = [
-                        (postings_of(t)[:3], w)
-                        for t, w in expansions.get(key, ())
-                        if t in rows_by_term
-                    ]
-                    virt = fuzzy_group(present, avgdl)
-                    group_cache[key] = virt
+                    reader = readers.get(fld)
+                    if reader is None:
+                        virt = _empty
+                    else:
+                        rows_by_term, postings_of = reader
+                        present = [
+                            (postings_of(t)[:3], w)
+                            for t, w in expansions.get(ck, ())
+                            if t in rows_by_term
+                        ]
+                        virt = fuzzy_group(present, avgdl_by_field[fld])
+                    group_cache[ck] = virt
                 return virt
+
+            def eval_clause(node):
+                if len(node) == 4:  # multifield best_fields
+                    per_field = []
+                    for fld, boost in node[3]:  # field-spec order
+                        groups = [virtual(fld, key) for key in node[2]]
+                        fids, fsc = match_grouped_all(groups, node[1])
+                        if fids.size:
+                            # same float op as the composed plan's
+                            # score * lit(boost)
+                            per_field.append((fids, fsc * float(boost)))
+                    if not per_field:
+                        return _empty
+                    if len(per_field) == 1:
+                        return per_field[0]
+                    union = np.unique(
+                        np.concatenate([p[0] for p in per_field])
+                    )
+                    best = np.full(union.size, -np.inf)
+                    for fids, fsc in per_field:
+                        np.maximum.at(
+                            best, np.searchsorted(union, fids), fsc
+                        )
+                    return union, best
+                groups = [virtual(None, key) for key in node[2]]
+                return match_grouped_all(groups, node[1])
 
             def eval_node(node):
                 kind = node[0]
                 if kind == "clause":
-                    groups = [virtual(key) for key in node[2]]
-                    return match_grouped_all(groups, node[1])
+                    return eval_clause(node)
                 if kind == "terms_any":
-                    parts = [
-                        postings_of(t)[0]
-                        for t in node[1]
-                        if t in rows_by_term
-                    ]
+                    parts = []
+                    for rows_by_term, postings_of in readers.values():
+                        for t in node[1]:
+                            if t in rows_by_term:
+                                parts.append(postings_of(t)[0])
                     if not parts:
                         return _empty
                     ids = np.unique(np.concatenate(parts))
@@ -272,77 +338,36 @@ def _make_bool_scorer(
     return scorer
 
 
-def bool_local(
-    spark: SparkSession,
-    index_dir: str,
-    requests: list,
-    max_expansions: int | None = None,
-) -> DataFrame | None:
-    """Per-shard top-k stage of :func:`bool_topk_batch` ->
-    DataFrame(request_id, doc_id, score) with <= n_shards * k rows per
-    request (the behavior tests assert this bound — the global window
-    never sees a complete match set). ``None`` when nothing can match."""
-    from sparkfts.deletes import load_tombstones
-    from sparkfts.index import (
-        load_docmap,
-        load_postings,
-        load_terms,
-        read_meta,
-        term_bucket,
-    )
-    from sparkfts.query import _empty_results, fuzzy_expand_index
-    from sparkfts.querybuilder import SearchRequest
+def _field_expansions(
+    spark,
+    fdir: str,
+    fld,
+    field_keys: set,
+    n_docs: int,
+    max_expansions: int | None,
+) -> dict:
+    """Expansions for ONE field's (or the single-field index's) keys."""
+    from sparkfts.index import load_terms, read_meta, term_bucket
+    from sparkfts.query import fuzzy_expand_index
 
-    meta = read_meta(index_dir)
-    if meta["n_docs"] == 0:
-        return None
-    sw = frozenset(meta.get("stopwords") or []) or None
-
-    # requests -> node specs; gather every leaf group key + must_not term
-    request_specs: list[tuple[int, tuple, int]] = []
-    filter_map: dict[int, str] = {}
-    keys: set[str] = set()
-    mn_terms: set[str] = set()
-    for rid, req in enumerate(requests):
-        if not isinstance(req, SearchRequest):
-            raise TypeError("bool_topk_batch takes SearchRequest objects")
-        if req.is_match_all:
-            raise ValueError("match-all request: use match_all_topk")
-        root = (
-            "bool",
-            tuple(_to_node(c, sw) for c in req.clauses),
-            tuple(_to_node(c, sw) for c in req.should),
-            tuple(
-                ("terms_any", tuple(tokenize_query(t, sw)))
-                for t in req.must_not
-            ),
-        )
-        _walk_keys(root, keys, mn_terms)
-        request_specs.append((rid, root, int(req.k)))
-        if req.filter_expr:
-            filter_map[rid] = req.filter_expr
-    if not request_specs:
-        return None
-
+    f_meta = read_meta(fdir)
+    keys = {k for f, k in field_keys if f == fld}
     fuzzy_terms = sorted(k[:-2] for k in keys if k.endswith(_FUZZY))
     exact_terms = sorted(k[:-2] for k in keys if k.endswith(_EXACT))
-
-    # driver-side weights from the term dictionary (the established
-    # interactive-path pattern: a tiny pruned dictionary collect)
-    expansions: dict[str, tuple[tuple[str, float], ...]] = {}
+    out: dict = {}
     if fuzzy_terms:
         exp = fuzzy_expand_index(
-            spark, index_dir, [(0, fuzzy_terms, 0)], meta["n_docs"],
-            meta["n_tbuckets"], max_expansions,
+            spark, fdir, [(0, fuzzy_terms, 0)], n_docs,
+            f_meta["n_tbuckets"], max_expansions,
         )
         for t in fuzzy_terms:
-            expansions[t + _FUZZY] = tuple(exp.get((0, t), ()))
+            out[(fld, t + _FUZZY)] = tuple(exp.get((0, t), ()))
     if exact_terms:
         ebuckets = sorted(
-            {term_bucket(t, meta["n_tbuckets"]) for t in exact_terms}
+            {term_bucket(t, f_meta["n_tbuckets"]) for t in exact_terms}
         )
         df_rows = (
-            load_terms(spark, index_dir)
+            load_terms(spark, fdir)
             .where(
                 F.col("tbucket").isin(ebuckets)
                 & F.col("term").isin(exact_terms)
@@ -353,32 +378,176 @@ def bool_local(
         df_map = {r["term"]: int(r["df"]) for r in df_rows}
         for t in exact_terms:
             d = df_map.get(t, 0)
-            expansions[t + _EXACT] = (
-                ((t, idf_fn(meta["n_docs"], d)),) if d else ()
+            out[(fld, t + _EXACT)] = (
+                ((t, idf_fn(n_docs, d)),) if d else ()
             )
+    return out
 
-    all_terms = sorted(
-        {t for exps in expansions.values() for t, _ in exps} | mn_terms
+
+def bool_local(
+    spark: SparkSession,
+    index_dir: str,
+    requests: list,
+    max_expansions: int | None = None,
+    multifield: bool = False,
+) -> DataFrame | None:
+    """Per-shard top-k stage of :func:`bool_topk_batch` ->
+    DataFrame(request_id, doc_id, score) with <= n_shards * k rows per
+    request (the behavior tests assert this bound — the global window
+    never sees a complete match set). ``None`` when nothing can match."""
+    from sparkfts.deletes import load_tombstones
+    from sparkfts.index import (
+        load_docmap,
+        load_postings,
+        read_meta,
+        term_bucket,
     )
-    if not all_terms:
+    from sparkfts.querybuilder import SearchRequest
+
+    if multifield:
+        from sparkfts.multifield import field_dir, read_mf_meta
+
+        mf = read_mf_meta(index_dir)
+        n_docs = mf["n_docs"]
+        f0_dir = field_dir(index_dir, mf["fields"][0])
+        f0_meta = read_meta(f0_dir)
+        sw = frozenset(f0_meta.get("stopwords") or []) or None
+        block_size = f0_meta["block_size"]
+        avgdl_by_field = {
+            f: mf["per_field"][f]["avgdl"] for f in mf["fields"]
+        }
+    else:
+        meta = read_meta(index_dir)
+        n_docs = meta["n_docs"]
+        sw = frozenset(meta.get("stopwords") or []) or None
+        block_size = meta["block_size"]
+        avgdl_by_field = {None: meta["avgdl"]}
+    if n_docs == 0:
         return None
-    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
-    postings = load_postings(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
+
+    # requests -> node specs; gather every leaf group key + must_not term
+    request_specs: list[tuple[int, tuple, int]] = []
+    filter_map: dict[int, str] = {}
+    field_keys: set = set()
+    mn_terms: set[str] = set()
+    for rid, req in enumerate(requests):
+        if not isinstance(req, SearchRequest):
+            raise TypeError("bool_topk_batch takes SearchRequest objects")
+        if req.is_match_all:
+            raise ValueError("match-all request: use match_all_topk")
+        root = (
+            "bool",
+            tuple(_to_node(c, sw, multifield) for c in req.clauses),
+            tuple(_to_node(c, sw, multifield) for c in req.should),
+            tuple(
+                ("terms_any", tuple(tokenize_query(t, sw)))
+                for t in req.must_not
+            ),
+        )
+        _walk_keys(root, field_keys, mn_terms)
+        request_specs.append((rid, root, int(req.k)))
+        if req.filter_expr:
+            filter_map[rid] = req.filter_expr
+    if not request_specs:
+        return None
+    if multifield:
+        unknown = {
+            f for f, _k in field_keys if f is not None and f not in mf["fields"]
+        }
+        if unknown:
+            raise ValueError(f"fields not in index: {sorted(unknown)}")
+
+    # driver-side weights from the (per-field) term dictionaries (the
+    # established interactive-path pattern: tiny pruned collects)
+    expansions: dict = {}
+    if multifield:
+        for fld in mf["fields"]:
+            if any(f == fld for f, _k in field_keys) :
+                expansions.update(
+                    _field_expansions(
+                        spark, field_dir(index_dir, fld), fld,
+                        field_keys, n_docs, max_expansions,
+                    )
+                )
+    else:
+        expansions.update(
+            _field_expansions(
+                spark, index_dir, None, field_keys, n_docs, max_expansions,
+            )
+        )
+
+    # pruned postings scan(s): per field, only ITS needed terms (+ the
+    # must_not terms on every field — exclusion spans all fields)
+    import numpy as np
+
+    def _pruned(src_dir: str, fld) -> tuple:
+        terms = sorted(
+            {
+                t
+                for (f, _k), exps in expansions.items()
+                if f == fld
+                for t, _w in exps
+            }
+            | mn_terms
+        )
+        if not terms:
+            return None, None
+        f_meta = read_meta(src_dir)
+        buckets = sorted(
+            {term_bucket(t, f_meta["n_tbuckets"]) for t in terms}
+        )
+        return terms, buckets
+
+    tombs = []
+    if multifield:
+        parts = []
+        for fld in mf["fields"]:
+            fdir = field_dir(index_dir, fld)
+            terms, buckets = _pruned(fdir, fld)
+            if terms is None:
+                continue
+            parts.append(
+                load_postings(spark, fdir)
+                .where(
+                    F.col("tbucket").isin(buckets)
+                    & F.col("term").isin(terms)
+                )
+                .withColumn("field", F.lit(fld))
+            )
+            t = load_tombstones(spark, fdir)
+            if t is not None and t.size:
+                tombs.append(t)
+        if not parts:
+            return None
+        postings = parts[0]
+        for p in parts[1:]:
+            postings = postings.unionByName(p)
+        exclude = np.unique(np.concatenate(tombs)) if tombs else None
+    else:
+        terms, buckets = _pruned(index_dir, None)
+        if terms is None:
+            return None
+        postings = load_postings(spark, index_dir).where(
+            F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        exclude = load_tombstones(spark, index_dir)
 
     scorer = _make_bool_scorer(
         request_specs,
         expansions,
-        meta["avgdl"],
-        meta["block_size"],
-        exclude=load_tombstones(spark, index_dir),
+        avgdl_by_field,
+        block_size,
+        exclude=exclude,
         filtered=bool(filter_map),
+        multifield=multifield,
     )
     scorer.filter_rids.update(filter_map)
     result_schema = "request_id int, doc_id long, score double"
     if filter_map:
-        docmap = load_docmap(spark, index_dir)
+        docmap = load_docmap(
+            spark, field_dir(index_dir, mf["fields"][0]) if multifield
+            else index_dir
+        )
         allowed_parts = [
             docmap.where(F.expr(expr)).select(
                 "shard", F.lit(rid).cast("int").alias("request_id"), "doc_id"
@@ -405,13 +574,19 @@ def bool_topk_batch(
     index_dir: str,
     requests: list,
     max_expansions: int | None = None,
+    multifield: bool = False,
 ) -> DataFrame:
     """Execute a batch of :class:`~sparkfts.querybuilder.SearchRequest`
     bool trees in ONE single-pass plan -> DataFrame(request_id, rank,
-    doc_id, score). Match-all requests are not handled here (route via
+    doc_id, score). ``multifield=True`` treats ``index_dir`` as a
+    multi-field index and honors each clause's ``fields`` boost specs
+    (best-fields combination inside the kernel). Match-all requests are
+    not handled here (route via
     :func:`sparkfts.querybuilder.match_all_topk`)."""
     schema = "request_id int, rank int, doc_id long, score double"
-    local = bool_local(spark, index_dir, requests, max_expansions)
+    local = bool_local(
+        spark, index_dir, requests, max_expansions, multifield
+    )
     if local is None:
         return spark.createDataFrame([], schema)
     k_map = F.create_map(

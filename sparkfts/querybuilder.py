@@ -161,37 +161,37 @@ def run_search_request_indexed(
     """Execute a :class:`SearchRequest` against a BUILT index ->
     DataFrame(rank, doc_id, score) — the end-to-end production shape of
     the reference's query path (cloud event -> IR -> fuzzy multi_match
-    clauses AND-ed by ``bool.must``), running on the inverted index
-    instead of the scan baseline. Identical results to
+    clauses AND-ed by ``bool.must``). Identical results to
     :func:`run_search_request` over the same corpus (tested).
 
+    All non-match-all requests run through the single-pass bool-tree
+    kernel (:mod:`sparkfts.booltree`): every clause of the request is
+    scored inside ONE shard-kernel pass (per-shard top-k, global window
+    over <= n_shards*k rows) instead of materializing per-clause
+    complete match sets merged on an unpartitioned window.
+
     ``multifield=True`` treats ``index_dir`` as a multi-field index and
-    honors each clause's ``fields`` list (ES-style boost specs allowed);
-    otherwise the single analyzed field answers every clause.
+    honors each clause's ``fields`` list (ES-style boost specs allowed,
+    best-fields combination); otherwise the single analyzed field
+    answers every clause.
     """
     from pyspark.sql import functions as F
 
-    def _docmap():
+    if request.is_match_all:
         from sparkfts.index import load_docmap
 
         if multifield:
             from sparkfts.multifield import field_dir, read_mf_meta
 
             mf = read_mf_meta(index_dir)
-            return load_docmap(spark, field_dir(index_dir, mf["fields"][0]))
-        return load_docmap(spark, index_dir)
-
-    def _apply_bool_clauses(
-        df: DataFrame, apply_filter: bool = True
-    ) -> DataFrame:
-        """bool.filter semi-join + bool.must_not anti-join on a complete
-        match set (per-clause k = n_docs upstream, so post-join top-k is
-        exact)."""
-        if apply_filter and request.filter_expr:
-            allowed = (
-                _docmap().where(F.expr(request.filter_expr)).select("doc_id")
+            docs = load_docmap(
+                spark, field_dir(index_dir, mf["fields"][0])
             )
-            df = df.join(allowed, "doc_id", "left_semi")
+        else:
+            docs = load_docmap(spark, index_dir)
+        if request.filter_expr:
+            docs = docs.where(F.expr(request.filter_expr))
+        docs = docs.select("doc_id")
         if request.must_not:
             from sparkfts.aggs import match_docs_batch
 
@@ -216,188 +216,16 @@ def run_search_request_indexed(
                     spark, index_dir, list(enumerate(request.must_not)),
                     mode="or",
                 )
-            df = df.join(
+            docs = docs.join(
                 mn.select("doc_id").distinct(), "doc_id", "left_anti"
             )
-        return df
-
-    if request.is_match_all:
-        docs = _docmap()
-        if request.filter_expr:
-            docs = docs.where(F.expr(request.filter_expr))
-        docs = _apply_bool_clauses(
-            docs.select("doc_id"), apply_filter=False  # already WHERE'd
-        )
         return match_all_topk(docs, request.k)
 
-    if not multifield:
-        # single-pass bool-tree kernel: every clause of the request is
-        # scored inside ONE shard-kernel pass (per-shard top-k, global
-        # window over <= n_shards*k rows) instead of materializing
-        # per-clause complete match sets merged on an unpartitioned
-        # window — identical results (tested), web-scale plan
-        from sparkfts.booltree import bool_topk_batch
+    from sparkfts.booltree import bool_topk_batch
 
-        return bool_topk_batch(spark, index_dir, [request]).select(
-            "rank", "doc_id", "score"
-        )
-
-    if not request.clauses:
-        # pure-should bool query: minimum_should_match=1, score = sum of
-        # matching should clause scores
-        sh = _should_scores_indexed(spark, index_dir, request, multifield)
-        scored = _apply_bool_clauses(
-            sh.select("doc_id", F.col("should_score").alias("score"))
-        )
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.lit(request.k))
-            .select("rank", "doc_id", "score")
-            .orderBy("rank")
-        )
-
-    if multifield:
-        from sparkfts.multifield import bm25_multifield_fuzzy_batch, read_mf_meta
-
-        n_docs = read_mf_meta(index_dir)["n_docs"]
-        # clauses may target different field lists -> one plan per clause
-        per_clause_parts = []
-        for i, c in enumerate(request.clauses):
-            per_clause_parts.append(
-                bm25_multifield_fuzzy_batch(
-                    spark,
-                    index_dir,
-                    [(i, c.query, n_docs)],
-                    fields=list(c.fields),
-                    mode=c.operator,
-                )
-            )
-        from functools import reduce
-
-        per_clause = reduce(
-            lambda a, b: a.unionByName(b), per_clause_parts
-        )
-    else:
-        from sparkfts.index import read_meta
-        from sparkfts.query import bm25_index_fuzzy_batch
-
-        n_docs = read_meta(index_dir)["n_docs"]
-        batch = [(i, c.query, n_docs) for i, c in enumerate(request.clauses)]
-        per_clause = bm25_index_fuzzy_batch(spark, index_dir, batch)
-
-    n_clauses = len(request.clauses)
-    merged = (
-        per_clause.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_clauses_matched"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col("query_id"), F.col("score")))
-            ).alias("parts"),
-        )
-        .where(F.col("n_clauses_matched") == F.lit(n_clauses))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.transform(F.col("parts"), lambda x: x["score"]),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    merged = _apply_bool_clauses(merged)
-    if request.should:
-        merged = _add_should_scores_indexed(
-            spark, index_dir, request, merged, multifield
-        )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.lit(request.k))
-        .select("rank", "doc_id", "score")
-        .orderBy("rank")
-    )
-
-
-def _should_scores_indexed(
-    spark, index_dir: str, request: SearchRequest, multifield: bool
-) -> DataFrame:
-    """Per-doc summed scores of the request's should clauses ->
-    (doc_id, should_score, n_should_matched). Complete match sets
-    (per-clause k = n_docs), same fuzzy clause semantics as must."""
-    if multifield:
-        from functools import reduce
-
-        from sparkfts.multifield import (
-            bm25_multifield_fuzzy_batch,
-            read_mf_meta,
-        )
-
-        n_docs = read_mf_meta(index_dir)["n_docs"]
-        parts = [
-            bm25_multifield_fuzzy_batch(
-                spark, index_dir, [(i, c.query, n_docs)],
-                fields=list(c.fields), mode=c.operator,
-            )
-            for i, c in enumerate(request.should)
-        ]
-        per_clause = reduce(lambda a, b: a.unionByName(b), parts)
-    else:
-        from functools import reduce
-
-        from sparkfts.index import read_meta
-        from sparkfts.query import bm25_index_fuzzy_batch
-
-        n_docs = read_meta(index_dir)["n_docs"]
-        # one batched plan per distinct clause operator (a should clause
-        # with operator='or' must run disjunctively, matching the
-        # multifield branch's mode=c.operator)
-        parts = [
-            bm25_index_fuzzy_batch(
-                spark,
-                index_dir,
-                [
-                    (i, c.query, n_docs)
-                    for i, c in enumerate(request.should)
-                    if c.operator == op
-                ],
-                mode=op,
-            )
-            for op in sorted({c.operator for c in request.should})
-        ]
-        per_clause = reduce(lambda a, b: a.unionByName(b), parts)
-    return per_clause.groupBy("doc_id").agg(
-        F.count("*").alias("n_should_matched"),
-        F.aggregate(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("query_id"), F.col("score"))
-                    )
-                ),
-                lambda x: x["score"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("should_score"),
-    )
-
-
-def _add_should_scores_indexed(
-    spark, index_dir: str, request: SearchRequest, merged: DataFrame,
-    multifield: bool,
-) -> DataFrame:
-    """Fold bool.should into the must-merged frame: matching should
-    clauses ADD score; non-matching docs keep theirs (left join)."""
-    sh = _should_scores_indexed(spark, index_dir, request, multifield)
-    return (
-        merged.join(sh.select("doc_id", "should_score"), "doc_id", "left")
-        .withColumn(
-            "score",
-            F.col("score") + F.coalesce(F.col("should_score"), F.lit(0.0)),
-        )
-        .drop("should_score")
-    )
+    return bool_topk_batch(
+        spark, index_dir, [request], multifield=multifield
+    ).select("rank", "doc_id", "score")
 
 
 def run_search_request(

@@ -263,3 +263,63 @@ def test_clause_operator_or_honored(spark, corpus, bt_index, bt_scan):
     ]
     for a, b in zip(idx, scan):
         assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
+def test_multifield_bool_single_pass(spark, corpus, tmp_path_factory):
+    """Multi-field requests run through the single-pass kernel with
+    best-fields clause combination == the composed per-clause ground
+    truth (must sum + should bonus + must_not exclusion)."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.multifield import (
+        bm25_multifield_fuzzy_batch,
+        build_multifield_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("bt_mf_idx"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pages = pages.withColumn("title", F.array_join(F.slice(toks, 1, 8), " "))
+    build_multifield_index(
+        pages, d, fields=("title", "text"), n_shards=4, n_tbuckets=8
+    )
+    t1, t2, t3 = _clause_terms(corpus)
+    flds = ("title^2", "text")
+    req = SearchRequest(
+        clauses=(Clause(query=t1, fields=flds),),
+        should=(Clause(query=t2, fields=flds),),
+        must_not=(t3,),
+        k=10_000,
+    )
+    got = bool_topk_batch(spark, d, [req], multifield=True).collect()
+
+    def clause_scores(term):
+        return {
+            r["doc_id"]: r["score"]
+            for r in bm25_multifield_fuzzy_batch(
+                spark, d, [(0, term, 10_000)], fields=list(flds)
+            ).collect()
+        }
+
+    m1, m2 = clause_scores(t1), clause_scores(t2)
+    from sparkfts.aggs import match_docs_batch
+    from sparkfts.multifield import field_dir
+
+    excl = set()
+    for fld in ("title", "text"):
+        excl |= {
+            r["doc_id"]
+            for r in match_docs_batch(
+                spark, field_dir(d, fld), [(0, t3)], mode="or"
+            ).collect()
+        }
+    exp = {
+        doc: s + m2.get(doc, 0.0)
+        for doc, s in m1.items()
+        if doc not in excl
+    }
+    assert exp, "test premise"
+    assert {r["doc_id"] for r in got} == set(exp)
+    for r in got:
+        assert r["score"] == pytest.approx(exp[r["doc_id"]], rel=1e-9)
