@@ -191,11 +191,30 @@ def _run_once(
         # census at large corpus sizes (queries still span the spectrum);
         # larger corpora also get a 4x query batch so batch throughput is
         # measured against real work, not per-job constants
+        # scaling legs run a 400-query batch: sustained batch throughput
+        # is the production regime, and the per-batch fixed cost
+        # (driver planning, stage barriers, task dispatch — all
+        # cluster-size-invariant) must be amortized over enough real
+        # work for the efficiency ratio to measure the DATAFLOW
         big = n_docs > 100_000
         qs = gen_queries(
             texts[:20000] if len(texts) > 20000 else texts,
-            n_queries=200 if big else 50,
+            n_queries=400 if big else 50,
         )
+
+        # steady-state warmup for the query path too (same doctrine as
+        # the warmup build above): one tiny throwaway batch exercises
+        # plan codegen, Arrow serde, the broadcast machinery and python
+        # workers — a constant cold-start cost (~2-4 s, invariant in
+        # cluster size AND batch size) that would otherwise dominate the
+        # scaling ratio of the ~seconds-long timed batch
+        warm_q = [(10_000 + q["query_id"], q["query"], q["k"]) for q in qs[:3]]
+        if multifield:
+            from sparkfts.multifield import bm25_multifield_batch as _mfb
+
+            _mfb(spark, idx, warm_q, fields=["title^2", "text"]).collect()
+        else:
+            bm25_index_batch(spark, idx, warm_q).collect()
 
         # batch throughput: all queries in one job
         t0 = time.time()

@@ -14,6 +14,8 @@ Facet ordering pins ES's: count desc, then key asc.
 
 from __future__ import annotations
 
+from sparkfts.session import session_cores as _session_cores
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -121,12 +123,15 @@ def match_docs_batch(
     if not analyzed or meta["n_docs"] == 0:
         return spark.createDataFrame([], "query_id int, doc_id long")
 
+    from sparkfts.index import in_list
+
     all_terms = sorted({t for _, terms in analyzed for t in terms})
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
     postings = (
         load_postings(spark, index_dir)
-        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
+        .where(in_list("tbucket", buckets) & in_list("term", all_terms))
         .select("term", "shard", "doc_ids")
+        .coalesce(_session_cores(spark))
     )
     from sparkfts.deletes import load_tombstones
 

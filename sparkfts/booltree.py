@@ -55,6 +55,8 @@ that query path hits next.
 
 from __future__ import annotations
 
+from sparkfts.session import session_cores as _session_cores
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -85,7 +87,10 @@ def _to_node(obj, stopwords=None, multifield: bool = False):
             specs = tuple(
                 (f, float(b)) for f, b in parse_field_boosts(obj.fields)
             )
-            return ("clause", obj.operator, keys, specs)
+            return (
+                "clause", obj.operator, keys, specs,
+                float(getattr(obj, "tie_breaker", 0.0)),
+            )
         return ("clause", obj.operator, keys)
     if isinstance(obj, Bool):
         return (
@@ -100,7 +105,7 @@ def _to_node(obj, stopwords=None, multifield: bool = False):
 def _walk_keys(node, keys: set, mn_terms: set) -> None:
     """Collect ``(field_or_None, group_key)`` pairs + must_not terms."""
     if node[0] == "clause":
-        if len(node) == 4:
+        if len(node) >= 4:
             for fld, _b in node[3]:
                 keys.update((fld, k) for k in node[2])
         else:
@@ -194,7 +199,8 @@ def _make_bool_scorer(
                 return virt
 
             def eval_clause(node):
-                if len(node) == 4:  # multifield best_fields
+                if len(node) >= 4:  # multifield best_fields / dis_max
+                    tb = float(node[4]) if len(node) > 4 else 0.0
                     per_field = []
                     for fld, boost in node[3]:  # field-spec order
                         groups = [virtual(fld, key) for key in node[2]]
@@ -215,7 +221,14 @@ def _make_bool_scorer(
                         np.maximum.at(
                             best, np.searchsorted(union, fids), fsc
                         )
-                    return union, best
+                    if tb == 0.0:
+                        return union, best
+                    # ES dis_max: best + tie_breaker * sum(others);
+                    # sum folds in field-spec order (deterministic)
+                    total = np.zeros(union.size, np.float64)
+                    for fids, fsc in per_field:
+                        total[np.searchsorted(union, fids)] += fsc
+                    return union, best + tb * (total - best)
                 groups = [virtual(None, key) for key in node[2]]
                 return match_grouped_all(groups, node[1])
 
@@ -506,12 +519,11 @@ def bool_local(
             terms, buckets = _pruned(fdir, fld)
             if terms is None:
                 continue
+            from sparkfts.index import in_list
+
             parts.append(
                 load_postings(spark, fdir)
-                .where(
-                    F.col("tbucket").isin(buckets)
-                    & F.col("term").isin(terms)
-                )
+                .where(in_list("tbucket", buckets) & in_list("term", terms))
                 .withColumn("field", F.lit(fld))
             )
             t = load_tombstones(spark, fdir)
@@ -527,9 +539,11 @@ def bool_local(
         terms, buckets = _pruned(index_dir, None)
         if terms is None:
             return None
+        from sparkfts.index import in_list
+
         postings = load_postings(spark, index_dir).where(
-            F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
-        )
+            in_list("tbucket", buckets) & in_list("term", terms)
+        ).coalesce(_session_cores(spark))
         exclude = load_tombstones(spark, index_dir)
 
     scorer = _make_bool_scorer(
@@ -543,6 +557,11 @@ def bool_local(
     )
     scorer.filter_rids.update(filter_map)
     result_schema = "request_id int, doc_id long, score double"
+    # kernel stage = one task per shard (the kernel's parallelism unit)
+    n_shards_part = (
+        read_meta(f0_dir)["n_shards"] if multifield else meta["n_shards"]
+    )
+    postings = postings.repartition(n_shards_part, "shard")
     if filter_map:
         docmap = load_docmap(
             spark, field_dir(index_dir, mf["fields"][0]) if multifield
@@ -557,6 +576,7 @@ def bool_local(
         allowed = allowed_parts[0]
         for p in allowed_parts[1:]:
             allowed = allowed.unionByName(p)
+        allowed = allowed.repartition(n_shards_part, "shard")
         local = (
             postings.groupby("shard")
             .cogroup(allowed.groupby("shard"))
@@ -596,6 +616,7 @@ def bool_topk_batch(
             for x in (F.lit(rid), F.lit(int(req.k)))
         ]
     )
+    local = local.repartition(_session_cores(spark), "request_id")
     w = Window.partitionBy("request_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -603,5 +624,6 @@ def bool_topk_batch(
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.element_at(k_map, F.col("request_id")))
         .select("request_id", F.col("rank").cast("int"), "doc_id", "score")
-        .orderBy("request_id", "rank")
+        .coalesce(1)
+        .sortWithinPartitions("request_id", "rank")
     )

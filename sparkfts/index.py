@@ -356,6 +356,15 @@ def load_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     deriving from postings for indexes built before the terms table
     existed.
     """
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(index_dir),
+        "terms_derived",
+        _index_generation(index_dir),
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     dirs = segment_dirs(index_dir)
     if all(os.path.isdir(os.path.join(d, "terms")) for d in dirs):
         from sparkfts.storage import read_table
@@ -366,7 +375,9 @@ def load_terms(spark: SparkSession, index_dir: str) -> DataFrame:
             # per term (written via groupBy at build) — skip the
             # cross-segment summing agg, saving a shuffle on EVERY query's
             # df lookup (a measurable slice of the per-query driver floor)
-            return per[0].select("term", "df", "tbucket")
+            out = per[0].select("term", "df", "tbucket")
+            _TABLE_CACHE[key] = out
+            return out
         from functools import reduce
 
         unioned = reduce(lambda a, b: a.unionByName(b), per)
@@ -374,9 +385,11 @@ def load_terms(spark: SparkSession, index_dir: str) -> DataFrame:
         unioned = load_postings(spark, index_dir).select(
             "term", F.col("df_shard").alias("df"), "tbucket"
         )
-    return unioned.groupBy("term").agg(
+    out = unioned.groupBy("term").agg(
         F.sum("df").alias("df"), F.first("tbucket").alias("tbucket")
     )
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def salt_check(tokens: DataFrame, n_shards: int, top: int = 10) -> list[dict]:
@@ -420,12 +433,63 @@ def segment_dirs(index_dir: str) -> list[str]:
     return out
 
 
+def in_list(col: str, values) -> F.Column:
+    """``col IN (...)`` as ONE SQL expression.
+
+    ``F.col(c).isin(values)`` makes one py4j round-trip per literal —
+    ~0.3 s of driver time for a 250-term batch, a pure fixed cost that
+    caps batch-query scaling efficiency. One ``F.expr`` string is one
+    round-trip; Catalyst sees the identical IN predicate (same pushdown,
+    same row-group pruning). Values are analyzer/int output; single
+    quotes are doubled defensively.
+    """
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    if isinstance(vals[0], (int, float)):
+        body = ", ".join(str(v) for v in vals)
+    else:
+        body = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" for v in vals
+        )
+    return F.expr(f"{col} IN ({body})")
+
+
+# (applicationId, index_dir, sub, generation) -> lazy DataFrame.
+# A loaded table is a pure function of the on-disk index GENERATION
+# (root meta mtime + the committed segment-dir list): build/merge/append
+# all rewrite meta.json, so the fingerprint changes whenever content
+# can. Caching the lazy frame skips per-query file re-listing + union
+# plan rebuild (~0.5 s of pure driver time per batch call) — the same
+# reason ES caches its IndexReader per segment generation. Tombstones
+# are NOT cached here (deletes don't touch meta; sparkfts.deletes loads
+# them per call / via Searcher.refresh_deletes).
+_TABLE_CACHE: dict = {}
+_TABLE_CACHE_MAX = 32
+
+
+def _index_generation(index_dir: str) -> tuple:
+    dirs = segment_dirs(index_dir)
+    mp = os.path.join(index_dir, META_FILE)
+    m = os.stat(mp).st_mtime_ns if os.path.exists(mp) else 0
+    return (tuple(dirs), m)
+
+
 def _load_union(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     from functools import reduce
 
     dirs = segment_dirs(index_dir)
     if not dirs:
         raise FileNotFoundError(f"no {sub} under {index_dir}")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(index_dir),
+        sub,
+        _index_generation(index_dir),
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     from sparkfts.storage import read_table
 
     dfs = [
@@ -434,7 +498,11 @@ def _load_union(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
         )
         for i, d in enumerate(dirs)
     ]
-    return reduce(lambda a, b: a.unionByName(b), dfs)
+    out = reduce(lambda a, b: a.unionByName(b), dfs)
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:

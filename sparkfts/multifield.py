@@ -158,6 +158,7 @@ def bm25_multifield_batch(
     use_blockmax: bool = True,
     offset: int = 0,
     filter_expr: str | None = None,
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Best-fields BM25 top-k from a multi-field index, one Spark action.
 
@@ -170,6 +171,14 @@ def bm25_multifield_batch(
     indexed field, boost 1.0. Each per-field slice is the standard pruned
     single-field index plan widened to offset+k; the global page is cut
     after max combination, so pagination is exact across fields.
+
+    ``tie_breaker``: ES multi_match/dis_max tie_breaker — combined
+    score = best_field + tie_breaker * sum(other matching fields).
+    0.0 (ES default) keeps the pure best-fields plan above. For
+    ``tie_breaker > 0`` the union-of-per-field-top-k containment proof
+    breaks (a runner-up field can lift a doc past another's best), so
+    execution routes through the single-pass bool-tree kernel, which
+    holds complete per-shard per-field match sets and combines exactly.
     """
     from sparkfts.analysis import tokenize_query
     from sparkfts.query import _empty_results, bm25_index_batch
@@ -179,6 +188,51 @@ def bm25_multifield_batch(
     unknown = [f for f, _ in specs if f not in meta["fields"]]
     if unknown:
         raise ValueError(f"fields not in index: {unknown}")
+
+    if tie_breaker:
+        if offset or filter_expr:
+            raise ValueError(
+                "tie_breaker does not combine with offset/filter_expr yet"
+            )
+        from sparkfts.booltree import bool_topk_batch
+        from sparkfts.querybuilder import Clause, SearchRequest
+
+        fspecs = tuple(fields if fields is not None else meta["fields"])
+        reqs = [
+            SearchRequest(
+                clauses=(
+                    Clause(
+                        query=text,
+                        fields=fspecs,
+                        operator=mode,
+                        fuzziness="0",
+                        tie_breaker=float(tie_breaker),
+                    ),
+                ),
+                k=int(k),
+            )
+            for _qid, text, k in queries
+        ]
+        qid_map = {rid: qid for rid, (qid, _t, _k) in enumerate(queries)}
+        qid_col = F.create_map(
+            *[
+                x
+                for rid, qid in qid_map.items()
+                for x in (F.lit(rid), F.lit(qid))
+            ]
+        )
+        return (
+            bool_topk_batch(spark, index_dir, reqs, multifield=True)
+            .select(
+                F.element_at(qid_col, F.col("request_id"))
+                .cast("int")
+                .alias("query_id"),
+                "rank",
+                "doc_id",
+                "score",
+            )
+            .orderBy("query_id", "rank")
+        )
 
     analyzed_k = [
         (qid, k + int(offset))
@@ -623,12 +677,11 @@ def bm25f_batch(
 
     for fld, _w in specs:
         fdir = field_dir(index_dir, fld)
+        from sparkfts.index import in_list
+
         parts.append(
             load_postings(spark, fdir)
-            .where(
-                F.col("tbucket").isin(buckets)
-                & F.col("term").isin(all_terms)
-            )
+            .where(in_list("tbucket", buckets) & in_list("term", all_terms))
             .select(
                 "term", "shard", "doc_ids", "tfs", "doclens",
                 F.lit(fld).alias("field"),

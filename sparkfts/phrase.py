@@ -28,6 +28,8 @@ Plan shape (same scale discipline as the postings query path):
 
 from __future__ import annotations
 
+from sparkfts.session import session_cores as _session_cores
+
 import os
 from collections.abc import Iterator
 
@@ -433,9 +435,11 @@ def match_phrase_batch(
 
     from sparkfts.deletes import load_tombstones
 
+    from sparkfts.index import in_list
+
     pos = load_positions(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
+        in_list("tbucket", buckets) & in_list("term", all_terms)
+    ).coalesce(_session_cores(spark))
     include_map = None
     if include_doc_ids is not None:
         import numpy as np
@@ -567,9 +571,11 @@ def match_phrase_prefix_batch(
         )
         df_map = {r["term"]: int(r["df"]) for r in df_rows}
 
+    from sparkfts.index import in_list as _in_list
+
     pos = load_positions(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
+        _in_list("tbucket", buckets) & _in_list("term", all_terms)
+    ).coalesce(_session_cores(spark))
     # union df per query over ITS expansion set: a (term -> query_id)
     # broadcast join on the already-pruned position rows, one
     # countDistinct per query (a doc with two expansions counts once)
@@ -662,7 +668,7 @@ class PhraseSearcher:
             # core count so warm sweeps don't pay per-partition task
             # launches proportional to file-split granularity
             self._positions = self._positions.coalesce(
-                spark.sparkContext.defaultParallelism
+                _session_cores(spark)
             ).cache()
         self._terms = load_terms(spark, index_dir)
         self.local_threshold = int(local_threshold)

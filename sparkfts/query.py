@@ -23,6 +23,8 @@ bit-identical to the oracle's sorted-term Python loop; ties broken by
 
 from __future__ import annotations
 
+from sparkfts.session import session_cores as _session_cores
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -254,6 +256,7 @@ def _make_shard_scorer(
     exclude=None,
     must_not_map: dict[int, list[str]] | None = None,
     filtered: bool = False,
+    df_map: dict[str, int] | None = None,
 ):
     """Kernel factory: scores ALL queries against ONE shard's postings.
 
@@ -262,9 +265,11 @@ def _make_shard_scorer(
     time. Batching every query into one kernel call amortizes decode: a
     term's postings are decoded once per shard per query *batch*.
 
-    Each posting row carries the term's GLOBAL ``df`` (broadcast-joined in
-    the same plan), so idf is computed here and the whole query is one
-    Spark action — no driver round-trip for stats.
+    ``df_map`` ships each term's GLOBAL df in the kernel closure (one
+    tiny pruned-dictionary collect on the driver — cheaper than either a
+    broadcast join's build job or a per-term create_map literal column,
+    both of which this replaces); when absent, each posting row must
+    carry a ``df`` column instead.
 
     ``must_not_map``: per query_id, the ES ``bool.must_not`` term list.
     A doc containing ANY of those terms is excluded BEFORE top-k; the
@@ -303,10 +308,16 @@ def _make_shard_scorer(
             rows_by_term, postings_of = _postings_reader(
                 pdf_postings, avgdl, block_size
             )
-            idf_map = {
-                t: idf_fn(n_docs, int(rows[0]["df"]))
-                for t, rows in rows_by_term.items()
-            }
+            if df_map is not None:
+                idf_map = {
+                    t: idf_fn(n_docs, df_map.get(t, 0))
+                    for t in rows_by_term
+                }
+            else:
+                idf_map = {
+                    t: idf_fn(n_docs, int(rows[0]["df"]))
+                    for t, rows in rows_by_term.items()
+                }
 
             for qid, terms, k in queries_analyzed:
                 if mode == "and" and not all(t in rows_by_term for t in terms):
@@ -499,37 +510,28 @@ def bm25_index_batch(
     )
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
 
+    from sparkfts.index import in_list
+
+    # one-expression IN predicates + a scan coalesce to the core count:
+    # the pruned scan otherwise launches one task per on-disk split
+    # (145 tasks for a ~4k-row pruned read at bench scale) — pure
+    # scheduling floor; the kernel parallelism is set by the groupBy
+    # shuffle, not the scan
     postings = load_postings(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
-    # global df for the query terms. Two strategies, picked by batch
-    # width (both measured):
-    #   - few terms (interactive single queries): a few-row COLLECT off
-    #     the pruned terms scan, idf shipped in the kernel closure — the
-    #     collect round-trip beats a join build side at this size;
-    #   - wide batches (many queries in one call): fold the df lookup
-    #     into the main plan as a BROADCAST join, eliminating the extra
-    #     driver round-trip job entirely — that job is pure fixed cost,
-    #     exactly the per-batch floor that capped batch-query scaling
-    #     efficiency (BENCH/BASELINE.md r2: 0.49-0.54).
-    terms_pruned = load_terms(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    ).select("term", "df")
-    if len(all_terms) >= 48:
-        joined = postings.join(F.broadcast(terms_pruned), "term", "left").withColumn(
-            "df", F.coalesce(F.col("df"), F.lit(0))
-        )
-    else:
-        df_rows = terms_pruned.collect()
-        df_map = {r["term"]: int(r["df"]) for r in df_rows}
-        joined = postings.withColumn(
-            "df", F.element_at(
-                F.create_map(
-                    *[x for t in all_terms for x in (F.lit(t), F.lit(df_map.get(t, 0)))]
-                ),
-                F.col("term"),
-            )
-        )
+        in_list("tbucket", buckets) & in_list("term", all_terms)
+    ).coalesce(_session_cores(spark))
+    # global df for the query terms: ONE few-row collect off the pruned
+    # terms scan, shipped to the kernels in the closure. This replaced
+    # two earlier strategies (broadcast-join fold for wide batches,
+    # create_map literal column for narrow ones — BENCH/BASELINE.md
+    # r2-r4 history): the collect is a single tiny job while the
+    # broadcast cost an extra build job and the create_map cost one
+    # py4j round-trip per literal, both pure per-batch fixed floor.
+    df_rows = load_terms(spark, index_dir).where(
+        in_list("tbucket", buckets) & in_list("term", all_terms)
+    ).select("term", "df").collect()
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    joined = postings
 
     scorer = _make_shard_scorer(
         analyzed,
@@ -543,8 +545,15 @@ def bm25_index_batch(
         exclude=tombstones,
         must_not_map=must_not_map or None,
         filtered=filter_expr is not None,
+        df_map=df_map,
     )
     result_schema = "query_id int, doc_id long, score double"
+    # the kernel's parallelism unit IS the shard: repartition to exactly
+    # n_shards so the grouped-map stage runs n_shards balanced tasks
+    # instead of spark.sql.shuffle.partitions mostly-empty ones (48
+    # empty task launches per batch at the bench's 64/16 — pure
+    # driver-bound scheduling floor, identical at every cluster size)
+    joined = joined.repartition(meta["n_shards"], "shard")
     if filter_expr is not None:
         # bool.filter: JVM-evaluated predicate over the docmap (filters
         # push down to the parquet scan; only `shard`+`doc_id` survive
@@ -554,6 +563,7 @@ def bm25_index_batch(
             load_docmap(spark, index_dir)
             .where(F.expr(filter_expr))
             .select("shard", "doc_id")
+            .repartition(meta["n_shards"], "shard")
         )
         local = (
             joined.groupby("shard")
@@ -567,6 +577,13 @@ def bm25_index_batch(
 
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
+    )
+    # pre-partition the <= n_shards*k-per-query candidate frame by the
+    # window key at CORE-count granularity: the window reuses this
+    # partitioning (no second exchange) instead of fanning the tiny
+    # frame out to spark.sql.shuffle.partitions mostly-empty tasks
+    local = local.repartition(
+        _session_cores(spark), "query_id"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
@@ -582,7 +599,10 @@ def bm25_index_batch(
         out = out.join(urls, "doc_id", "left").select(
             "query_id", "rank", "doc_id", "url", "score"
         )
-    return out.orderBy("query_id", "rank")
+    # the page is <= n_queries * k rows: a single-partition sort replaces
+    # orderBy's RangePartitioning (which costs an extra boundary-sampling
+    # JOB per batch) at identical output order
+    return out.coalesce(1).sortWithinPartitions("query_id", "rank")
 
 
 def bm25_index(
@@ -896,10 +916,12 @@ def bm25_index_fuzzy_batch(
     )
     if not all_terms:
         return _empty_results(spark)
+    from sparkfts.index import in_list
+
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
     postings = load_postings(spark, index_dir).where(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
+        in_list("tbucket", buckets) & in_list("term", all_terms)
+    ).coalesce(_session_cores(spark))
     from sparkfts.deletes import load_tombstones
 
     scorer = _make_fuzzy_shard_scorer(
@@ -911,11 +933,15 @@ def bm25_index_fuzzy_batch(
         filtered=filter_expr is not None,
     )
     result_schema = "query_id int, doc_id long, score double"
+    # kernel stage = exactly n_shards tasks; window reuses a core-count
+    # partitioning; single-partition final sort (see bm25_index_batch)
+    postings = postings.repartition(meta["n_shards"], "shard")
     if filter_expr is not None:
         allowed = (
             load_docmap(spark, index_dir)
             .where(F.expr(filter_expr))
             .select("shard", "doc_id")
+            .repartition(meta["n_shards"], "shard")
         )
         local = (
             postings.groupby("shard")
@@ -926,6 +952,7 @@ def bm25_index_fuzzy_batch(
         local = postings.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
         )
+    local = local.repartition(_session_cores(spark), "query_id")
     k_map = F.create_map(
         *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
     )
@@ -937,5 +964,6 @@ def bm25_index_fuzzy_batch(
             & (F.col("rank") > F.lit(int(offset)))
         )
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
-        .orderBy("query_id", "rank")
+        .coalesce(1)
+        .sortWithinPartitions("query_id", "rank")
     )

@@ -64,6 +64,10 @@ class Clause:
     fields: tuple[str, ...] = DEFAULT_FIELDS
     operator: str = "and"
     fuzziness: str = "AUTO"
+    # ES multi_match tie_breaker (dis_max): combined field score =
+    # best_field + tie_breaker * sum(other matching fields). 0.0 = pure
+    # best_fields (the ES default the reference relies on).
+    tie_breaker: float = 0.0
 
 
 @dataclass(frozen=True)

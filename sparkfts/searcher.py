@@ -300,20 +300,9 @@ class Searcher:
             rows.sort(key=lambda r: (r[0], r[1]))
             return self.spark.createDataFrame(rows, RESULT_SCHEMA)
 
-        pruned = self._postings.where(F.col("term").isin(all_terms))
-        joined = pruned.withColumn(
-            "df",
-            F.element_at(
-                F.create_map(
-                    *[
-                        x
-                        for t in all_terms
-                        for x in (F.lit(t), F.lit(df_map.get(t, 0)))
-                    ]
-                ),
-                F.col("term"),
-            ),
-        )
+        from sparkfts.index import in_list
+
+        joined = self._postings.where(in_list("term", all_terms))
         scorer = _make_shard_scorer(
             analyzed,
             self.meta["n_docs"],
@@ -325,6 +314,7 @@ class Searcher:
             exclude=self.tombstones,
             must_not_map=must_not_map or None,
             filtered=filter_expr is not None,
+            df_map=df_map,
         )
         result_schema = "query_id int, doc_id long, score double"
         if filter_expr is not None:

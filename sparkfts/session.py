@@ -65,3 +65,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_cores(spark) -> int:
+    """Actual executor-core count of the session.
+
+    ``sparkContext.defaultParallelism`` is overridden to the shuffle
+    partition count here (see get_spark), so it is NOT the core count.
+    Query paths use this to size tiny-scan coalesces and small-frame
+    repartitions to the real parallelism.
+    """
+    master = spark.sparkContext.master
+    if master.startswith("local["):
+        v = master[len("local["):-1]
+        return (os.cpu_count() or 8) if v == "*" else max(int(v), 1)
+    return max(spark.sparkContext.defaultParallelism, 2)

@@ -205,3 +205,70 @@ def test_multifield_fuzzy_matches_per_field_oracle(
     for r, (_, s) in zip(got, exp):
         assert r["score"] == _pytest.approx(s, rel=1e-9)
     assert exp, "typo query produced no fuzzy hits — fixture broken"
+
+
+def test_tie_breaker_dis_max(spark, corpus, tmp_path_factory):
+    """ES multi_match tie_breaker: combined = best + tb * sum(others);
+    tb=0 equals the pure best-fields plan; tb>0 matches a per-field
+    oracle composition (routed through the exact bool-tree kernel)."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oracle.bm25 import BM25Oracle
+    from sparkfts.analysis import tokenize
+    from sparkfts.multifield import (
+        bm25_multifield_batch,
+        build_multifield_index,
+    )
+    from sparkfts.tokens import sha1_doc_id
+
+    d = str(tmp_path_factory.mktemp("tb_mf_idx"))
+    pdf = corpus.to_pandas()
+    pages = spark.createDataFrame(pdf)
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pages = pages.withColumn("title", F.array_join(F.slice(toks, 1, 8), " "))
+    build_multifield_index(
+        pages, d, fields=("title", "text"), n_shards=4, n_tbuckets=8
+    )
+    ids = sha1_doc_id(pdf["url"])
+    titles = [" ".join(tokenize(t)[:8]) for t in pdf["text"]]
+    o_title = BM25Oracle(zip(ids.tolist(), titles))
+    o_text = BM25Oracle(zip(ids.tolist(), pdf["text"].tolist()))
+
+    q = tokenize(pdf.iloc[0]["text"])[0]
+    flds = ["title^2", "text"]
+    tb = 0.3
+    got = bm25_multifield_batch(
+        spark, d, [(0, q, 10_000)], fields=flds, tie_breaker=tb
+    ).collect()
+    # python composition: boosted per-field scores -> max + tb*(sum-max)
+    per_doc: dict[int, list[float]] = {}
+    for o, boost in ((o_title, 2.0), (o_text, 1.0)):
+        for doc, s in o.search(q, k=o.n_docs, mode="and"):
+            per_doc.setdefault(doc, []).append(s * boost)
+    exp = {
+        doc: max(ss) + tb * (sum(ss) - max(ss)) for doc, ss in per_doc.items()
+    }
+    assert exp, "test premise"
+    assert {r["doc_id"] for r in got} == set(exp)
+    for r in got:
+        assert r["score"] == _pytest.approx(exp[r["doc_id"]], rel=1e-9)
+    # ordering follows the combined score
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # tb=0 keeps the pure best-fields result
+    plain = bm25_multifield_batch(
+        spark, d, [(0, q, 25)], fields=flds
+    ).collect()
+    zero = bm25_multifield_batch(
+        spark, d, [(0, q, 25)], fields=flds, tie_breaker=0.0
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in zero] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    with _pytest.raises(ValueError):
+        bm25_multifield_batch(
+            spark, d, [(0, q, 5)], fields=flds, tie_breaker=0.3, offset=3
+        )
