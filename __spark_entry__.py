@@ -47,7 +47,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_as_pages(docs: DataFrame) -> DataFrame:
-    """FIXTURES.md §5 mapping: documents -> webtext page shape."""
+    """FIXTURES.md §5 mapping: documents -> webtext page shape.
+
+    ``source`` / ``n_chars`` ride along as doc-value columns for the
+    doc-value query ops (sort / function_score / collapse / top_hits)."""
     return docs.select(
         F.col("doc_id"),
         F.col("doc_id").cast("string").alias("url"),
@@ -55,6 +58,8 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
 
 
@@ -82,12 +87,13 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = os.path.join(REPO, ".scratch", f"entry_idx_{key}")
     meta_path = os.path.join(idx, "meta.json")
+    want_dv = ["lang", "source", "n_chars"]
     stale = True
     if os.path.exists(meta_path):
         import json as _json
 
         with open(meta_path) as f:
-            stale = "lang" not in _json.load(f).get("docvalue_cols", [])
+            stale = _json.load(f).get("docvalue_cols", []) != want_dv
     if stale:
         import shutil
 
@@ -100,7 +106,7 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
             n_shards=8,
             n_tbuckets=16,
             id_source="column",
-            docvalue_cols=["lang"],
+            docvalue_cols=want_dv,
         )
     return idx
 
@@ -189,6 +195,21 @@ def _bm25_sql(
     — bool.filter / bool.must_not restrictions AFTER scoring (ES: they
     never change scoring stats), BEFORE top-k.
     """
+    return f"""
+{_bm25_scored_cte(terms, conjunctive, min_match)}
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE 1=1 {extra_where} ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_scored_cte(
+    terms: list[str],
+    conjunctive: bool,
+    min_match: int | None = None,
+) -> str:
+    """The shared DuckDB CTE prefix ending in ``scored(doc_id, score)``
+    (pinned analyzer + BM25 formula; used by the plain top-k oracle and
+    the doc-value composition oracles)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
     if min_match is not None:
@@ -219,10 +240,7 @@ scored AS (
   JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   WHERE tf.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY tf.doc_id
-)
-SELECT doc_id, {_SCORE_E4} AS score_e4
-FROM scored WHERE 1=1 {extra_where} ORDER BY score DESC, doc_id LIMIT {k}
-"""
+)"""
 
 
 def _score_e4_col() -> F.Column:
@@ -464,6 +482,64 @@ def q_fts_bool_topk(spark, sf_dir):
     )
     res = bool_topk_batch(spark, idx, [req])
     return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_sort_topk(spark, sf_dir):
+    """ES ``sort`` on a doc-value field: AND-matching docs ordered by
+    ``n_chars`` desc (ties doc_id asc) instead of _score. Exhaustive
+    per-shard match + per-shard top-k by the sort key, global window
+    over <= n_shards*k rows (sparkfts/docvalues.py)."""
+    from sparkfts.docvalues import sort_by_field_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = sort_by_field_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 15)], "n_chars", ascending=False
+    )
+    return res.select("rank", "doc_id", "sort_value")
+
+
+def q_fts_function_score(spark, sf_dir):
+    """ES ``function_score`` + field_value_factor (multiply, ln1p):
+    final = BM25 * ln(1 + n_chars). Doc-value boosts break score-bound
+    pruning, so the kernel re-ranks the full in-shard match set — ES's
+    own cost model for this query."""
+    from sparkfts.docvalues import function_score_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = function_score_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], "n_chars",
+        modifier="log1p", mode="or",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_collapse(spark, sf_dir):
+    """ES ``collapse``: top-k with one best hit per ``source``.
+    Per-shard best-per-key -> top-k, global re-collapse -> top-k
+    (lossless merge; see sparkfts/docvalues.py)."""
+    from sparkfts.docvalues import collapse_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = collapse_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 8)], "source", mode="or"
+    )
+    return res.select("rank", "doc_id", _score_e4_col(), "collapse_value")
+
+
+def q_terms_top_hits(spark, sf_dir):
+    """ES ``terms`` agg + ``top_hits`` sub-agg: the 5 largest ``source``
+    buckets over the OR match set, each with its 2 best hits by BM25.
+    Kernel emits per-shard per-key top-N + run counts; global transfer
+    bounded by keys-in-shard * N."""
+    from sparkfts.docvalues import terms_top_hits
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = terms_top_hits(
+        spark, idx, BM25_QUERY_OR, "source", size=5, hits=2, mode="or"
+    )
+    return res.select(
+        "value", "doc_count", "hit_rank", "doc_id", _score_e4_col()
+    )
 
 
 def q_fts_bm25f_topk(spark, sf_dir):
@@ -1119,6 +1195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "fts_bool_topk": q_fts_bool_topk,
+        "fts_sort_topk": q_fts_sort_topk,
+        "fts_function_score": q_fts_function_score,
+        "fts_collapse": q_fts_collapse,
+        "terms_top_hits": q_terms_top_hits,
         "terms_facet": q_terms_facet,
         "stats_agg": q_stats_agg,
         "histogram_facet": q_histogram_facet,
@@ -1555,6 +1635,64 @@ final AS (
 )
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM final ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    and_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_AND.split())), True)
+    or_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_OR.split())), False)
+
+    sqls["fts_sort_topk"] = f"""
+{and_cte}
+SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS INT)
+         AS rank,
+       d.doc_id, d.n_chars AS sort_value
+FROM documents d JOIN cand USING (doc_id)
+ORDER BY rank LIMIT 15
+"""
+
+    sqls["fts_function_score"] = f"""
+{or_cte}
+SELECT s.doc_id,
+       CAST(floor(s.score * ln(1 + d.n_chars) * 10000 + 0.5) AS BIGINT)
+         AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 10
+"""
+
+    sqls["fts_collapse"] = f"""
+{or_cte},
+best AS (
+  SELECT s.doc_id, s.score, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score DESC, s.doc_id
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, {_SCORE_E4} AS score_e4, source AS collapse_value
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 8
+"""
+
+    sqls["terms_top_hits"] = f"""
+{or_cte},
+joined AS (
+  SELECT s.doc_id, s.score, d.source AS value
+  FROM scored s JOIN documents d USING (doc_id)
+),
+buckets AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS doc_count FROM joined
+  GROUP BY value ORDER BY doc_count DESC, value LIMIT 5
+),
+hits AS (
+  SELECT value, doc_id, score,
+         row_number() OVER (
+           PARTITION BY value ORDER BY score DESC, doc_id
+         ) AS hit_rank
+  FROM joined
+)
+SELECT b.value, b.doc_count, CAST(h.hit_rank AS INT) AS hit_rank,
+       h.doc_id, CAST(floor(h.score * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM buckets b JOIN hits h USING (value) WHERE h.hit_rank <= 2
 """
 
     or_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))

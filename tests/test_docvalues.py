@@ -1,0 +1,171 @@
+"""Doc-value query ops: ES sort / function_score / collapse / top_hits.
+
+Each op is checked against a brute-force composition of the already
+oracle-pinned full match set (``bm25_index_batch`` with k = corpus
+size) and the corpus's own doc values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfts.analysis import tokenize
+from sparkfts.index import build_index
+from sparkfts.query import bm25_index_batch
+from sparkfts.synth import gen_corpus
+from sparkfts.tokens import sha1_doc_id
+
+
+@pytest.fixture(scope="module")
+def dvcorpus():
+    return gen_corpus(300, seed=77)
+
+
+@pytest.fixture(scope="module")
+def dvidx(spark, dvcorpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docvals") / "idx")
+    pages = spark.createDataFrame(dvcorpus.to_pandas()).withColumn(
+        "nch", F.length("text").cast("long")
+    )
+    build_index(
+        pages, d, n_shards=4, n_tbuckets=8, docvalue_cols=["lang", "nch"]
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def dvals(dvcorpus):
+    """doc_id -> (lang, nch)."""
+    pdf = dvcorpus.to_pandas()
+    ids = sha1_doc_id(pdf["url"])
+    return {
+        int(i): (lang, len(t))
+        for i, lang, t in zip(ids, pdf["lang"], pdf["text"])
+    }
+
+
+def _query(dvcorpus, nterms=2):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in dvcorpus.column("text").to_pylist():
+        c.update(set(tokenize(t)))
+    return " ".join(t for t, _ in c.most_common(nterms))
+
+
+def _full(spark, dvidx, q, mode):
+    rows = bm25_index_batch(spark, dvidx, [(0, q, 10_000)], mode=mode).collect()
+    return {r["doc_id"]: r["score"] for r in rows}
+
+
+def test_sort_by_field(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import sort_by_field_batch
+
+    q = _query(dvcorpus)
+    matched = _full(spark, dvidx, q, "and")
+    assert len(matched) > 20, "fixture too sparse"
+    for ascending in (True, False):
+        got = sort_by_field_batch(
+            spark, dvidx, [(0, q, 15)], "nch", ascending=ascending
+        ).collect()
+        exp = sorted(
+            ((dvals[d][1], d) for d in matched),
+            key=lambda t: (t[0] if ascending else -t[0], t[1]),
+        )[:15]
+        assert [(r["sort_value"], r["doc_id"]) for r in got] == exp
+        assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+
+
+def test_sort_batch_multiquery(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import sort_by_field_batch
+
+    qs = [(7, _query(dvcorpus, 1), 5), (9, _query(dvcorpus, 3), 5)]
+    got = sort_by_field_batch(spark, dvidx, qs, "nch", ascending=True).collect()
+    for qid, q, k in qs:
+        matched = _full(spark, dvidx, q, "and")
+        exp = sorted(((dvals[d][1], d) for d in matched))[:k]
+        rows = [r for r in got if r["query_id"] == qid]
+        assert [(r["sort_value"], r["doc_id"]) for r in rows] == exp
+
+
+def test_function_score(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import function_score_batch
+
+    q = _query(dvcorpus)
+    matched = _full(spark, dvidx, q, "or")
+    got = function_score_batch(
+        spark, dvidx, [(0, q, 20)], "nch", modifier="log1p", mode="or"
+    ).collect()
+    exp = sorted(
+        (
+            (s * math.log1p(dvals[d][1]), d)
+            for d, s in matched.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert [r["doc_id"] for r in got] == [d for _s, d in exp]
+    for r, (s, _d) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_collapse(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import collapse_batch
+
+    q = _query(dvcorpus)
+    matched = _full(spark, dvidx, q, "or")
+    best: dict[str, tuple[float, int]] = {}
+    for d, s in matched.items():
+        lang = dvals[d][0]
+        cur = best.get(lang)
+        if cur is None or (-s, d) < (-cur[0], cur[1]):
+            best[lang] = (s, d)
+    exp = sorted(
+        ((s, d, v) for v, (s, d) in best.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = collapse_batch(spark, dvidx, [(0, q, 10)], "lang", mode="or").collect()
+    assert [(r["doc_id"], r["collapse_value"]) for r in got] == [
+        (d, v) for _s, d, v in exp
+    ]
+    for r, (s, _d, _v) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    # one hit per collapse value
+    vals = [r["collapse_value"] for r in got]
+    assert len(vals) == len(set(vals))
+
+
+def test_terms_top_hits(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import terms_top_hits
+
+    q = _query(dvcorpus)
+    matched = _full(spark, dvidx, q, "or")
+    per_bucket: dict[str, list[tuple[float, int]]] = {}
+    for d, s in matched.items():
+        per_bucket.setdefault(dvals[d][0], []).append((s, d))
+    buckets = sorted(
+        ((len(v), k) for k, v in per_bucket.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    got = terms_top_hits(
+        spark, dvidx, q, "lang", size=3, hits=2, mode="or"
+    ).collect()
+    exp_rows = []
+    for cnt, val in buckets:
+        top = sorted(per_bucket[val], key=lambda t: (-t[0], t[1]))[:2]
+        for i, (s, d) in enumerate(top, 1):
+            exp_rows.append((val, cnt, i, d, s))
+    assert [
+        (r["value"], r["doc_count"], r["hit_rank"], r["doc_id"]) for r in got
+    ] == [(v, c, i, d) for v, c, i, d, _s in exp_rows]
+    for r, (_v, _c, _i, _d, s) in zip(got, exp_rows):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_sort_empty_query(spark, dvidx):
+    from sparkfts.docvalues import sort_by_field_batch
+
+    got = sort_by_field_batch(spark, dvidx, [(0, "", 5)], "nch").collect()
+    assert got == []
