@@ -24,6 +24,10 @@ BM25_QUERY_AND = "spark join"          # both terms common in `documents`
 BM25_QUERY_OR = "spark join vector"
 BM25_QUERY_FUZZY = "spafk joun"        # typo'd "spark join" — exercises
                                        # fuzziness:AUTO expansion (dist 1)
+BM25_QUERY_TRANSPOSED = "sprak jion"   # adjacent-swap typos of "spark
+                                       # join": Damerau distance 1 but
+                                       # plain Levenshtein 2 — reachable
+                                       # ONLY with fuzzy_transpositions
 PHRASE_QUERY = "table hash"            # adjacent-bigram phrase, df(phrase)=46
                                        # at sf0.01 — exercises positions
 HASH_P = 2_147_483_647
@@ -430,6 +434,22 @@ def q_fts_fuzzy_index_topk(spark, sf_dir):
 
     idx = _index_dir_for(spark, sf_dir)
     res = bm25_index_fuzzy_batch(spark, idx, [(0, BM25_QUERY_FUZZY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_fuzzy_transpositions(spark, sf_dir):
+    """ES default fuzzy semantics (``fuzzy_transpositions: true``):
+    Damerau-Levenshtein expansion, a transposition = ONE edit. The query
+    terms are adjacent-swap typos at Damerau distance 1 / plain distance
+    2, so plain-Levenshtein AUTO matches nothing and this entry isolates
+    the transposition path. Distance pinned to the UNRESTRICTED Damerau
+    variant = DuckDB's ``damerau_levenshtein`` (oracle-identical)."""
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_fuzzy_batch(
+        spark, idx, [(0, BM25_QUERY_TRANSPOSED, 10)], transpositions=True
+    )
     return res.select("doc_id", _score_e4_col())
 
 
@@ -1192,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_min_should_match": q_fts_min_should_match,
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
+        "fts_fuzzy_transpositions": q_fts_fuzzy_transpositions,
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "fts_bool_topk": q_fts_bool_topk,
@@ -1582,6 +1603,43 @@ SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
+
+    tterms = tokenize_query(BM25_QUERY_TRANSPOSED)
+    tvals = ", ".join(
+        f"('{t}', {auto_fuzz(t)}, {len(t)})" for t in tterms
+    )
+    sqls["fts_fuzzy_transpositions"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(q_term, maxd, qlen) AS (VALUES {tvals}),
+exp AS (
+  SELECT q.q_term, d.term, d.df,
+         1.0 - damerau_levenshtein(d.term, q.q_term) * 1.0 / q.qlen AS boost
+  FROM dict d JOIN qterms q
+    ON abs(length(d.term) - q.qlen) <= q.maxd
+   AND damerau_levenshtein(d.term, q.q_term) <= q.maxd
+),
+contrib AS (
+  SELECT e.q_term, tf.doc_id,
+         max(e.boost * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+             * 2.2) AS best
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY e.q_term, tf.doc_id
+),
+scored AS (
+  SELECT doc_id, sum(best) AS score, count(*) AS nm FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE nm = {len(tterms)} ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     def _fuzzy_clause_ctes(p: str, terms: list[str]) -> str:
         """CTEs scoring one fuzzy(AUTO) conjunctive clause (shares the

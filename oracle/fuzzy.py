@@ -32,7 +32,13 @@ from __future__ import annotations
 from oracle.bm25 import BM25Oracle
 from sparkfts.analysis import auto_fuzz, tokenize_query
 
-__all__ = ["auto_fuzz", "levenshtein", "expand", "fuzzy_search"]
+__all__ = [
+    "auto_fuzz",
+    "levenshtein",
+    "damerau_levenshtein",
+    "expand",
+    "fuzzy_search",
+]
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -58,28 +64,89 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def expand(term: str, dictionary: list[str]) -> list[tuple[str, int]]:
-    """All dictionary terms within AUTO distance of ``term`` -> (t', dist)."""
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (adds transpositions).
+
+    ES/Lucene fuzzy queries count a transposition as ONE edit by default
+    (``transpositions: true``); plain Levenshtein charges two, which is
+    why "teh" does not reach "the" at AUTO distance 1 without this. The
+    pinned variant is the UNRESTRICTED distance — identical to DuckDB's
+    ``damerau_levenshtein`` so the oracle contract stays SQL-expressible.
+    (Lucene's automaton computes the restricted/OSA variant; the two
+    differ only on contrived strings like "ca" -> "abc" where an edit
+    lands between a transposed pair — never within AUTO:3,6 distances
+    of real tokens, and our spec is pinned here, not delegated.)
+    """
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    # full DP with last-occurrence bookkeeping (Lowrance-Wagner)
+    last_row: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            i_ = last_row.get(b[j - 1], 0)
+            j_ = last_col
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[i_][j_] + (i - i_ - 1) + 1 + (j - j_ - 1),  # transpose
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def expand(
+    term: str, dictionary: list[str], transpositions: bool = False
+) -> list[tuple[str, int]]:
+    """All dictionary terms within AUTO distance of ``term`` -> (t', dist).
+
+    ``transpositions``: ES ``fuzzy_transpositions`` — distance is
+    Damerau-Levenshtein instead of plain Levenshtein. The pinned default
+    stays False (the original oracle contract); ES's own default is true.
+    """
     d = auto_fuzz(term)
+    dist_fn = damerau_levenshtein if transpositions else levenshtein
     out = []
     for t in dictionary:
         if abs(len(t) - len(term)) > d:
             continue
-        dist = levenshtein(term, t)
+        dist = dist_fn(term, t)
         if dist <= d:
             out.append((t, dist))
     return sorted(out)
 
 
 def fuzzy_search(
-    oracle: BM25Oracle, query: str, k: int = 10, mode: str = "and"
+    oracle: BM25Oracle,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    transpositions: bool = False,
 ) -> list[tuple[int, float]]:
     """Top-k ``(doc_id, score)`` under the pinned fuzzy semantics above."""
     terms = tokenize_query(query)
     if not terms:
         return []
     dictionary = list(oracle.postings.keys())
-    expansions = {t: expand(t, dictionary) for t in terms}
+    expansions = {t: expand(t, dictionary, transpositions) for t in terms}
 
     # candidate docs per query term = union of its expansions' postings
     per_term_docs: dict[str, set[int]] = {}

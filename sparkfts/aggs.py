@@ -242,9 +242,9 @@ def terms_facet_approx(
         F.collect_set("shard").alias("shards_reporting"),
     )
     if floors:
-        floor_map = F.create_map(
-            *[x for s, c in floors.items() for x in (F.lit(s), F.lit(c))]
-        )
+        from sparkfts.index import lit_map
+
+        floor_map = lit_map(floors.items())
         err = F.aggregate(
             F.filter(
                 F.array([F.lit(s) for s in sorted(floors)]),

@@ -557,11 +557,6 @@ def bool_local(
     )
     scorer.filter_rids.update(filter_map)
     result_schema = "request_id int, doc_id long, score double"
-    # kernel stage = one task per shard (the kernel's parallelism unit)
-    n_shards_part = (
-        read_meta(f0_dir)["n_shards"] if multifield else meta["n_shards"]
-    )
-    postings = postings.repartition(n_shards_part, "shard")
     if filter_map:
         docmap = load_docmap(
             spark, field_dir(index_dir, mf["fields"][0]) if multifield
@@ -576,7 +571,7 @@ def bool_local(
         allowed = allowed_parts[0]
         for p in allowed_parts[1:]:
             allowed = allowed.unionByName(p)
-        allowed = allowed.repartition(n_shards_part, "shard")
+        allowed = allowed.coalesce(_session_cores(spark))
         local = (
             postings.groupby("shard")
             .cogroup(allowed.groupby("shard"))
@@ -609,13 +604,9 @@ def bool_topk_batch(
     )
     if local is None:
         return spark.createDataFrame([], schema)
-    k_map = F.create_map(
-        *[
-            x
-            for rid, req in enumerate(requests)
-            for x in (F.lit(rid), F.lit(int(req.k)))
-        ]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((rid, int(req.k)) for rid, req in enumerate(requests))
     local = local.repartition(_session_cores(spark), "request_id")
     w = Window.partitionBy("request_id").orderBy(
         F.desc("score"), F.asc("doc_id")

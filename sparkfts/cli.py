@@ -159,6 +159,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             # fuzzy paths thread it through (below); phrase / plain
             # multifield have no expansion set to cap
             unsupported.append("--max-expansions")
+        if args.transpositions and not args.fuzzy:
+            unsupported.append("--transpositions")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -174,6 +176,8 @@ def cmd_query(args: argparse.Namespace) -> None:
         raise SystemExit(
             "--max-expansions requires --fuzzy/--prefix/--wildcard"
         )
+    elif args.transpositions:
+        raise SystemExit("--transpositions requires --fuzzy")
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
@@ -232,6 +236,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 mode=args.mode,
                 max_expansions=args.max_expansions,
                 offset=args.offset,
+                transpositions=args.transpositions,
             )
         else:
             res = bm25_multifield_batch(
@@ -265,6 +270,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             max_expansions=args.max_expansions,
             offset=args.offset,
             filter_expr=args.filter,
+            transpositions=args.transpositions,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -514,6 +520,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="cap prefix expansions (sorted term order)")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
+    q.add_argument("--transpositions", action="store_true",
+                   help="ES fuzzy_transpositions: Damerau distance "
+                        "(a transposition = one edit); requires --fuzzy")
     q.add_argument("--fields", default=None,
                    help="ES-style multi_match field specs over a "
                         "multi-field index, e.g. 'title^2,text'")

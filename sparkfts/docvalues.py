@@ -251,15 +251,10 @@ def _cogrouped_run(
         load_postings(spark, index_dir)
         .where(in_list("tbucket", buckets) & in_list("term", all_terms))
         .coalesce(_session_cores(spark))
-        .repartition(meta["n_shards"], "shard")
     )
-    df_rows = (
-        load_terms(spark, index_dir)
-        .where(in_list("tbucket", buckets) & in_list("term", all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    from sparkfts.index import df_map_for
+
+    df_map = df_map_for(spark, index_dir, all_terms)
     tomb = load_tombstones(spark, index_dir)
     kernel = _make_value_kernel(
         analyzed,
@@ -274,7 +269,7 @@ def _cogrouped_run(
     vals = (
         load_docmap(spark, index_dir)
         .select("shard", "doc_id", F.col(field).alias("value"))
-        .repartition(meta["n_shards"], "shard")
+        .coalesce(_session_cores(spark))
     )
 
     def _wrap(lp, rp):
@@ -294,9 +289,9 @@ def _cogrouped_run(
 
 
 def _k_map(analyzed_k: list[tuple[int, int]]) -> F.Column:
-    return F.create_map(
-        *[x for qid, k in analyzed_k for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    return lit_map(analyzed_k)
 
 
 def sort_by_field_batch(

@@ -44,14 +44,24 @@ def _empty(spark: SparkSession) -> DataFrame:
 
 
 def expand_query_terms(
-    term_df: DataFrame, queries_analyzed: list[tuple[int, list[str], int]]
+    term_df: DataFrame,
+    queries_analyzed: list[tuple[int, list[str], int]],
+    transpositions: bool = False,
 ) -> DataFrame:
     """Levenshtein-expand query terms against the term dictionary.
 
     term_df : DataFrame(term, df) — the corpus term dictionary with exact
     document frequencies (never collected to the driver).
     Returns DataFrame(query_id, q_term, term, boost, df).
+
+    ``transpositions``: ES ``fuzzy_transpositions`` — distance becomes
+    unrestricted Damerau-Levenshtein. The JVM join keeps a sound
+    ``lev <= 2*maxd`` pre-filter; the exact Damerau distance refines the
+    (tiny) survivor set via an Arrow-batched pandas UDF, so the
+    dictionary itself is still never collected (:mod:`sparkfts.editdist`).
     """
+    from sparkfts.editdist import damerau_udf, fuzzy_join_cond
+
     spark = term_df.sparkSession
     rows = [
         (qid, t, auto_fuzz(t), len(t))
@@ -61,16 +71,23 @@ def expand_query_terms(
     qdf = spark.createDataFrame(
         rows, "query_id int, q_term string, maxd int, qlen int"
     )
-    dist = F.levenshtein(F.col("term"), F.col("q_term"))
-    return (
-        term_df.join(
-            F.broadcast(qdf),
-            (F.abs(F.length("term") - F.col("qlen")) <= F.col("maxd"))
-            & (F.levenshtein(F.col("term"), F.col("q_term")) <= F.col("maxd")),
+    joined = term_df.join(
+        F.broadcast(qdf), fuzzy_join_cond(transpositions=transpositions)
+    )
+    if transpositions:
+        dist = damerau_udf(F.col("term"), F.col("q_term")).cast("int")
+        joined = joined.withColumn("dist", dist).where(
+            F.col("dist") <= F.col("maxd")
         )
-        .withColumn(
+    else:
+        joined = joined.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("q_term"))
+        )
+    return (
+        joined.withColumn(
             "boost",
-            F.lit(1.0) - dist.cast("double") / F.col("qlen").cast("double"),
+            F.lit(1.0)
+            - F.col("dist").cast("double") / F.col("qlen").cast("double"),
         )
         .select("query_id", "q_term", "term", "boost", "df")
     )
@@ -82,6 +99,7 @@ def bm25_fuzzy_scan_batch(
     n_docs: int,
     avgdl: float,
     mode: str = "and",
+    transpositions: bool = False,
 ) -> DataFrame:
     """Fuzzy BM25 top-k for a batch of queries in one Spark plan.
 
@@ -95,7 +113,7 @@ def bm25_fuzzy_scan_batch(
         return _empty(spark)
 
     term_df = tokens.groupBy("term").agg(F.count("*").alias("df"))
-    expansions = expand_query_terms(term_df, analyzed)
+    expansions = expand_query_terms(term_df, analyzed, transpositions)
 
     meta = spark.createDataFrame(
         [(qid, len(terms), k) for qid, terms, k in analyzed],
@@ -165,8 +183,9 @@ def bm25_fuzzy_scan(
     n_docs: int,
     avgdl: float,
     mode: str = "and",
+    transpositions: bool = False,
 ) -> DataFrame:
     """Single-query wrapper -> DataFrame(rank, doc_id, score)."""
     return bm25_fuzzy_scan_batch(
-        tokens, [(0, query, k)], n_docs, avgdl, mode
+        tokens, [(0, query, k)], n_docs, avgdl, mode, transpositions
     ).select("rank", "doc_id", "score")

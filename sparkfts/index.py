@@ -455,6 +455,38 @@ def in_list(col: str, values) -> F.Column:
     return F.expr(f"{col} IN ({body})")
 
 
+def _sql_lit(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        # repr() is the shortest round-trip form; string->double cast
+        # parses to the nearest (= identical) double. A bare decimal
+        # literal would land as DECIMAL in Spark SQL, so cast explicitly.
+        return f"CAST('{v!r}' AS DOUBLE)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def lit_map(pairs) -> F.Column:
+    """Literal ``map(k1, v1, k2, v2, ...)`` as ONE SQL expression.
+
+    ``F.create_map(*[F.lit(k), F.lit(v), ...])`` costs one py4j
+    round-trip per literal — ~1.0 s of pure driver time for a 400-query
+    batch's k_map, the single largest cluster-size-invariant cost in the
+    batch floor (measured; BENCH/BASELINE.md round 4). One ``F.expr``
+    string is one round-trip and yields the identical Catalyst literal
+    map.
+    """
+    items = []
+    for k, v in pairs:
+        items.append(_sql_lit(k))
+        items.append(_sql_lit(v))
+    if not items:
+        return F.expr("map()")
+    return F.expr("map(" + ", ".join(items) + ")")
+
+
 # (applicationId, index_dir, sub, generation) -> lazy DataFrame.
 # A loaded table is a pure function of the on-disk index GENERATION
 # (root meta mtime + the committed segment-dir list): build/merge/append
@@ -473,6 +505,61 @@ def _index_generation(index_dir: str) -> tuple:
     mp = os.path.join(index_dir, META_FILE)
     m = os.stat(mp).st_mtime_ns if os.path.exists(mp) else 0
     return (tuple(dirs), m)
+
+
+# generation-keyed driver-side df dictionary (ES keeps the terms
+# dictionary in memory per segment reader; same idea). False = "too big
+# for the driver, use the per-batch pruned collect".
+_DFMAP_CACHE: dict = {}
+DF_LOCAL_THRESHOLD = 500_000
+
+
+def df_map_for(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> dict[str, int]:
+    """Global df for ``terms`` with a generation-cached dictionary.
+
+    First call per index generation counts the dictionary; if it fits
+    (<= DF_LOCAL_THRESHOLD rows, ~40 MB) the WHOLE terms table is pulled
+    once via Arrow and every later batch's df lookup is a driver dict
+    hit — removing the per-batch df-collect job entirely (it was the
+    largest remaining cluster-size-invariant cost in the warm batch
+    floor). Web-scale dictionaries exceed the threshold and fall back to
+    the per-batch pruned-scan collect, which stays bounded by the query
+    term count. Deletes never change df (ES semantics: idf moves only at
+    merge), so generation keying is exact.
+    """
+    from sparkfts.session import session_cores
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(index_dir),
+        "dfmap",
+        _index_generation(index_dir),
+    )
+    ent = _DFMAP_CACHE.get(key)
+    if ent is None:
+        t = load_terms(spark, index_dir)
+        if t.count() <= DF_LOCAL_THRESHOLD:
+            pdf = t.select("term", "df").toPandas()
+            ent = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        else:
+            ent = False
+        if len(_DFMAP_CACHE) >= 8:
+            _DFMAP_CACHE.pop(next(iter(_DFMAP_CACHE)))
+        _DFMAP_CACHE[key] = ent
+    if ent is not False:
+        return {t: int(ent.get(t, 0)) for t in terms}
+    meta = read_meta(index_dir)
+    buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in terms})
+    rows = (
+        load_terms(spark, index_dir)
+        .where(in_list("tbucket", buckets) & in_list("term", terms))
+        .select("term", "df")
+        .coalesce(session_cores(spark))
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
 
 
 def _load_union(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:

@@ -132,9 +132,9 @@ def _combine_best_fields(
     best = combined.groupBy("query_id", "doc_id").agg(
         F.max("score").alias("score")
     )
-    k_map = F.create_map(
-        *[x for qid, k in analyzed_k for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map(analyzed_k)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -214,13 +214,9 @@ def bm25_multifield_batch(
             for _qid, text, k in queries
         ]
         qid_map = {rid: qid for rid, (qid, _t, _k) in enumerate(queries)}
-        qid_col = F.create_map(
-            *[
-                x
-                for rid, qid in qid_map.items()
-                for x in (F.lit(rid), F.lit(qid))
-            ]
-        )
+        from sparkfts.index import lit_map
+
+        qid_col = lit_map(qid_map.items())
         return (
             bool_topk_batch(spark, index_dir, reqs, multifield=True)
             .select(
@@ -268,6 +264,7 @@ def bm25_multifield_fuzzy_batch(
     mode: str = "and",
     max_expansions: int | None = None,
     offset: int = 0,
+    transpositions: bool = False,
 ) -> DataFrame:
     """Fuzzy (AUTO) best-fields over a multi-field index — the
     reference's full query shape in one call (``multi_match`` over a
@@ -301,6 +298,7 @@ def bm25_multifield_fuzzy_batch(
                 widened,
                 mode=mode,
                 max_expansions=max_expansions,
+                transpositions=transpositions,
             ),
             boost,
         )
@@ -704,9 +702,9 @@ def bm25f_batch(
     local = rows.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
     )
-    k_map = F.create_map(
-        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in analyzed)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

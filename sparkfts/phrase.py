@@ -418,13 +418,9 @@ def match_phrase_batch(
 
     all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
-    df_rows = (
-        load_terms(spark, index_dir)
-        .where(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    from sparkfts.index import df_map_for
+
+    df_map = df_map_for(spark, index_dir, all_terms)
     # phrase-order idf fold (deterministic float64, matches oracle.phrase)
     idf_sums = {}
     for qid, terms, _ in analyzed:
@@ -479,9 +475,9 @@ def match_phrase_batch(
         local = pos.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
         )
-    k_map = F.create_map(
-        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in analyzed)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
@@ -613,9 +609,9 @@ def match_phrase_prefix_batch(
     local = pos.groupby("shard").applyInPandas(
         lambda pdf: scorer(pdf), "query_id int, doc_id long, score double"
     )
-    k_map = F.create_map(
-        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in analyzed)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

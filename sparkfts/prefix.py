@@ -148,9 +148,9 @@ def _expanded_topk_batch(
         local = postings.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
         )
-    k_map = F.create_map(
-        *[x for qid, _, k in queries for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -102,9 +102,9 @@ def bm25_scan_batch(
         "query_id int, term string, n_terms int, k int",
     )
 
-    idf_col = F.create_map(
-        *[x for t in all_terms for x in (F.lit(t), F.lit(idf_map[t]))]
-    )
+    from sparkfts.index import lit_map
+
+    idf_col = lit_map((t, idf_map[t]) for t in all_terms)
 
     k1, b = BM25_K1, BM25_B
     norm = F.lit(k1) * (
@@ -520,17 +520,14 @@ def bm25_index_batch(
     postings = load_postings(spark, index_dir).where(
         in_list("tbucket", buckets) & in_list("term", all_terms)
     ).coalesce(_session_cores(spark))
-    # global df for the query terms: ONE few-row collect off the pruned
-    # terms scan, shipped to the kernels in the closure. This replaced
-    # two earlier strategies (broadcast-join fold for wide batches,
-    # create_map literal column for narrow ones — BENCH/BASELINE.md
-    # r2-r4 history): the collect is a single tiny job while the
-    # broadcast cost an extra build job and the create_map cost one
-    # py4j round-trip per literal, both pure per-batch fixed floor.
-    df_rows = load_terms(spark, index_dir).where(
-        in_list("tbucket", buckets) & in_list("term", all_terms)
-    ).select("term", "df").collect()
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    # global df for the query terms, shipped in the kernel closure.
+    # df_map_for caches the whole dictionary on the driver per index
+    # generation when it fits (ES's in-memory terms dictionary), so a
+    # warm batch pays ZERO extra jobs for stats; oversized dictionaries
+    # fall back to one pruned-scan collect per batch.
+    from sparkfts.index import df_map_for
+
+    df_map = df_map_for(spark, index_dir, all_terms)
     joined = postings
 
     scorer = _make_shard_scorer(
@@ -548,12 +545,12 @@ def bm25_index_batch(
         df_map=df_map,
     )
     result_schema = "query_id int, doc_id long, score double"
-    # the kernel's parallelism unit IS the shard: repartition to exactly
-    # n_shards so the grouped-map stage runs n_shards balanced tasks
-    # instead of spark.sql.shuffle.partitions mostly-empty ones (48
-    # empty task launches per batch at the bench's 64/16 — pure
-    # driver-bound scheduling floor, identical at every cluster size)
-    joined = joined.repartition(meta["n_shards"], "shard")
+    # NOTE: no explicit repartition(n_shards, "shard") here — Catalyst's
+    # CollapseRepartition folds a child coalesce() into a following
+    # repartition, resurrecting one-task-per-file-split shuffle maps
+    # (145 at bench scale). The coalesced scan feeds groupBy's own
+    # exchange (map side = core count) and AQE right-sizes the reduce
+    # side; measured equal warm, faster cold and on small-core runs.
     if filter_expr is not None:
         # bool.filter: JVM-evaluated predicate over the docmap (filters
         # push down to the parquet scan; only `shard`+`doc_id` survive
@@ -563,7 +560,7 @@ def bm25_index_batch(
             load_docmap(spark, index_dir)
             .where(F.expr(filter_expr))
             .select("shard", "doc_id")
-            .repartition(meta["n_shards"], "shard")
+            .coalesce(_session_cores(spark))
         )
         local = (
             joined.groupby("shard")
@@ -575,9 +572,9 @@ def bm25_index_batch(
             lambda pdf: scorer(pdf), result_schema
         )
 
-    k_map = F.create_map(
-        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in analyzed)
     # pre-partition the <= n_shards*k-per-query candidate frame by the
     # window key at CORE-count granularity: the window reuses this
     # partitioning (no second exchange) instead of fanning the tiny
@@ -806,6 +803,7 @@ def fuzzy_expand_index(
     n_docs: int,
     n_tbuckets: int,
     max_expansions: int | None = None,
+    transpositions: bool = False,
 ) -> dict[tuple[int, str], list[tuple[str, float]]]:
     """Expand query terms against the index term dictionary (distributed).
 
@@ -817,8 +815,15 @@ def fuzzy_expand_index(
     ``max_expansions``: optional recall/cost cap (closest-first, then
     term order) for web-scale dictionaries; ``None`` = exhaustive (the
     correctness-path default, matching the oracle).
+
+    ``transpositions``: ES ``fuzzy_transpositions`` — distance is
+    unrestricted Damerau-Levenshtein (a transposition = ONE edit). The
+    JVM join keeps a sound ``lev <= 2*maxd`` pre-filter and the exact
+    Damerau distance is refined on the collected survivor set (this path
+    collects the expansion set anyway; see :mod:`sparkfts.editdist`).
     """
     from sparkfts.analysis import auto_fuzz
+    from sparkfts.editdist import fuzzy_join_cond
     from sparkfts.index import load_terms
 
     qrows = [
@@ -840,8 +845,7 @@ def fuzzy_expand_index(
     rows = (
         terms.join(
             F.broadcast(qdf),
-            (F.abs(F.length("term") - F.col("qlen")) <= F.col("maxd"))
-            & (F.levenshtein(F.col("term"), F.col("q_term")) <= F.col("maxd")),
+            fuzzy_join_cond(transpositions=transpositions),
         )
         .select(
             "query_id",
@@ -853,6 +857,24 @@ def fuzzy_expand_index(
         )
         .collect()
     )
+    if transpositions:
+        from oracle.fuzzy import damerau_levenshtein
+
+        refined = []
+        for r in rows:
+            dam = damerau_levenshtein(r["q_term"], r["term"])
+            if dam <= auto_fuzz(r["q_term"]):
+                refined.append(
+                    {
+                        "query_id": r["query_id"],
+                        "q_term": r["q_term"],
+                        "term": r["term"],
+                        "dist": dam,
+                        "df": r["df"],
+                        "qlen": r["qlen"],
+                    }
+                )
+        rows = refined
     out: dict[tuple[int, str], list[tuple[str, float, int]]] = {}
     for r in rows:
         boost = 1.0 - r["dist"] / r["qlen"]
@@ -877,6 +899,7 @@ def bm25_index_fuzzy_batch(
     max_expansions: int | None = None,
     offset: int = 0,
     filter_expr: str | None = None,
+    transpositions: bool = False,
 ) -> DataFrame:
     """Fuzzy (AUTO) BM25 top-k from a built index, one Spark action to score.
 
@@ -902,7 +925,7 @@ def bm25_index_fuzzy_batch(
 
     expansions = fuzzy_expand_index(
         spark, index_dir, analyzed, meta["n_docs"], meta["n_tbuckets"],
-        max_expansions,
+        max_expansions, transpositions=transpositions,
     )
     queries_grouped = []
     for qid, terms, k in analyzed:
@@ -933,15 +956,12 @@ def bm25_index_fuzzy_batch(
         filtered=filter_expr is not None,
     )
     result_schema = "query_id int, doc_id long, score double"
-    # kernel stage = exactly n_shards tasks; window reuses a core-count
-    # partitioning; single-partition final sort (see bm25_index_batch)
-    postings = postings.repartition(meta["n_shards"], "shard")
     if filter_expr is not None:
         allowed = (
             load_docmap(spark, index_dir)
             .where(F.expr(filter_expr))
             .select("shard", "doc_id")
-            .repartition(meta["n_shards"], "shard")
+            .coalesce(_session_cores(spark))
         )
         local = (
             postings.groupby("shard")
@@ -953,9 +973,9 @@ def bm25_index_fuzzy_batch(
             lambda pdf: scorer(pdf), result_schema
         )
     local = local.repartition(_session_cores(spark), "query_id")
-    k_map = F.create_map(
-        *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-    )
+    from sparkfts.index import lit_map
+
+    k_map = lit_map((qid, k) for qid, _, k in analyzed)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -90,7 +90,9 @@ class Searcher:
         self.dict_threshold = 1_000_000
         self._dict_cache: list[tuple[str, int]] | None = None
         self._dict_by_len: dict = {}
-        self._exp_cache: dict[str, list[tuple[str, float]]] = {}
+        self._exp_cache: dict[
+            tuple[str, bool], list[tuple[str, float]]
+        ] = {}
         # serving-side recall/cost cap on fuzzy expansion (ES default 50):
         # a pathological dictionary (thousands of terms within edit
         # distance) stays bounded. None = exhaustive — that is what the
@@ -331,9 +333,9 @@ class Searcher:
             local = joined.groupby("shard").applyInPandas(
                 lambda pdf: scorer(pdf), result_schema
             )
-        k_map = F.create_map(
-            *[x for qid, _, k in analyzed for x in (F.lit(qid), F.lit(k))]
-        )
+        from sparkfts.index import lit_map
+
+        k_map = lit_map((qid, k) for qid, _, k in analyzed)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -459,6 +461,7 @@ class Searcher:
         queries: list[tuple[int, str, int]],
         mode: str = "and",
         offset: int = 0,
+        transpositions: bool = False,
     ) -> list[tuple[int, int, int, float]]:
         """Fuzzy (AUTO) serving — the reference's actual query shape
         (every reference search requests fuzziness:AUTO).
@@ -467,6 +470,11 @@ class Searcher:
         fits, and the expanded term set reuses the df-gated local/
         distributed scoring split. Results are rank-identical to
         ``bm25_index_fuzzy_batch`` (tested).
+
+        ``transpositions``: ES ``fuzzy_transpositions`` — unrestricted
+        Damerau-Levenshtein expansion (the character-count lower bound
+        used for pre-filtering stays sound: a transposition changes no
+        character multiset, so bound <= damerau holds too).
         """
         import numpy as np
 
@@ -495,20 +503,23 @@ class Searcher:
                 mode=mode,
                 max_expansions=self.fuzzy_max_expansions,
                 offset=offset,
+                transpositions=transpositions,
             ).collect()
             return [
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])
                 for r in out
             ]
 
-        from oracle.fuzzy import levenshtein
+        from oracle.fuzzy import damerau_levenshtein, levenshtein
 
+        dist_fn = damerau_levenshtein if transpositions else levenshtein
         # expansion per distinct q_term (memoized on the searcher — it is
-        # a function of the dictionary only)
+        # a function of the dictionary + distance variant only)
         qvec = np.zeros(36, np.int16)
 
         def expansions_of(q_term: str) -> list[tuple[str, float]]:
-            if q_term not in self._exp_cache:
+            ckey = (q_term, transpositions)
+            if ckey not in self._exp_cache:
                 d = auto_fuzz(q_term)
                 qvec[:] = 0
                 for ch in q_term:
@@ -523,7 +534,7 @@ class Searcher:
                     bound = max(ln, len(q_term)) - common
                     for i in np.nonzero(bound <= d)[0]:
                         t, df = entries[int(i)]
-                        dist = levenshtein(q_term, t)
+                        dist = dist_fn(q_term, t)
                         if dist <= d:
                             boost = 1.0 - dist / len(q_term)
                             out.append(
@@ -533,8 +544,8 @@ class Searcher:
                 out.sort(key=lambda x: (x[0], x[1]))
                 if self.fuzzy_max_expansions is not None:
                     out = out[: self.fuzzy_max_expansions]
-                self._exp_cache[q_term] = sorted((t, w) for _, t, w in out)
-            return self._exp_cache[q_term]
+                self._exp_cache[ckey] = sorted((t, w) for _, t, w in out)
+            return self._exp_cache[ckey]
 
         all_exp_terms = sorted(
             {
@@ -557,6 +568,7 @@ class Searcher:
                 mode=mode,
                 max_expansions=self.fuzzy_max_expansions,
                 offset=offset,
+                transpositions=transpositions,
             ).collect()
             return [
                 (r["query_id"], r["rank"], r["doc_id"], r["score"])
