@@ -504,6 +504,50 @@ def q_fts_bool_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion: "spark merge" with merge->join.
+    Pinned semantics: a term's group = {term} | analyze(synonyms), a
+    group matches when ANY member matches, scored best-member-wins with
+    weight = idf(df(member)) — fuzzy-group machinery with boost 1
+    (sparkfts/query.py bm25_index_synonym_batch). Zero extra jobs for
+    expansion (driver-side map + generation-cached df dictionary)."""
+    from sparkfts.query import bm25_index_synonym_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = bm25_index_synonym_batch(
+        spark, idx, [(0, "spark merge", 10)],
+        synonyms={"merge": ["join"]},
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_dismax_topk(spark, sf_dir):
+    """ES ``dis_max`` query: union of two fuzzy conjunctive clauses,
+    score = best clause + tie_breaker * (sum of other matching clauses).
+    Runs in the same single-pass bool-tree shard kernel
+    (sparkfts/booltree.py) — per-shard top-k, no full match sets on the
+    global window. Pinned float association: best + tb*(total-best),
+    total folded in member order."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Clause, DisMax, SearchRequest
+
+    idx = _index_dir_for(spark, sf_dir)
+    req = SearchRequest(
+        clauses=(
+            DisMax(
+                queries=(
+                    Clause(query=BM25_QUERY_AND),
+                    Clause(query="vector"),
+                ),
+                tie_breaker=0.3,
+            ),
+        ),
+        k=10,
+    )
+    res = bool_topk_batch(spark, idx, [req])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_sort_topk(spark, sf_dir):
     """ES ``sort`` on a doc-value field: AND-matching docs ordered by
     ``n_chars`` desc (ties doc_id asc) instead of _score. Exhaustive
@@ -1216,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "fts_bool_topk": q_fts_bool_topk,
+        "fts_dismax_topk": q_fts_dismax_topk,
+        "fts_synonym_topk": q_fts_synonym_topk,
         "fts_sort_topk": q_fts_sort_topk,
         "fts_function_score": q_fts_function_score,
         "fts_collapse": q_fts_collapse,
@@ -1690,6 +1736,67 @@ final AS (
              WHERE nm = {len(should_terms)}) s USING (doc_id)
   WHERE m.nm = {len(must_terms)}
     AND m.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'stream')
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM final ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_synonym_topk"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+syn(q_term, term) AS (VALUES
+  ('spark', 'spark'), ('merge', 'join'), ('merge', 'merge')),
+exp AS (SELECT s.q_term, d.term, d.df FROM dict d JOIN syn s USING (term)),
+contrib AS (
+  SELECT e.q_term, tf.doc_id,
+         max(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+             * 2.2) AS best
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY e.q_term, tf.doc_id
+),
+scored AS (
+  SELECT doc_id, sum(best) AS score, count(*) AS nm FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored WHERE nm = 2 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    dm_a = tokenize_query(BM25_QUERY_AND)
+    dm_b = tokenize_query("vector")
+    sqls["fts_dismax_topk"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{_fuzzy_clause_ctes("a", dm_a)},
+{_fuzzy_clause_ctes("b", dm_b)},
+dm AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.score AS sa, b.score AS sb
+  FROM (SELECT doc_id, score FROM ascored WHERE nm = {len(dm_a)}) a
+  FULL JOIN (SELECT doc_id, score FROM bscored WHERE nm = {len(dm_b)}) b
+    USING (doc_id)
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN sa IS NULL THEN sb
+              WHEN sb IS NULL THEN sa
+              ELSE greatest(sa, sb)
+                   + 0.3 * ((sa + sb) - greatest(sa, sb))
+         END AS score
+  FROM dm
 )
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM final ORDER BY score DESC, doc_id LIMIT 10

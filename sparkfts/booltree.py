@@ -99,6 +99,14 @@ def _to_node(obj, stopwords=None, multifield: bool = False):
             tuple(_to_node(c, stopwords, multifield) for c in obj.should),
             tuple(_to_node(c, stopwords, multifield) for c in obj.must_not),
         )
+    from sparkfts.querybuilder import DisMax
+
+    if isinstance(obj, DisMax):
+        return (
+            "dismax",
+            tuple(_to_node(c, stopwords, multifield) for c in obj.queries),
+            float(obj.tie_breaker),
+        )
     raise TypeError(f"unsupported bool-tree member: {type(obj)!r}")
 
 
@@ -112,6 +120,9 @@ def _walk_keys(node, keys: set, mn_terms: set) -> None:
             keys.update((None, k) for k in node[2])
     elif node[0] == "terms_any":
         mn_terms.update(node[1])
+    elif node[0] == "dismax":
+        for child in node[1]:
+            _walk_keys(child, keys, mn_terms)
     else:
         for part in node[1:]:
             for child in part:
@@ -246,6 +257,30 @@ def _make_bool_scorer(
                         return _empty
                     ids = np.unique(np.concatenate(parts))
                     return ids, np.zeros(ids.size, np.float64)
+                if kind == "dismax":
+                    # ES dis_max: match = union of members; score = best
+                    # member + tie_breaker * (sum of other matching
+                    # members). Pinned fold: total accumulates in MEMBER
+                    # order (float64); combined = best + tb*(total-best)
+                    members = [eval_node(c) for c in node[1]]
+                    members = [m for m in members if m[0].size]
+                    if not members:
+                        return _empty
+                    if len(members) == 1:
+                        return members[0]
+                    ids = np.unique(
+                        np.concatenate([m[0] for m in members])
+                    )
+                    best = np.full(ids.size, -np.inf)
+                    total = np.zeros(ids.size, np.float64)
+                    for mids, mscores in members:  # member order
+                        pos = np.searchsorted(ids, mids)
+                        np.maximum.at(best, pos, mscores)
+                        total[pos] += mscores
+                    tb = float(node[2])
+                    if tb == 0.0:
+                        return ids, best
+                    return ids, best + tb * (total - best)
                 # bool node
                 _, must, should, must_not = node
                 if must:

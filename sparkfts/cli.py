@@ -161,6 +161,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--max-expansions")
         if args.transpositions and not args.fuzzy:
             unsupported.append("--transpositions")
+        if args.synonyms:
+            unsupported.append("--synonyms")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -178,6 +180,8 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
     elif args.transpositions:
         raise SystemExit("--transpositions requires --fuzzy")
+    if args.synonyms and (args.prefix or args.wildcard):
+        raise SystemExit("--synonyms not supported with --prefix/--wildcard")
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
@@ -271,6 +275,38 @@ def cmd_query(args: argparse.Namespace) -> None:
             offset=args.offset,
             filter_expr=args.filter,
             transpositions=args.transpositions,
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+    elif args.synonyms:
+        from sparkfts.index import load_docmap
+        from sparkfts.query import bm25_index_synonym_batch
+
+        if args.search_after or args.min_should_match != 1 or args.must_not:
+            raise SystemExit(
+                "--synonyms supports only --k/--offset/--filter/--mode"
+            )
+        syn_map: dict[str, list[str]] = {}
+        for part in args.synonyms.split(","):
+            term, _, syns = part.partition(":")
+            if not term or not syns:
+                raise SystemExit(
+                    "--synonyms format: 'term:syn1|syn2,term2:syn3'"
+                )
+            syn_map[term.strip()] = [s for s in syns.split("|") if s]
+        res = bm25_index_synonym_batch(
+            spark,
+            args.index,
+            [(0, args.query, args.k)],
+            synonyms=syn_map,
+            mode=args.mode,
+            offset=args.offset,
+            filter_expr=args.filter,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -523,6 +559,10 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--transpositions", action="store_true",
                    help="ES fuzzy_transpositions: Damerau distance "
                         "(a transposition = one edit); requires --fuzzy")
+    q.add_argument("--synonyms", default=None,
+                   help="query-time synonym expansion, "
+                        "'term:syn1|syn2,term2:syn3' (best-member-wins "
+                        "group scoring, idf weights)")
     q.add_argument("--fields", default=None,
                    help="ES-style multi_match field specs over a "
                         "multi-field index, e.g. 'title^2,text'")

@@ -927,6 +927,87 @@ def bm25_index_fuzzy_batch(
         spark, index_dir, analyzed, meta["n_docs"], meta["n_tbuckets"],
         max_expansions, transpositions=transpositions,
     )
+    return _grouped_expansion_topk(
+        spark, index_dir, meta, analyzed, expansions, mode, offset,
+        filter_expr,
+    )
+
+
+def bm25_index_synonym_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    synonyms: dict[str, list[str]],
+    mode: str = "and",
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """Query-time synonym expansion (ES ``synonym_graph``-style, pinned).
+
+    Each analyzed query term expands to ``{term} | synonyms[term]``
+    (synonym values are analyzed with the index's pinned analyzer).
+    Pinned scoring: the expansion group matches a doc when ANY member
+    matches, scored best-member-wins with weight = idf(df(member)) —
+    the same group semantics as fuzzy(AUTO) with boost 1, so the group
+    kernel, per-shard top-k and global-window tail are shared with
+    :func:`bm25_index_fuzzy_batch`. (Lucene's SynonymQuery instead
+    blends a single df across members; the best-member pin keeps the
+    contract SQL-expressible — documented divergence.)
+
+    Plan: ZERO extra jobs for expansion — the synonym map is
+    driver-side; df for the expanded term set comes from the
+    generation-cached dictionary (:func:`sparkfts.index.df_map_for`).
+    """
+    from sparkfts.index import df_map_for, read_meta
+
+    meta = read_meta(index_dir)
+    sw = frozenset(meta.get("stopwords") or []) or None
+    analyzed = [
+        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
+    ]
+    analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
+    if not analyzed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    groups_by_term: dict[str, list[str]] = {}
+    for _qid, terms, _k in analyzed:
+        for t in terms:
+            if t not in groups_by_term:
+                members = {t}
+                for s in synonyms.get(t, ()):  # analyzer applies to syns
+                    members.update(tokenize_query(str(s), sw))
+                groups_by_term[t] = sorted(members)
+    all_members = sorted({m for ms in groups_by_term.values() for m in ms})
+    df_map = df_map_for(spark, index_dir, all_members)
+    expansions: dict[tuple[int, str], list[tuple[str, float]]] = {}
+    for qid, terms, _k in analyzed:
+        for t in terms:
+            expansions[(qid, t)] = [
+                (m, idf_fn(meta["n_docs"], df_map[m]))
+                for m in groups_by_term[t]
+                if df_map.get(m, 0) > 0
+            ]
+    return _grouped_expansion_topk(
+        spark, index_dir, meta, analyzed, expansions, mode, offset,
+        filter_expr,
+    )
+
+
+def _grouped_expansion_topk(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    analyzed: list[tuple[int, list[str], int]],
+    expansions: dict[tuple[int, str], list[tuple[str, float]]],
+    mode: str,
+    offset: int,
+    filter_expr: str | None,
+) -> DataFrame:
+    """Shared tail of the expansion-group query paths (fuzzy, synonym):
+    postings pruned to the expansion set -> per-shard grouped kernel ->
+    global window top-k (<= n_shards*k rows per query)."""
+    from sparkfts.index import load_docmap, load_postings, term_bucket
+
     queries_grouped = []
     for qid, terms, k in analyzed:
         groups = [

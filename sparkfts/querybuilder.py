@@ -73,12 +73,28 @@ class Clause:
 @dataclass(frozen=True)
 class Bool:
     """A nested ES ``bool`` node (full grammar): members of must /
-    should / must_not are :class:`Clause` or :class:`Bool`. Semantics
-    pinned in :mod:`sparkfts.booltree` (single-pass kernel)."""
+    should / must_not are :class:`Clause`, :class:`Bool` or
+    :class:`DisMax`. Semantics pinned in :mod:`sparkfts.booltree`
+    (single-pass kernel)."""
 
     must: tuple = field(default_factory=tuple)
     should: tuple = field(default_factory=tuple)
     must_not: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class DisMax:
+    """ES ``dis_max`` query: matches docs matching ANY member query;
+    score = best member score + ``tie_breaker`` * (sum of the OTHER
+    matching member scores). ``tie_breaker=0`` (the ES default) is pure
+    best-of. Members are :class:`Clause`, :class:`Bool` or nested
+    :class:`DisMax`; evaluated in the same single-pass bool-tree kernel
+    (:mod:`sparkfts.booltree`). Pinned fold: the member-score sum
+    accumulates in member order (float64), and the combined score is
+    computed as ``best + tie_breaker * (total - best)``."""
+
+    queries: tuple = field(default_factory=tuple)
+    tie_breaker: float = 0.0
 
 
 @dataclass(frozen=True)
