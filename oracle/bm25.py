@@ -38,6 +38,7 @@ class BM25Oracle:
         k1: float = BM25_K1,
         b: float = BM25_B,
         stopwords: Iterable[str] | None = None,
+        stemmer: str | None = None,
     ) -> None:
         self.k1 = float(k1)
         self.b = float(b)
@@ -45,6 +46,10 @@ class BM25Oracle:
         # removed tokens do not count toward doclen); the SAME list
         # applies at query analysis in search()
         self.stopwords = frozenset(stopwords) if stopwords else None
+        # index-time stemmer (sparkfts.analysis semantics: applied
+        # after the stop filter; 1:1, doclen unchanged); the SAME
+        # option applies at query analysis in search()
+        self.stemmer = stemmer or None
         self.doclen: dict[int, int] = {}
         # term -> {doc_id: tf}
         self.postings: dict[str, dict[int, int]] = {}
@@ -52,7 +57,7 @@ class BM25Oracle:
             doc_id = int(doc_id)
             if doc_id in self.doclen:
                 raise ValueError(f"duplicate doc_id {doc_id}")
-            terms = tokenize(text, self.stopwords)
+            terms = tokenize(text, self.stopwords, self.stemmer)
             self.doclen[doc_id] = len(terms)
             for term, tf in Counter(terms).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -93,7 +98,7 @@ class BM25Oracle:
         match-all at the *search layer* for empty input — we pin
         empty -> empty result set for the engine, asserted in tests).
         """
-        terms = tokenize_query(query, self.stopwords)
+        terms = tokenize_query(query, self.stopwords, self.stemmer)
         if not terms:
             return []
         if mode == "and":

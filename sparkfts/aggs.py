@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkfts.analysis import tokenize_query
+from sparkfts.analysis import analysis_opts, tokenize_query
 
 
 def _make_match_kernel(
@@ -117,8 +117,8 @@ def match_docs_batch(
     from sparkfts.index import load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
-    analyzed = [(qid, tokenize_query(text, sw)) for qid, text in queries]
+    sw, stem = analysis_opts(meta)
+    analyzed = [(qid, tokenize_query(text, sw, stem)) for qid, text in queries]
     analyzed = [(qid, t) for qid, t in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
         return spark.createDataFrame([], "query_id int, doc_id long")

@@ -86,10 +86,184 @@ def extract_text(html: bytes | str) -> str:
     return " ".join(s.split())
 
 
+# -- Stemming ----------------------------------------------------------------
+#
+# Classic Porter stemmer (M.F. Porter, "An algorithm for suffix
+# stripping", Program 14(3), 1980) — the ES ``stemmer: porter`` token
+# filter. Implemented from the published rule tables (no third-party
+# stemmer exists in this environment, and DuckDB's ``stem()`` lives in
+# the unloadable fts extension), so THIS implementation is the pinned
+# spec shared by engine and oracle — parity by construction, like the
+# rest of the analyzer contract. Words of length <= 2 pass through
+# unchanged (the canonical implementation's guard).
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        # y preceded by a consonant is a vowel; at the start or after a
+        # vowel it is a consonant
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V]: the number of vowel->consonant transitions."""
+    n, i, ln = 0, 0, len(stem)
+    while i < ln and _is_cons(stem, i):
+        i += 1
+    while True:
+        while i < ln and not _is_cons(stem, i):
+            i += 1
+        if i >= ln:
+            return n
+        n += 1
+        while i < ln and _is_cons(stem, i):
+            i += 1
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and _is_cons(w, len(w) - 1)
+    )
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: stem ends consonant-vowel-consonant, final cons not w/x/y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+# (suffix, replacement) tables; within a step the LONGEST matching
+# suffix wins and ONLY its rule is considered (Porter's matching pin).
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+    ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+    ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def _longest_rule(w: str, table) -> tuple[str, str] | None:
+    best = None
+    for suf, rep in table:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, rep)
+    return best
+
+
+def porter_stem(word: str) -> str:
+    """Porter-stem one lowercase token (pure; the pinned ``porter``
+    stemmer option of :func:`tokenize`)."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            stem = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            stem = w[:-3]
+        if stem is not None:
+            w = stem
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w = w + "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    rule = _longest_rule(w, _STEP2)
+    if rule is not None:
+        suf, rep = rule
+        if _measure(w[: -len(suf)]) > 0:
+            w = w[: -len(suf)] + rep
+    # step 3
+    rule = _longest_rule(w, _STEP3)
+    if rule is not None:
+        suf, rep = rule
+        if _measure(w[: -len(suf)]) > 0:
+            w = w[: -len(suf)] + rep
+    # step 4
+    best = None
+    for suf in _STEP4:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        stem = w[: -len(best)]
+        if _measure(stem) > 1 and (
+            best != "ion" or (stem and stem[-1] in "st")
+        ):
+            w = stem
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+_STEMMERS = {"porter": porter_stem}
+
+
+def stem_fn(stemmer: str | None):
+    """Resolve a pinned stemmer option (``None`` -> identity/None)."""
+    if not stemmer:
+        return None
+    try:
+        return _STEMMERS[stemmer]
+    except KeyError:
+        raise ValueError(
+            f"unknown stemmer {stemmer!r}; options: {sorted(_STEMMERS)}"
+        ) from None
+
+
 # -- Tokenization ------------------------------------------------------------
 
 
-def tokenize(text: str, stopwords=None) -> list[str]:
+def tokenize(text: str, stopwords=None, stemmer: str | None = None) -> list[str]:
     """Pinned analyzer: casefold via ``str.lower`` then ``[a-z0-9]+`` runs.
 
     Matches the reference's lowercase normalization
@@ -105,6 +279,11 @@ def tokenize(text: str, stopwords=None) -> list[str]:
     pin) surviving tokens are re-numbered densely — phrase adjacency is
     over the surviving stream. The SAME list must be passed at query
     analysis (the engine reads it back from the index meta).
+
+    ``stemmer`` (OFF by default): pinned stemming applied AFTER the stop
+    filter (the ES analyzer-chain order). ``"porter"`` =
+    :func:`porter_stem`. The SAME option must apply at query analysis
+    (read back from the index meta, like stopwords).
     """
     toks = TOKEN_RE.findall(text.lower())
     if stopwords:
@@ -112,6 +291,9 @@ def tokenize(text: str, stopwords=None) -> list[str]:
             stopwords
         )
         toks = [t for t in toks if t not in sw]
+    fn = stem_fn(stemmer)
+    if fn is not None:
+        toks = [fn(t) for t in toks]
     return toks
 
 
@@ -130,7 +312,9 @@ def auto_fuzz(term: str) -> int:
     return 2
 
 
-def tokenize_query(query: str, stopwords=None) -> list[str]:
+def tokenize_query(
+    query: str, stopwords=None, stemmer: str | None = None
+) -> list[str]:
     """Query-side analysis: tokenize, dedupe, sort.
 
     Conjunctive (``operator: "and"`` + ``bool.must``,
@@ -139,5 +323,13 @@ def tokenize_query(query: str, stopwords=None) -> list[str]:
     BM25 summation order is deterministic (SURVEY.md §7.3). With a
     ``stopwords`` list, stopword query terms drop (ES: removed at
     analysis, so an AND query over "the spark" requires only "spark").
+    ``stemmer`` applies the index's pinned stemmer to query terms (two
+    surface forms stemming alike collapse to ONE required term).
     """
-    return sorted(set(tokenize(query, stopwords)))
+    return sorted(set(tokenize(query, stopwords, stemmer)))
+
+
+def analysis_opts(meta: dict) -> tuple[frozenset | None, str | None]:
+    """Index meta -> (stopwords, stemmer) for query-side analysis."""
+    sw = frozenset(meta.get("stopwords") or []) or None
+    return sw, (meta.get("stemmer") or None)

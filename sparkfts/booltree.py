@@ -61,7 +61,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkfts.analysis import tokenize_query
+from sparkfts.analysis import analysis_opts, tokenize_query
 from sparkfts.stats import idf as idf_fn
 
 # node spec (pickled into the kernel closure):
@@ -73,12 +73,13 @@ _FUZZY = "\x00f"
 _EXACT = "\x00e"
 
 
-def _to_node(obj, stopwords=None, multifield: bool = False):
+def _to_node(obj, stopwords=None, multifield: bool = False,
+             stemmer: str | None = None):
     """Clause | Bool -> node spec; group keys carry the fuzzy/exact tag."""
     from sparkfts.querybuilder import Bool, Clause
 
     if isinstance(obj, Clause):
-        terms = tokenize_query(obj.query, stopwords)
+        terms = tokenize_query(obj.query, stopwords, stemmer)
         fuzzy = str(obj.fuzziness).upper() == "AUTO"
         keys = tuple(t + (_FUZZY if fuzzy else _EXACT) for t in terms)
         if multifield:
@@ -95,16 +96,16 @@ def _to_node(obj, stopwords=None, multifield: bool = False):
     if isinstance(obj, Bool):
         return (
             "bool",
-            tuple(_to_node(c, stopwords, multifield) for c in obj.must),
-            tuple(_to_node(c, stopwords, multifield) for c in obj.should),
-            tuple(_to_node(c, stopwords, multifield) for c in obj.must_not),
+            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.must),
+            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.should),
+            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.must_not),
         )
     from sparkfts.querybuilder import DisMax
 
     if isinstance(obj, DisMax):
         return (
             "dismax",
-            tuple(_to_node(c, stopwords, multifield) for c in obj.queries),
+            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.queries),
             float(obj.tie_breaker),
         )
     raise TypeError(f"unsupported bool-tree member: {type(obj)!r}")
@@ -459,7 +460,7 @@ def bool_local(
         n_docs = mf["n_docs"]
         f0_dir = field_dir(index_dir, mf["fields"][0])
         f0_meta = read_meta(f0_dir)
-        sw = frozenset(f0_meta.get("stopwords") or []) or None
+        sw, stem = analysis_opts(f0_meta)
         block_size = f0_meta["block_size"]
         avgdl_by_field = {
             f: mf["per_field"][f]["avgdl"] for f in mf["fields"]
@@ -467,7 +468,7 @@ def bool_local(
     else:
         meta = read_meta(index_dir)
         n_docs = meta["n_docs"]
-        sw = frozenset(meta.get("stopwords") or []) or None
+        sw, stem = analysis_opts(meta)
         block_size = meta["block_size"]
         avgdl_by_field = {None: meta["avgdl"]}
     if n_docs == 0:
@@ -485,10 +486,10 @@ def bool_local(
             raise ValueError("match-all request: use match_all_topk")
         root = (
             "bool",
-            tuple(_to_node(c, sw, multifield) for c in req.clauses),
-            tuple(_to_node(c, sw, multifield) for c in req.should),
+            tuple(_to_node(c, sw, multifield, stem) for c in req.clauses),
+            tuple(_to_node(c, sw, multifield, stem) for c in req.should),
             tuple(
-                ("terms_any", tuple(tokenize_query(t, sw)))
+                ("terms_any", tuple(tokenize_query(t, sw, stem)))
                 for t in req.must_not
             ),
         )

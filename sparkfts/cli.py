@@ -62,6 +62,7 @@ def cmd_build(args: argparse.Namespace) -> None:
             stopwords=(
                 args.stopwords.split(",") if args.stopwords else None
             ),
+            stemmer=args.stemmer,
         )
         sec = time.time() - t0
         print(
@@ -79,10 +80,12 @@ def cmd_build(args: argparse.Namespace) -> None:
         )
         return
     if args.resume:
-        if args.stopwords:
-            # resumable builds pin global stats up front; stopword-aware
+        if args.stopwords or args.stemmer:
+            # resumable builds pin global stats up front; analyzer-aware
             # stats aren't threaded there yet — fail loudly, never drop
-            raise SystemExit("--stopwords is not supported with --resume")
+            raise SystemExit(
+                "--stopwords/--stemmer are not supported with --resume"
+            )
         from sparkfts.checkpoint import resumable_build
 
         meta = resumable_build(
@@ -108,6 +111,7 @@ def cmd_build(args: argparse.Namespace) -> None:
             stopwords=(
                 args.stopwords.split(",") if args.stopwords else None
             ),
+            stemmer=args.stemmer,
         )
     sec = time.time() - t0
     print(
@@ -526,6 +530,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--stopwords", default=None,
                    help="comma list of index-time stopwords (stored in "
                         "meta; query analysis drops them automatically)")
+    b.add_argument("--stemmer", default=None,
+                   help="index-time stemmer applied after the stop "
+                        "filter; 'porter' = pinned classic Porter "
+                        "(re-applied at query analysis from meta)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkfts.analysis import tokenize_query
+from sparkfts.analysis import analysis_opts, tokenize_query
 from sparkfts.query import _postings_reader, idf_fn
 from sparkfts.session import session_cores as _session_cores
 
@@ -235,9 +235,9 @@ def _cogrouped_run(
     )
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, sorted(set(tokenize_query(text, sw))), k)
+        (qid, sorted(set(tokenize_query(text, sw, stem))), k)
         for qid, text, k in queries
     ]
     analyzed = [(qid, t, k) for qid, t, k in analyzed if t]

@@ -196,6 +196,7 @@ def build_index(
     id_source: str = "sha1",
     docvalue_cols: list[str] | None = None,
     stopwords: list[str] | None = None,
+    stemmer: str | None = None,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -209,8 +210,18 @@ def build_index(
     none). The list is stored in ``meta.json`` and read back by every
     query path, so query analysis drops the same terms by construction.
 
+    ``stemmer``: OPTIONAL index-time stemmer applied AFTER the stop
+    filter (``"porter"`` = the pinned classic Porter algorithm,
+    sparkfts.analysis.porter_stem; OFF by default). Stored in meta and
+    re-applied at query analysis like stopwords. Doclen/avgdl are
+    unchanged (stemming is 1:1); surface forms stemming alike merge into
+    one indexed term with summed tf.
+
     Returns the meta dict (also written to ``meta.json``).
     """
+    from sparkfts.analysis import stem_fn
+
+    stem_fn(stemmer)  # fail loud on unknown option before any job runs
     if shard_filter is not None and fixed_stats is None:
         raise ValueError(
             "shard-filtered builds must pin global (n_docs, avgdl) via "
@@ -235,7 +246,9 @@ def build_index(
         prepared = prepared.where(F.col("shard").isin(list(shard_filter)))
     prepared = prepared.cache()
 
-    tokens = tokenize_docs(prepared, stopwords=stopwords).withColumn(
+    tokens = tokenize_docs(
+        prepared, stopwords=stopwords, stemmer=stemmer
+    ).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     # stats come from the docmap pass (a vectorized regex COUNT per doc),
@@ -307,6 +320,7 @@ def build_index(
         "segment": segment,
         "docvalue_cols": list(docvalue_cols or []),
         "stopwords": sorted(stopwords) if stopwords else [],
+        "stemmer": stemmer or None,
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

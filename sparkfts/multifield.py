@@ -641,7 +641,13 @@ def bm25f_batch(
     if unknown:
         raise ValueError(f"fields not in index: {unknown}")
 
-    analyzed = [(qid, tokenize_query(text), k) for qid, text, k in queries]
+    from sparkfts.analysis import analysis_opts
+    from sparkfts.index import read_meta as _read_meta
+
+    sw, stem = analysis_opts(_read_meta(field_dir(index_dir, specs[0][0])))
+    analyzed = [
+        (qid, tokenize_query(text, sw, stem), k) for qid, text, k in queries
+    ]
     analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
         return _empty_results(spark)

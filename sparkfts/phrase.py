@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkfts import BM25_B, BM25_K1
-from sparkfts.analysis import tokenize
+from sparkfts.analysis import analysis_opts, tokenize
 from sparkfts.stats import idf as idf_fn
 
 POSITIONS_SCHEMA = (
@@ -49,7 +49,9 @@ POSITIONS_SCHEMA = (
 
 
 def _positions_batch(
-    pdf: pd.DataFrame, stopwords: frozenset | None = None
+    pdf: pd.DataFrame,
+    stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> pd.DataFrame:
     """Vectorized batch kernel: (doc_id, text) -> one row per distinct
     (doc, term) with the ascending occurrence-position list.
@@ -58,12 +60,18 @@ def _positions_batch(
     dropped BEFORE position numbering — positions are dense over the
     surviving stream (the pinned stop-filter semantics,
     sparkfts.analysis.tokenize), so phrase adjacency skips stopwords.
+    ``stemmer`` (also from meta) maps tokens AFTER the stop filter;
+    surface forms stemming alike merge into one row whose position list
+    stays ascending (flat-stream order is preserved by the groupby).
     """
-    from sparkfts.analysis import TOKEN_RE
+    from sparkfts.analysis import TOKEN_RE, stem_fn
 
     toks = pdf["text"].fillna("").str.lower().str.findall(TOKEN_RE)
     if stopwords:
         toks = toks.map(lambda lst: [t for t in lst if t not in stopwords])
+    fn = stem_fn(stemmer)
+    if fn is not None:
+        toks = toks.map(lambda lst: [fn(t) for t in lst])
     doclen = toks.str.len().astype("int32")
     n_per_doc = doclen.to_numpy()
     if n_per_doc.sum() == 0:
@@ -121,12 +129,12 @@ def build_positions(
     )
     meta = read_meta(meta_dir)
     n_shards, n_tbuckets = meta["n_shards"], meta["n_tbuckets"]
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stemmer = analysis_opts(meta)
     prepared = prepare_pages(pages, id_source=id_source)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _positions_batch(pdf, stopwords=sw)
+            out = _positions_batch(pdf, stopwords=sw, stemmer=stemmer)
             if len(out):
                 out["shard"] = (out["doc_id"] % n_shards).astype("int32")
                 out["tbucket"] = np.fromiter(
@@ -407,9 +415,9 @@ def match_phrase_batch(
     from sparkfts.query import _empty_results
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, tokenize(text, sw), k + int(offset))
+        (qid, tokenize(text, sw, stem), k + int(offset))
         for qid, text, k in queries
     ]
     analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
@@ -517,9 +525,9 @@ def match_phrase_prefix_batch(
     from sparkfts.query import _empty_results
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     parsed = [
-        (qid, tokenize(text, sw), k + int(offset))
+        (qid, tokenize(text, sw, stem), k + int(offset))
         for qid, text, k in queries
     ]
     parsed = [(qid, t, k) for qid, t, k in parsed if t]

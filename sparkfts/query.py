@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkfts import BM25_B, BM25_K1
-from sparkfts.analysis import tokenize_query
+from sparkfts.analysis import analysis_opts, tokenize_query
 from sparkfts.stats import idf as idf_fn
 
 RESULT_SCHEMA = T.StructType(
@@ -483,9 +483,9 @@ def bm25_index_batch(
     # is gated off while tombstones exist (a theta seeded from a deleted
     # doc could over-prune) — merge reclaims and restores it
     tombstones = load_tombstones(spark, index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
+        (qid, tokenize_query(text, sw, stem), k) for qid, text, k in queries
     ]
     # the shard kernel keeps offset+k local winners per query; the global
     # window slices the final page out of <= n_shards*(offset+k) rows
@@ -500,7 +500,7 @@ def bm25_index_batch(
     # mode must not require them)
     must_not_map: dict[int, list[str]] = {}
     for qid, text in (must_not or {}).items():
-        mn_terms = tokenize_query(text, sw)
+        mn_terms = tokenize_query(text, sw, stem)
         if mn_terms:
             must_not_map[qid] = mn_terms
 
@@ -915,9 +915,9 @@ def bm25_index_fuzzy_batch(
     from sparkfts.index import load_docmap, load_postings, read_meta, term_bucket
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
+        (qid, tokenize_query(text, sw, stem), k) for qid, text, k in queries
     ]
     analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:
@@ -961,9 +961,9 @@ def bm25_index_synonym_batch(
     from sparkfts.index import df_map_for, read_meta
 
     meta = read_meta(index_dir)
-    sw = frozenset(meta.get("stopwords") or []) or None
+    sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, tokenize_query(text, sw), k) for qid, text, k in queries
+        (qid, tokenize_query(text, sw, stem), k) for qid, text, k in queries
     ]
     analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
     if not analyzed or meta["n_docs"] == 0:

@@ -52,6 +52,12 @@ class Searcher:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
+        # query analysis must mirror the index build (latent gap fixed:
+        # stopworded/stemmed indexes now analyze identically on the
+        # warm-serving paths)
+        from sparkfts.analysis import analysis_opts
+
+        self._sw, self._stem = analysis_opts(self.meta)
         self._terms = load_terms(spark, index_dir)
         self._postings = load_postings(spark, index_dir)
         if cache_postings:
@@ -259,7 +265,8 @@ class Searcher:
         if search_after and offset:
             raise ValueError("offset and search_after are mutually exclusive")
         analyzed = [
-            (qid, tokenize_query(text), k) for qid, text, k in queries
+            (qid, tokenize_query(text, self._sw, self._stem), k)
+            for qid, text, k in queries
         ]
         analyzed = [(qid, t, k + int(offset)) for qid, t, k in analyzed if t]
         if not analyzed or self.meta["n_docs"] == 0:
@@ -269,7 +276,7 @@ class Searcher:
             raise ValueError(f"unknown mode {mode!r}")
         must_not_map: dict[int, list[str]] = {}
         for qid, text in (must_not or {}).items():
-            mn_terms = tokenize_query(text)
+            mn_terms = tokenize_query(text, self._sw, self._stem)
             if mn_terms:
                 must_not_map[qid] = mn_terms
         # streamed, unmerged segments carry point-in-time block maxima;
@@ -379,7 +386,8 @@ class Searcher:
         if search_after and offset:
             raise ValueError("offset and search_after are mutually exclusive")
         analyzed = [
-            (qid, tokenize_query(text), k + int(offset))
+            (qid, tokenize_query(text, self._sw, self._stem),
+             k + int(offset))
             for qid, text, k in queries
         ]
         analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
@@ -485,7 +493,8 @@ class Searcher:
         if mode not in ("and", "or"):
             raise ValueError(f"unknown mode {mode!r}")
         analyzed = [
-            (qid, tokenize_query(text), k + int(offset))
+            (qid, tokenize_query(text, self._sw, self._stem),
+             k + int(offset))
             for qid, text, k in queries
         ]
         analyzed = [(qid, t, k) for qid, t, k in analyzed if t]

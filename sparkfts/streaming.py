@@ -110,6 +110,7 @@ def ingest_batch(
     dedup: bool = False,
     positions: bool = False,
     stopwords: list[str] | None = None,
+    stemmer: str | None = None,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
@@ -126,10 +127,13 @@ def ingest_batch(
 
     from sparkfts.tokens import build_docmap, prepare_pages
 
-    if stopwords is None and os.path.exists(
-        os.path.join(index_dir, META_FILE)
-    ):
-        stopwords = read_meta(index_dir).get("stopwords") or None
+    if os.path.exists(os.path.join(index_dir, META_FILE)):
+        root_meta = read_meta(index_dir)
+        if stopwords is None:
+            stopwords = root_meta.get("stopwords") or None
+        if stemmer is None:
+            # streamed segments must analyze exactly like the base build
+            stemmer = root_meta.get("stemmer") or None
 
     seg_name = f"stream_{int(batch_id):08d}"
     running = _read_running(index_dir)
@@ -161,6 +165,7 @@ def ingest_batch(
         shard_filter=list(range(n_shards)),
         fixed_stats=(new_docs, new_avgdl),
         stopwords=stopwords,
+        stemmer=stemmer,
     )
     if positions:
         # before the stats commit: a crash here replays the whole batch

@@ -76,11 +76,26 @@ _EMPTY_TOKENS_PDF = {
 }
 
 
+def _stem_flat(flat_terms: np.ndarray, stemmer: str | None) -> np.ndarray:
+    """Apply the pinned stemmer to a flat term stream via its unique set
+    (the stem runs once per distinct surface form per batch, not once
+    per token occurrence)."""
+    from sparkfts.analysis import stem_fn
+
+    fn = stem_fn(stemmer)
+    if fn is None or flat_terms.size == 0:
+        return flat_terms
+    uniq, inv = np.unique(flat_terms, return_inverse=True)
+    stemmed = np.array([fn(t) for t in uniq], dtype=object)
+    return stemmed[inv]
+
+
 def _tokenize_batch(
     pdf: pd.DataFrame,
     id_col: str,
     text_col: str,
     stopwords: frozenset | None = None,
+    stemmer: str | None = None,
 ) -> pd.DataFrame:
     """Vectorized batch tokenize -> one row per (doc, distinct term).
 
@@ -88,7 +103,10 @@ def _tokenize_batch(
     findall itself (C-level via ``Series.str.findall``). With
     ``stopwords``, the flat term stream is masked with one ``np.isin``
     and doclen recomputed as the SURVIVING token count (the pinned
-    stop-filter semantics, sparkfts.analysis.tokenize).
+    stop-filter semantics, sparkfts.analysis.tokenize). ``stemmer``
+    applies AFTER the stop filter (pinned chain order); two surface
+    forms stemming alike merge into one (doc, term) row with summed tf
+    (doclen is unchanged — stemming is 1:1).
     """
 
     def _empty():
@@ -111,6 +129,7 @@ def _tokenize_batch(
         doc_ids, flat_terms = doc_ids[keep], flat_terms[keep]
         if doc_ids.size == 0:
             return _empty()
+        flat_terms = _stem_flat(flat_terms, stemmer)
         tmp = pd.DataFrame({"doc_id": doc_ids, "term": flat_terms})
         dl = tmp.groupby("doc_id", sort=False).size()
         out = (
@@ -122,6 +141,7 @@ def _tokenize_batch(
         out["doclen"] = out["doc_id"].map(dl).astype("int32")
         out["tf"] = out["tf"].astype("int32")
         return out[["doc_id", "term", "tf", "doclen"]]
+    flat_terms = _stem_flat(flat_terms, stemmer)
     dls = np.repeat(doclen.to_numpy(), n_per_doc)
     # group by (doc, term): sort by term within doc blocks via pandas groupby
     out = (
@@ -142,6 +162,7 @@ def tokenize_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     stopwords: list[str] | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """``(id, text)`` -> ``(doc_id, term, tf, doclen)`` (one row per distinct term).
 
@@ -157,7 +178,9 @@ def tokenize_docs(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _tokenize_batch(pdf, "doc_id", "text", stopwords=sw)
+            yield _tokenize_batch(
+                pdf, "doc_id", "text", stopwords=sw, stemmer=stemmer
+            )
 
     return src.mapInPandas(gen, TOKENS_SCHEMA)
 
