@@ -1012,6 +1012,30 @@ def q_decontaminate(spark, sf_dir):
     return ngram_overlap(docs, eval_df, n=8)
 
 
+def q_source_cap_sample(spark, sf_dir):
+    """Per-source document cap (the per-host cap every web pretraining
+    pipeline applies so no one domain dominates): keep the 5
+    lowest-doc_id docs per source. One window partitioned by source —
+    the exact per-group top-N shape (sparkfts/ops/sampling.py)."""
+    from sparkfts.ops.sampling import cap_per_group
+
+    capped = cap_per_group(_docs(spark, sf_dir), "source", 5)
+    return capped.select("doc_id", "source")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic language-stratified down-sample: keep ~50% of en
+    and ~10% of de via an integer-LCG hash bucket per doc (no RNG; the
+    keep set is replayable and DuckDB-reproducible). Pure rowwise
+    predicate — no shuffle (sparkfts/ops/sampling.py)."""
+    from sparkfts.ops.sampling import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir), {"en": 500, "de": 100}, strata_col="lang"
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_lang_id(spark, sf_dir):
     from sparkfts.ops.textstats import lang_id
 
@@ -1297,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "decontaminate": q_decontaminate,
+        "source_cap_sample": q_source_cap_sample,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2338,6 +2364,23 @@ GROUP BY 1, 2
         "es": "'el','la','de','que','y','en','un','es'",
         "fr": "'le','la','de','et','un','est','que','pour'",
     }
+    sqls["source_cap_sample"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+    # same integer LCG as sparkfts/ops/sampling.py (_keep_hash):
+    # bucket = ((doc_id % P + P) % P * A + B) % P % 1000
+    sqls["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647
+       * 1103515245 + 12345) % 2147483647 % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 100 ELSE 0 END
+"""
+
     sqls["lang_id"] = f"""
 WITH t AS ({_TOKS}),
 s AS (
