@@ -1036,6 +1036,119 @@ def q_stratified_sample(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document
+    (duplicate-token / duplicate-bigram fractions, top-token frequency)
+    — the standard boilerplate/SEO-spam filter of a web pretraining
+    pipeline (sparkfts/ops/textclean.py)."""
+    from sparkfts.ops.textclean import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _pii_docs(docs):
+    """Deterministically inject PII-shaped content (email, IPv4, phone
+    derived from doc_id/source) so the redaction oracle checks real
+    matches; the same construction is replayed in DuckDB."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "), F.col("source"), F.lit("@example.com ip "),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(".0.1 tel 555-"),
+            F.lpad(((F.col("doc_id") * 13) % 1000).cast("string"), 3, "0"),
+            F.lit("-1234"),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (emails -> <EMAIL>, IPv4 -> <IP>, phones ->
+    <PHONE>) with per-type match counts; rowwise JVM regexp chain
+    (sparkfts/ops/textclean.py)."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.ops.textclean import redact_pii
+
+    out = redact_pii(_pii_docs(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"),
+        "n_emails", "n_ipv4", "n_phones",
+    )
+
+
+def _url_docs(docs):
+    """Deterministic messy-URL column (mixed case, default ports,
+    tracking params, fragments) replayable in DuckDB."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    even = F.concat(
+        F.lit("HTTPS://WWW.Host"), (d % 7).cast("string"),
+        F.lit(".COM:443/p/"), d.cast("string"),
+        F.lit("?utm_source=x&id="), d.cast("string"), F.lit("#top"),
+    )
+    odd = F.concat(
+        F.lit("http://blog"), (d % 5).cast("string"),
+        F.lit(".Example.NET:80/a/"), d.cast("string"),
+        F.lit("?utm_campaign=y"),
+    )
+    return docs.select(
+        "doc_id", F.when(d % 2 == 0, even).otherwise(odd).alias("url")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (lowercase scheme+host, strip default ports,
+    drop fragments and utm_* params) + host extraction — the first step
+    of per-host caps and host-level dedup
+    (sparkfts/ops/textclean.py)."""
+    from sparkfts.ops.textclean import canonicalize_urls
+
+    return canonicalize_urls(_url_docs(_docs(spark, sf_dir)))
+
+
+def q_host_doc_counts(spark, sf_dir):
+    """Docs-per-host census over canonicalized URLs (the input to
+    per-host caps): one hash-groupBy with map-side partial agg."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.ops.textclean import canonicalize_urls
+
+    return (
+        canonicalize_urls(_url_docs(_docs(spark, sf_dir)))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval (ES 8 hybrid search): BM25 leg over the built
+    index + exact cosine leg over the embeddings table, fused with
+    Reciprocal Rank Fusion (rrf_k=60, rank_window_size=100)
+    (sparkfts/hybrid.py). vec_id is keyed like doc_id in the test
+    tables."""
+    from sparkfts.hybrid import hybrid_rrf_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    res = hybrid_rrf_topk(
+        spark, idx, emb, [(0, BM25_QUERY_OR, list(qvec))], k=10, depth=100
+    )
+    return res.select(
+        "rank",
+        "doc_id",
+        F.floor(F.col("rrf_score") * 1_000_000_000 + 0.5)
+        .cast("long")
+        .alias("rrf_e9"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from sparkfts.ops.textstats import lang_id
 
@@ -1323,6 +1436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "source_cap_sample": q_source_cap_sample,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "url_canonicalize": q_url_canonicalize,
+        "host_doc_counts": q_host_doc_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2380,6 +2497,120 @@ WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647
        * 1103515245 + 12345) % 2147483647 % 1000
       < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 100 ELSE 0 END
 """
+
+    # ops/textclean.py parity: same tokenizer, same float association
+    # (1.0 - a/b) * 1e6 + 0.5 — IEEE-identical across engines
+    sqls["repetition_stats"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, max(c) AS top_count, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct
+  FROM cnt GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams,
+         len(list_distinct([t[i] || ' ' || t[i + 1]
+                            for i in range(1, len(t))]))
+           AS n_distinct_bigrams
+  FROM tk
+)
+SELECT tk.doc_id,
+       COALESCE(top.n_tokens, 0) AS n_tokens,
+       CASE WHEN COALESCE(top.n_tokens, 0) > 0 THEN
+         CAST(floor((1.0 - top.n_distinct / CAST(top.n_tokens AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+         AS dup_token_frac_e6,
+       CASE WHEN bg.n_bigrams > 0 THEN
+         CAST(floor((1.0 - bg.n_distinct_bigrams
+                     / CAST(bg.n_bigrams AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+         AS dup_bigram_frac_e6,
+       CASE WHEN COALESCE(top.n_tokens, 0) > 0 THEN
+         CAST(floor(top.top_count / CAST(top.n_tokens AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+         AS top_token_frac_e6
+FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id
+        LEFT JOIN bg ON tk.doc_id = bg.doc_id
+"""
+
+    from sparkfts.ops.textclean import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    sqls["pii_redact"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com ip '
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) || '.0.1 tel 555-'
+         || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+         || '-1234' AS t0
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM base
+),
+s2 AS (SELECT *, regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s),
+s3 AS (
+  SELECT *, regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3 FROM s2
+)
+SELECT doc_id, md5(t3) AS redacted_md5,
+       CAST(len(regexp_extract_all(t0, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones
+FROM s3
+"""
+
+    _URL_SYNTH = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'HTTPS://WWW.Host' || CAST(doc_id % 7 AS VARCHAR)
+           || '.COM:443/p/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#top'
+         ELSE
+           'http://blog' || CAST(doc_id % 5 AS VARCHAR)
+           || '.Example.NET:80/a/' || CAST(doc_id AS VARCHAR)
+           || '?utm_campaign=y'
+         END AS url
+  FROM documents
+"""
+    # replay of ops/textclean.py canonicalize_urls: lowercase the
+    # scheme://authority prefix, strip default ports (RE2 backref \\1 =
+    # Java $1), then the pinned URL_STEPS chain with the 'g' flag
+    # (Spark regexp_replace is replace-all)
+    _CANON = r"""
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        || url[length(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1:],
+      '^(https://[^/?#:]*):443(?:/|$)', '\1/'),
+      '^(http://[^/?#:]*):80(?:/|$)', '\1/'),
+      '#.*$', '', 'g'),
+      '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+      '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
+      '\?utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS canon_url,
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host
+  FROM u
+"""
+    sqls["url_canonicalize"] = (
+        f"WITH u AS ({_URL_SYNTH})\nSELECT doc_id, canon_url, host "
+        f"FROM ({_CANON})"
+    )
+    sqls["host_doc_counts"] = (
+        f"WITH u AS ({_URL_SYNTH})\nSELECT host, count(*) AS n_docs "
+        f"FROM ({_CANON}) GROUP BY host"
+    )
 
     sqls["lang_id"] = f"""
 WITH t AS ({_TOKS}),

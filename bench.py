@@ -216,20 +216,32 @@ def _run_once(
         else:
             bm25_index_batch(spark, idx, warm_q).collect()
 
-        # batch throughput: all queries in one job
-        t0 = time.time()
-        if multifield:
-            batch_rows = bm25_multifield_batch(
-                spark,
-                idx,
-                [(q["query_id"], q["query"], q["k"]) for q in qs],
-                fields=["title^2", "text"],
-            ).collect()
-        else:
-            batch_rows = bm25_index_batch(
-                spark, idx, [(q["query_id"], q["query"], q["k"]) for q in qs]
-            ).collect()
-        t_batch = time.time() - t0
+        # batch throughput: all queries in one job. SUSTAINED protocol:
+        # one untimed full-batch warmup run, then the median of 3 timed
+        # runs. The first run of a given batch pays one-time JVM JIT +
+        # codegen-compile costs that are serial, cluster-size-invariant,
+        # and amortized away in any production serving loop (measured:
+        # run0 2.99s -> run4 1.83s at 8 pinned cores on the identical
+        # batch); a single cold-ish run would fold that constant into
+        # the scaling ratio and misreport the dataflow.
+        batch_times = []
+        for rep in range(4):
+            t0 = time.time()
+            if multifield:
+                batch_rows = bm25_multifield_batch(
+                    spark,
+                    idx,
+                    [(q["query_id"], q["query"], q["k"]) for q in qs],
+                    fields=["title^2", "text"],
+                ).collect()
+            else:
+                batch_rows = bm25_index_batch(
+                    spark, idx,
+                    [(q["query_id"], q["query"], q["k"]) for q in qs],
+                ).collect()
+            if rep > 0:  # rep 0 = warmup
+                batch_times.append(time.time() - t0)
+        t_batch = statistics.median(batch_times)
 
         # per-query latency: warm-searcher serving (the reference's ES keeps
         # its index open between requests; Searcher is that shape here)
@@ -481,7 +493,7 @@ def _append_baseline_md(sf, n_docs, lo, hi, eff_build, eff_batch) -> None:
         "",
         f"## Scaling run {stamp} (sf={sf}, {n_docs} docs)",
         "",
-        "| cores | build sec | docs/sec | 200-query batch sec | p50 | p99 |",
+        "| cores | build sec | docs/sec | 400-query batch sec (median of 3) | p50 | p99 |",
         "|---|---|---|---|---|---|",
         f"| {lo['cores']} (N, taskset-pinned) | {lo['build_sec']} | "
         f"{lo['docs_per_sec']} | {lo['batch50_sec']} | {lo['p50_sec']} | "
