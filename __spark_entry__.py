@@ -1440,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
         "host_doc_counts": q_host_doc_counts,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2611,6 +2612,55 @@ FROM s3
         f"WITH u AS ({_URL_SYNTH})\nSELECT host, count(*) AS n_docs "
         f"FROM ({_CANON}) GROUP BY host"
     )
+
+    # hybrid RRF: BM25 OR-mode leg (depth 100) + exact quantized-cosine
+    # leg (depth 100), rrf = 1.0/(60+rank) summed bm25-then-ann (the
+    # engine's sorted fold; two-addend IEEE sums are order-exact)
+    or_terms = BM25_QUERY_OR.split()
+    sqls["hybrid_rrf_topk"] = f"""
+{_bm25_scored_cte(or_terms, conjunctive=False)},
+br AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scored
+  ) WHERE r <= 100
+),
+qq AS (
+  SELECT generate_subscripts(e, 1) AS pos,
+         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+),
+ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq),
+coss AS (
+  SELECT vec_id,
+         CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+           AS cos_e6
+  FROM dots, nq WHERE na > 0
+),
+ar AS (
+  SELECT vec_id AS doc_id, r FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos_e6 DESC, vec_id) AS r
+    FROM coss
+  ) WHERE r <= 100
+),
+fused AS (
+  SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + br.r), 0) + COALESCE(1.0 / (60 + ar.r), 0)
+           AS rrf
+  FROM br FULL OUTER JOIN ar ON br.doc_id = ar.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, doc_id,
+       CAST(floor(rrf * 1000000000 + 0.5) AS BIGINT) AS rrf_e9
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
 
     sqls["lang_id"] = f"""
 WITH t AS ({_TOKS}),
