@@ -1126,6 +1126,41 @@ def q_host_doc_counts(spark, sf_dir):
     )
 
 
+def q_range_agg(spark, sf_dir):
+    """ES range aggregation over the full OR-query match set: every
+    requested range reported (zero-count included), request order
+    preserved, from inclusive / to exclusive (sparkfts/aggs.py)."""
+    from sparkfts.aggs import range_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return range_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars",
+        [("small", None, 150.0), ("mid", 150.0, 300.0),
+         ("large", 300.0, None)],
+        mode="or",
+    )
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite aggregation (paginated multi-source buckets): terms
+    on lang x histogram(100) on n_chars, page size 5, resumed after the
+    bucket ('de', 100.0) — ES's scalable deep-bucket pagination
+    (sparkfts/aggs.py)."""
+    from sparkfts.aggs import composite_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return composite_agg(
+        spark, idx, BM25_QUERY_OR,
+        docs.select("doc_id", "lang", "n_chars"),
+        [("lang", "terms", "lang", None),
+         ("size_bucket", "histogram", "n_chars", 100.0)],
+        size=5, after={"lang": "de", "size_bucket": 100.0}, mode="or",
+    )
+
+
 def q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval (ES 8 hybrid search): BM25 leg over the built
     index + exact cosine leg over the embeddings table, fused with
@@ -1441,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "host_doc_counts": q_host_doc_counts,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "range_agg": q_range_agg,
+        "composite_agg": q_composite_agg,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2613,12 +2650,48 @@ FROM s3
         f"FROM ({_CANON}) GROUP BY host"
     )
 
+    # range agg: every requested range, request order preserved via a
+    # pinned ordinal; from inclusive, to exclusive
+    sqls["range_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+j AS (SELECT d.n_chars FROM matched m JOIN documents d USING (doc_id))
+SELECT 'small' AS key,
+       CAST(coalesce(sum(CASE WHEN n_chars < 150.0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS doc_count FROM j
+UNION ALL
+SELECT 'mid',
+       CAST(coalesce(sum(CASE WHEN n_chars >= 150.0 AND n_chars < 300.0
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL
+SELECT 'large',
+       CAST(coalesce(sum(CASE WHEN n_chars >= 300.0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM j
+"""
+
+    # composite agg: lexicographic after-key pagination
+    sqls["composite_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+b AS (
+  SELECT d.lang AS lang,
+         floor(d.n_chars / 100.0) * 100.0 AS size_bucket,
+         count(*) AS doc_count
+  FROM matched m JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang, size_bucket, CAST(doc_count AS BIGINT) AS doc_count
+FROM b
+WHERE lang > 'de' OR (lang = 'de' AND size_bucket > 100.0)
+ORDER BY lang, size_bucket LIMIT 5
+"""
+
     # hybrid RRF: BM25 OR-mode leg (depth 100) + exact quantized-cosine
     # leg (depth 100), rrf = 1.0/(60+rank) summed bm25-then-ann (the
     # engine's sorted fold; two-addend IEEE sums are order-exact)
-    or_terms = BM25_QUERY_OR.split()
+    hybrid_terms = BM25_QUERY_OR.split()
     sqls["hybrid_rrf_topk"] = f"""
-{_bm25_scored_cte(or_terms, conjunctive=False)},
+{_bm25_scored_cte(hybrid_terms, conjunctive=False)},
 br AS (
   SELECT doc_id, r FROM (
     SELECT doc_id,

@@ -376,6 +376,131 @@ def percentiles_agg(
     )
 
 
+def range_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``range`` aggregation -> (key, doc_count), one row per
+    requested range IN THE REQUESTED ORDER (ES returns every range,
+    zero-count included).
+
+    ``ranges``: (key, from_, to_) with ``None`` for an open end;
+    ``from`` inclusive, ``to`` exclusive (ES semantics). Keys are
+    caller-supplied (ES's per-range ``key``) so no float formatting is
+    pinned. One pass: each range is a conditional partial-aggregated
+    sum over the matched-join frame — no per-range scan, no extra
+    shuffle beyond the single global agg.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    v = F.col(field).cast("double")
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    conds = []
+    for key, lo, hi in ranges:
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (v >= F.lit(float(lo)))
+        if hi is not None:
+            c = c & (v < F.lit(float(hi)))
+        conds.append(
+            F.coalesce(
+                F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"_r{len(conds)}")
+        )
+    row = joined.agg(*conds)
+    # unpivot the single row into (key, doc_count), preserving order
+    pairs = F.array(*[
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"_r{i}").cast("long").alias("doc_count"),
+        )
+        for i, (key, _, _) in enumerate(ranges)
+    ])
+    return row.select(F.explode(pairs).alias("b")).select(
+        F.col("b.key").alias("key"), F.col("b.doc_count").alias("doc_count")
+    )
+
+
+def composite_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    sources: list[tuple[str, str, str, float | None]],
+    size: int = 10,
+    after: dict | None = None,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``composite`` aggregation: PAGINATED multi-source buckets ->
+    (<source names...>, doc_count), ordered by source values ascending,
+    ``size`` buckets per page, resumable via ``after``.
+
+    ``sources``: (name, kind, field, interval) with kind ``"terms"``
+    (interval ignored) or ``"histogram"`` (ES bucket
+    ``floor(value/interval)*interval``). ``after``: {name: value} — the
+    previous page's last bucket key; strictly-greater buckets (
+    lexicographic over the source tuple) form the next page. Docs with a
+    null source value are excluded (ES default ``missing_bucket:
+    false``).
+
+    This is ES's scalable alternative to deep ``terms`` facets — and the
+    plan matches: one partial-aggregated groupBy over the matched join,
+    then ``orderBy(keys).limit(size)`` (a TakeOrdered: per-partition
+    top-``size`` + a size-row driver merge, no full sort, page cost
+    independent of total bucket count).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    fields = sorted({f for _, _, f, _ in sources})
+    joined = matched.join(doc_values.select("doc_id", *fields), "doc_id")
+    keycols = []
+    for name, kind, field, interval in sources:
+        if kind == "terms":
+            keycols.append(F.col(field).alias(name))
+        elif kind == "histogram":
+            if not interval or interval <= 0:
+                raise ValueError("histogram source needs interval > 0")
+            keycols.append(
+                (
+                    F.floor(F.col(field).cast("double") / F.lit(float(interval)))
+                    * F.lit(float(interval))
+                ).alias(name)
+            )
+        else:
+            raise ValueError(f"unknown source kind {kind!r}")
+    names = [name for name, *_ in sources]
+    notnull = F.lit(True)
+    for n in names:
+        notnull = notnull & F.col(n).isNotNull()
+    buckets = (
+        joined.select(*keycols)
+        .where(notnull)
+        .groupBy(*names)
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if after:
+        # lexicographic (k1, k2, ...) > after: OR-chain of prefix
+        # equalities — evaluates inside the agg's output, no extra scan
+        clauses = []
+        for i, n in enumerate(names):
+            c = F.col(n) > F.lit(after[n])
+            for prev in names[:i]:
+                c = c & (F.col(prev) == F.lit(after[prev]))
+            clauses.append(c)
+        pred = clauses[0]
+        for c in clauses[1:]:
+            pred = pred | c
+        buckets = buckets.where(pred)
+    return buckets.orderBy(*[F.asc(n) for n in names]).limit(int(size))
+
+
 def terms_stats_nested(
     spark: SparkSession,
     index_dir: str,
