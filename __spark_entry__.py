@@ -186,6 +186,45 @@ def _bm25_field_ctes(
 )"""
 
 
+def _bm25_subset_ctes(
+    p: str, where: str, terms: list[str], conjunctive: bool
+) -> str:
+    """CTE block scoring ONE document subset (prefix ``p``) with
+    subset-LOCAL stats -> ``{p}_scored`` (cross-index search: each index
+    keeps its own n_docs/avgdl/df)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    return f"""
+{p}_docs AS (SELECT doc_id, text FROM documents WHERE {where}),
+{p}_toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM {p}_docs
+),
+{p}_dl AS (SELECT doc_id, count(*) AS doclen FROM {p}_toks GROUP BY doc_id),
+{p}_stats AS (
+  SELECT (SELECT count(*) FROM {p}_docs) AS n_docs,
+         (SELECT sum(doclen) FROM {p}_dl) * 1.0
+           / (SELECT count(*) FROM {p}_docs) AS avgdl
+),
+{p}_tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM {p}_toks
+  WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+{p}_df AS (SELECT term, count(*) AS df FROM {p}_tf GROUP BY term),
+{p}_cand AS (SELECT doc_id FROM {p}_tf GROUP BY doc_id {having}),
+{p}_scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM {p}_tf tf
+  JOIN {p}_df df USING (term) JOIN {p}_dl dl USING (doc_id)
+  CROSS JOIN {p}_stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM {p}_cand)
+  GROUP BY tf.doc_id
+)"""
+
+
 def _bm25_sql(
     terms: list[str],
     conjunctive: bool,
@@ -393,6 +432,42 @@ def q_fts_multifield_topk(spark, sf_dir):
         spark, idx, [(0, BM25_QUERY_AND, 10)], fields=MF_FIELDS
     )
     return res.select("doc_id", _score_e4_col())
+
+
+def _mi_index_dirs_for(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (once, cached) TWO indexes over the doc_id-parity halves of
+    `documents` — the time-partitioned-indices deployment shape that
+    cross-index search exists for (ES `logs-*`)."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    dirs = []
+    for half in (0, 1):
+        idx = os.path.join(REPO, ".scratch", f"entry_mi{half}_{key}")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            from sparkfts.index import build_index
+
+            pages = _docs_as_pages(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 2 == half)
+            )
+            build_index(
+                pages, idx, n_shards=4, n_tbuckets=16, id_source="column"
+            )
+        dirs.append(idx)
+    return dirs
+
+
+def q_fts_multi_index_topk(spark, sf_dir):
+    """ES cross-index search: one request over two indexes, each scored
+    with its OWN stats (query-then-fetch), merged by (-score, index_ord,
+    doc_id)."""
+    from sparkfts.multiindex import bm25_multi_index_batch
+
+    dirs = _mi_index_dirs_for(spark, sf_dir)
+    res = bm25_multi_index_batch(spark, dirs, [(0, BM25_QUERY_AND, 10)])
+    return res.select(
+        F.col("index_ord").cast("long").alias("index_ord"),
+        "doc_id",
+        _score_e4_col(),
+    )
 
 
 def q_fts_or_wand_topk(spark, sf_dir):
@@ -1423,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase_prefix": q_fts_phrase_prefix,
         "fts_prefix_topk": q_fts_prefix_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
+        "fts_multi_index_topk": q_fts_multi_index_topk,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -1738,6 +1814,20 @@ u AS (
 best AS (SELECT doc_id, max(s) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM best ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    mi_terms = sorted(set(BM25_QUERY_AND.split()))
+    sqls["fts_multi_index_topk"] = f"""
+WITH {_bm25_subset_ctes("h0", "doc_id % 2 = 0", mi_terms, True)},
+{_bm25_subset_ctes("h1", "doc_id % 2 = 1", mi_terms, True)},
+merged AS (
+  SELECT 0 AS index_ord, doc_id, score FROM h0_scored
+  UNION ALL
+  SELECT 1 AS index_ord, doc_id, score FROM h1_scored
+)
+SELECT CAST(index_ord AS BIGINT) AS index_ord, doc_id,
+       {_SCORE_E4} AS score_e4
+FROM merged ORDER BY score DESC, index_ord, doc_id LIMIT 10
 """
 
     mf_in = ", ".join(f"'{t}'" for t in mf_terms)
