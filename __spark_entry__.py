@@ -470,6 +470,21 @@ def q_fts_multi_index_topk(spark, sf_dir):
     )
 
 
+QS_QUERY = "spark AND (stream OR query) AND NOT data"
+
+
+def q_fts_query_string(spark, sf_dir):
+    """ES query_string syntax (Kibana bar / ``q=``): parsed to a nested
+    bool tree, executed in the single-pass bool-tree kernel. Score =
+    sum of matching positive per-term BM25 scores (must sums; inner OR
+    sums its matching members), NOT-matched docs excluded."""
+    from sparkfts.querystring import query_string_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = query_string_topk_batch(spark, idx, [(0, QS_QUERY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_or_wand_topk(spark, sf_dir):
     from sparkfts.query import bm25_index_batch
 
@@ -1499,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_prefix_topk": q_fts_prefix_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_multi_index_topk": q_fts_multi_index_topk,
+        "fts_query_string": q_fts_query_string,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -1814,6 +1830,45 @@ u AS (
 best AS (SELECT doc_id, max(s) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM best ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # query_string: spark AND (stream OR query) AND NOT data
+    # score = sum of per-term BM25 over {spark} + matching of {stream,query}
+    sqls["fts_query_string"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'stream', 'query') GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pt AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+           * 2.2 AS ts
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(ts) AS score,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS h_spark,
+         max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS h_stream,
+         max(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS h_query
+  FROM pt GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM agg
+WHERE h_spark = 1 AND (h_stream = 1 OR h_query = 1)
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+ORDER BY score DESC, doc_id LIMIT 10
 """
 
     mi_terms = sorted(set(BM25_QUERY_AND.split()))

@@ -131,6 +131,52 @@ def cmd_query(args: argparse.Namespace) -> None:
     # --search-after and --min-should-match are only threaded through the
     # plain-query path; fail loudly rather than silently ignoring them
     # (checked before any Spark session spins up).
+    if args.syntax == "query_string":
+        bad = [
+            flag
+            for flag, on in (
+                ("--phrase", args.phrase),
+                ("--prefix", args.prefix),
+                ("--wildcard", args.wildcard),
+                ("--fuzzy", args.fuzzy),
+                ("--fields", args.fields),
+                ("--synonyms", args.synonyms),
+                ("--filter", args.filter),
+                ("--must-not", args.must_not),
+                ("--search-after", args.search_after),
+                ("--offset", args.offset),
+                ("--slop", args.slop),
+                ("--transpositions", args.transpositions),
+                ("--min-should-match", args.min_should_match != 1),
+                ("--no-blockmax", args.no_blockmax),
+            )
+            if on
+        ]
+        if bad:
+            raise SystemExit(
+                f"{' / '.join(bad)} not supported with --syntax "
+                "query_string (the syntax carries fuzziness/negation/"
+                "grouping itself)"
+            )
+        spark = _spark(args.cores, "sparkfts-query")
+        from sparkfts.index import load_docmap
+        from sparkfts.querystring import query_string_topk_batch
+
+        t0 = time.time()
+        res = query_string_topk_batch(
+            spark, args.index, [(0, args.query, args.k)],
+            default_operator=args.default_operator,
+            max_expansions=args.max_expansions,
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+        _print_hits(rows, time.time() - t0)
+        return
     if (args.prefix or args.wildcard) and (
         args.phrase or args.fields or args.fuzzy
         or (args.prefix and args.wildcard)
@@ -337,7 +383,10 @@ def cmd_query(args: argparse.Namespace) -> None:
             filter_expr=args.filter,
             must_not={0: args.must_not} if args.must_not else None,
         ).collect()
-    sec = time.time() - t0
+    _print_hits(rows, time.time() - t0)
+
+
+def _print_hits(rows, sec: float) -> None:
     for r in rows:
         print(
             json.dumps(
@@ -577,6 +626,13 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
                    help="bool.filter: docmap predicate, e.g. \"lang = 'en'\" "
                         "(needs an index built with --docvalues)")
+    q.add_argument("--syntax", choices=["dsl", "query_string"],
+                   default="dsl",
+                   help="query_string parses Lucene syntax "
+                        "(AND/OR/NOT, parens, +/-, term~, field:term)")
+    q.add_argument("--default-operator", choices=["and", "or"],
+                   default="or",
+                   help="query_string combinator for bare adjacent terms")
     q.add_argument("--must-not", default=None, metavar="QUERY",
                    help="bool.must_not: exclude docs matching this query")
 
