@@ -197,6 +197,7 @@ def build_index(
     docvalue_cols: list[str] | None = None,
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
+    store_source: bool = False,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -306,6 +307,17 @@ def build_index(
         os.path.join(seg, "docmap"),
         partition_by=["shard"],
     )
+    if store_source:
+        # ES _source: the extracted text, shard-partitioned like the
+        # docmap. Enables reindex (re-analyze without the original
+        # corpus); costs ~1x corpus bytes on disk, so OFF by default.
+        write_table(
+            prepared.select("doc_id", "text", "shard")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("doc_id"),
+            os.path.join(seg, "source"),
+            partition_by=["shard"],
+        )
     _write_terms(spark, seg, n_tbuckets)
 
     meta = {
@@ -321,6 +333,7 @@ def build_index(
         "docvalue_cols": list(docvalue_cols or []),
         "stopwords": sorted(stopwords) if stopwords else [],
         "stemmer": stemmer or None,
+        "store_source": bool(store_source),
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")
@@ -614,6 +627,23 @@ def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def load_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
     return _load_union(spark, index_dir, "docmap")
+
+
+def load_source(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The stored ``_source`` table (doc_id, text, shard, segment_id);
+    raises if the index (or any of its segments) was built without
+    ``store_source=True``."""
+    missing = [
+        d
+        for d in segment_dirs(index_dir)
+        if not os.path.isdir(os.path.join(d, "source"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"no _source under {missing} (build_index(store_source=True) "
+            "to enable reindex/source retrieval)"
+        )
+    return _load_union(spark, index_dir, "source")
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> dict:

@@ -269,10 +269,46 @@ def merge_segments(
         .parquet(tmp_docmap)
     )
 
+    swaps = [("postings", tmp_postings), ("docmap", tmp_docmap)]
+
+    # stored _source consolidates exactly like the docmap: newest
+    # segment's text wins per doc_id, tombstoned docs reclaimed
+    src_dirs = [d for d in dirs if os.path.isdir(os.path.join(d, "source"))]
+    if src_dirs and len(src_dirs) < len(dirs):
+        raise ValueError(
+            "some segments store _source and some don't — a merge would "
+            f"silently drop stored text (missing: "
+            f"{[d for d in dirs if d not in src_dirs]})"
+        )
+    if src_dirs:
+        from sparkfts.index import load_source
+
+        src = load_source(spark, index_dir)
+        src_merged = (
+            src.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "segment_id")
+        )
+        if tombstones is not None:
+            tomb_src = spark.createDataFrame(
+                [(int(d),) for d in tombstones], "doc_id long"
+            )
+            src_merged = src_merged.join(
+                F.broadcast(tomb_src), "doc_id", "left_anti"
+            )
+        tmp_source = os.path.join(index_dir, "source__merging")
+        (
+            src_merged.repartition(meta["n_shards"], "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(tmp_source)
+        )
+        swaps.append(("source", tmp_source))
+
     # positions (phrase support) live per segment too — consolidate them
     # into the root BEFORE the segment dirs are deleted, deduping
     # re-crawled doc_ids newest-segment-wins like the docmap
-    swaps = [("postings", tmp_postings), ("docmap", tmp_docmap)]
     pos_dirs = [
         (i, d)
         for i, d in enumerate(dirs)

@@ -111,6 +111,7 @@ def ingest_batch(
     positions: bool = False,
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
+    store_source: bool | None = None,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
@@ -134,6 +135,10 @@ def ingest_batch(
         if stemmer is None:
             # streamed segments must analyze exactly like the base build
             stemmer = root_meta.get("stemmer") or None
+        if store_source is None:
+            # segments must store _source iff the base build does, or
+            # reindex/merge would see a partial source table
+            store_source = bool(root_meta.get("store_source", False))
 
     seg_name = f"stream_{int(batch_id):08d}"
     running = _read_running(index_dir)
@@ -166,6 +171,7 @@ def ingest_batch(
         fixed_stats=(new_docs, new_avgdl),
         stopwords=stopwords,
         stemmer=stemmer,
+        store_source=bool(store_source),
     )
     if positions:
         # before the stats commit: a crash here replays the whole batch

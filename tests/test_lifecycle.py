@@ -1,0 +1,227 @@
+"""_source storage + reindex + rollover (sparkfts.lifecycle).
+
+Pins: (a) store_source round-trips the exact text; (b) streamed
+segments inherit the flag and merge consolidates newest-wins with
+tombstone reclaim; (c) reindex from stored _source is rank-identical to
+a fresh build from the original corpus with the same options, with doc
+ids preserved; (d) rollover's condition check + atomic alias append.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparkfts.index import build_index, load_source, read_meta
+from sparkfts.lifecycle import reindex, rollover, source_pages
+from sparkfts.synth import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def src_corpus():
+    return gen_corpus(150, seed=31)
+
+
+@pytest.fixture(scope="module")
+def src_index(spark, src_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lc") / "src")
+    build_index(
+        spark.createDataFrame(src_corpus.to_pandas()), d,
+        n_shards=3, n_tbuckets=8, store_source=True,
+        docvalue_cols=["lang"],
+    )
+    return d
+
+
+def test_store_source_roundtrip(spark, src_corpus, src_index):
+    assert read_meta(src_index)["store_source"] is True
+    got = {
+        r["doc_id"]: r["text"]
+        for r in load_source(spark, src_index).collect()
+    }
+    pdf = src_corpus.to_pandas()
+    from sparkfts.tokens import sha1_doc_id
+
+    import pandas as pd
+
+    ids = sha1_doc_id(pdf["url"])
+    exp = dict(zip(ids, pdf["text"]))
+    assert got == exp
+
+
+def test_load_source_missing_raises(spark, src_corpus, tmp_path):
+    d = os.path.join(str(tmp_path), "nosrc")
+    build_index(
+        spark.createDataFrame(src_corpus.to_pandas()), d,
+        n_shards=2, n_tbuckets=4,
+    )
+    with pytest.raises(FileNotFoundError, match="store_source"):
+        load_source(spark, d)
+
+
+def test_reindex_matches_fresh_build(spark, src_corpus, src_index, tmp_path):
+    """Reindex with NEW analyzer options == fresh build from the
+    original corpus with those options: same meta stats, same ranking,
+    same doc ids."""
+    from sparkfts.query import bm25_index_batch
+
+    stop = ["the", "a", "of", "and", "to"]
+    dst = os.path.join(str(tmp_path), "dst")
+    ref = os.path.join(str(tmp_path), "ref")
+    m_dst = reindex(spark, src_index, dst, stopwords=stop)
+    build_index(
+        spark.createDataFrame(src_corpus.to_pandas()), ref,
+        n_shards=3, n_tbuckets=8, stopwords=stop, docvalue_cols=["lang"],
+    )
+    m_ref = read_meta(ref)
+    assert m_dst["n_docs"] == m_ref["n_docs"]
+    assert m_dst["avgdl"] == pytest.approx(m_ref["avgdl"], rel=1e-12)
+    assert m_dst["stopwords"] == m_ref["stopwords"]
+
+    from collections import Counter
+
+    from sparkfts.analysis import tokenize
+
+    c: Counter = Counter()
+    for t in src_corpus.column("text").to_pylist():
+        c.update(set(tok for tok in tokenize(t) if tok not in stop))
+    q = " ".join(t for t, _ in c.most_common(2))
+    for mode in ("and", "or"):
+        got = bm25_index_batch(spark, dst, [(0, q, 10)], mode=mode).collect()
+        exp = bm25_index_batch(spark, ref, [(0, q, 10)], mode=mode).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in exp
+        ], mode
+        assert got, "test premise: query matches"
+    # reindex keeps _source by default -> chain reindexes work
+    assert read_meta(dst)["store_source"] is True
+    load_source(spark, dst)
+
+
+def test_reindex_requires_source_and_distinct_dst(spark, src_corpus,
+                                                  src_index, tmp_path):
+    nosrc = os.path.join(str(tmp_path), "nosrc2")
+    build_index(
+        spark.createDataFrame(src_corpus.to_pandas()), nosrc,
+        n_shards=2, n_tbuckets=4,
+    )
+    with pytest.raises(FileNotFoundError, match="store_source"):
+        reindex(spark, nosrc, os.path.join(str(tmp_path), "x"))
+    with pytest.raises(ValueError, match="in place"):
+        reindex(spark, src_index, src_index)
+
+
+def test_streamed_segments_inherit_and_merge_consolidates(spark, tmp_path):
+    """Appends inherit store_source; a re-crawled doc's NEWEST text wins
+    at merge; a deleted doc's source is reclaimed."""
+    from sparkfts.deletes import delete_docs
+    from sparkfts.merge import merge_segments
+    from sparkfts.streaming import ingest_batch
+    from sparkfts.tokens import sha1_doc_id
+
+    corp = gen_corpus(60, seed=8).to_pandas()
+    idx = os.path.join(str(tmp_path), "sidx")
+    build_index(
+        spark.createDataFrame(corp.iloc[:40]), idx,
+        n_shards=2, n_tbuckets=4, store_source=True,
+    )
+    # wave: 15 new docs + 1 re-crawl of an existing url with NEW text
+    recrawl_url = corp.iloc[0]["url"]
+    wave = corp.iloc[40:55].copy()
+    re_row = corp.iloc[[0]].copy()
+    re_row["text"] = "freshly recrawled body text"
+    import pandas as pd
+
+    wave = pd.concat([wave, re_row], ignore_index=True)
+    assert ingest_batch(
+        spark.createDataFrame(wave), 0, idx, n_shards=2, n_tbuckets=4
+    ) is not None
+    # pre-merge: both versions visible in the raw union
+    import pandas as pd
+    rid = int(sha1_doc_id(pd.Series([recrawl_url]))[0])
+    texts = {
+        r["segment_id"]: r["text"]
+        for r in load_source(spark, idx).where(
+            f"doc_id = {rid}"
+        ).collect()
+    }
+    assert len(texts) == 2
+
+    victim = int(sha1_doc_id(pd.Series([corp.iloc[1]["url"]]))[0])
+    delete_docs(spark, idx, [victim])
+    merge_segments(spark, idx)
+
+    src = {r["doc_id"]: r["text"] for r in load_source(spark, idx).collect()}
+    assert src[rid] == "freshly recrawled body text"
+    assert victim not in src
+    assert len(src) == 40 + 15 - 1  # recrawl dedup + delete
+    # and source_pages applies the same visibility rule
+    pages = {r["doc_id"]: r["text"]
+             for r in source_pages(spark, idx).collect()}
+    assert pages == src
+
+
+def test_merge_rejects_mixed_source_segments(spark, tmp_path):
+    from sparkfts.merge import merge_segments
+    from sparkfts.streaming import ingest_batch
+
+    corp = gen_corpus(30, seed=9).to_pandas()
+    idx = os.path.join(str(tmp_path), "mixed")
+    build_index(
+        spark.createDataFrame(corp.iloc[:20]), idx,
+        n_shards=2, n_tbuckets=4, store_source=True,
+    )
+    # explicit override breaks the inheritance — merge must fail loud
+    ingest_batch(
+        spark.createDataFrame(corp.iloc[20:]), 0, idx,
+        n_shards=2, n_tbuckets=4, store_source=False,
+    )
+    with pytest.raises(ValueError, match="_source"):
+        merge_segments(spark, idx)
+
+
+def test_rollover_conditions_and_alias_append(spark, src_index, tmp_path):
+    from sparkfts.multiindex import resolve, put_alias
+
+    reg = os.path.join(str(tmp_path), "reg")
+    put_alias(reg, "logs", [src_index])
+    nxt = os.path.join(str(tmp_path), "logs-000002")
+
+    with pytest.raises(ValueError, match="condition"):
+        rollover(spark, reg, "logs", nxt)
+    with pytest.raises(KeyError):
+        rollover(spark, reg, "nope", nxt, max_docs=1)
+
+    r = rollover(spark, reg, "logs", nxt, max_docs=10_000)
+    assert r["rolled"] is False and r["write_index"] == src_index
+    assert resolve(reg, "logs") == [src_index]
+    assert r["conditions"]["max_docs"]["current"] == 150
+
+    r = rollover(spark, reg, "logs", nxt, max_docs=100)
+    assert r["rolled"] is True and r["write_index"] == nxt
+    assert resolve(reg, "logs") == [src_index, nxt]
+
+    # duplicate target rejected
+    with pytest.raises(ValueError, match="already"):
+        rollover(spark, reg, "logs", nxt, max_docs=1)
+
+    # the rolled-to dir is created by the first append; the alias then
+    # searches across old + new via the cross-index merge
+    from sparkfts.multiindex import search_alias
+    from sparkfts.streaming import ingest_batch
+
+    wave = gen_corpus(25, seed=77).to_pandas()
+    assert ingest_batch(
+        spark.createDataFrame(wave), 0, nxt, n_shards=2, n_tbuckets=4
+    ) is not None
+    res = search_alias(spark, reg, "logs", [(0, "the", 5)], mode="or")
+    assert res.count() == 5
+
+    # max_bytes condition path
+    r = rollover(
+        spark, reg, "logs", os.path.join(str(tmp_path), "logs-000003"),
+        max_bytes=1,
+    )
+    assert r["rolled"] is True
+    assert r["conditions"]["max_bytes"]["current"] > 1
