@@ -1216,6 +1216,38 @@ def q_host_doc_counts(spark, sf_dir):
     )
 
 
+def q_filters_agg(spark, sf_dir):
+    """ES filters aggregation: named predicate buckets (overlapping,
+    zero-count included, request order) + the _other_ bucket, over the
+    full OR-query match set."""
+    from sparkfts.aggs import filters_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return filters_agg(
+        spark, idx, BM25_QUERY_OR,
+        docs.select("doc_id", "lang", "n_chars"),
+        [("english", "lang = 'en'"),
+         ("big", "n_chars >= 200"),
+         ("absent", "lang = 'zz'")],
+        mode="or", other_bucket=True,
+    )
+
+
+def q_missing_agg(spark, sf_dir):
+    """ES missing aggregation: matched docs with no value for the field
+    (engine semantics: NULL doc value or absent row). The fixture
+    nullifies lang='de' so the count is deterministic and non-zero."""
+    from sparkfts.aggs import missing_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    dv = docs.select(
+        "doc_id", F.expr("nullif(lang, 'de')").alias("lang_opt")
+    )
+    return missing_agg(spark, idx, BM25_QUERY_OR, dv, "lang_opt", mode="or")
+
+
 def q_range_agg(spark, sf_dir):
     """ES range aggregation over the full OR-query match set: every
     requested range reported (zero-count included), request order
@@ -1569,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_doc_counts": q_host_doc_counts,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "range_agg": q_range_agg,
+        "filters_agg": q_filters_agg,
+        "missing_agg": q_missing_agg,
         "composite_agg": q_composite_agg,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -2812,6 +2846,36 @@ UNION ALL
 SELECT 'large',
        CAST(coalesce(sum(CASE WHEN n_chars >= 300.0 THEN 1 ELSE 0 END), 0)
             AS BIGINT) FROM j
+"""
+
+    sqls["filters_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+j AS (SELECT d.lang, d.n_chars FROM matched m JOIN documents d USING (doc_id))
+SELECT 'english' AS key,
+       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS doc_count FROM j
+UNION ALL
+SELECT 'big',
+       CAST(coalesce(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM j
+UNION ALL
+SELECT 'absent',
+       CAST(coalesce(sum(CASE WHEN lang = 'zz' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM j
+UNION ALL
+SELECT '_other_',
+       CAST(coalesce(sum(CASE WHEN NOT (lang = 'en') AND NOT (n_chars >= 200)
+                          AND NOT (lang = 'zz') THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM j
+"""
+
+    sqls["missing_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT CAST(coalesce(sum(CASE WHEN nullif(d.lang, 'de') IS NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
 """
 
     # composite agg: lexicographic after-key pagination

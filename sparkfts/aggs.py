@@ -427,6 +427,100 @@ def range_agg(
     )
 
 
+def filters_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    filters: list[tuple[str, str]],
+    mode: str = "and",
+    other_bucket: bool = False,
+) -> DataFrame:
+    """ES ``filters`` aggregation -> (key, doc_count): one NAMED bucket
+    per SQL predicate over the matched docs' doc values, every bucket
+    reported (zero-count included) in request order. Buckets may
+    overlap (a doc can satisfy several predicates — ES semantics, not a
+    partition). ``other_bucket=True`` appends ES's ``_other_`` bucket:
+    matched docs satisfying NONE of the predicates.
+
+    Same one-pass shape as :func:`range_agg`: each bucket is a
+    conditional partial-aggregated sum over the matched-join frame —
+    one scalar row crosses the final exchange regardless of corpus
+    size.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    keys = [k for k, _ in filters]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate filter keys: {keys}")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values, "doc_id")
+    conds = [F.expr(pred) for _, pred in filters]
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias(f"_f{i}")
+        for i, c in enumerate(conds)
+    ]
+    out_keys = list(keys)
+    if other_bucket:
+        none_match = ~conds[0]
+        for c in conds[1:]:
+            none_match = none_match & ~c
+        # a NULL predicate result is "did not match" for every bucket,
+        # so _other_ must count it: coalesce the negated conjunction
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.coalesce(none_match, F.lit(True)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias(f"_f{len(conds)}")
+        )
+        out_keys.append("_other_")
+    row = joined.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("key"),
+            F.col(f"_f{i}").cast("long").alias("doc_count"),
+        )
+        for i, k in enumerate(out_keys)
+    ])
+    return row.select(F.explode(pairs).alias("b")).select(
+        F.col("b.key").alias("key"), F.col("b.doc_count").alias("doc_count")
+    )
+
+
+def missing_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``missing`` aggregation -> one row (doc_count): matched docs
+    with NO value for ``field`` — NULL in the doc-values frame, or
+    absent from it entirely (left join), which is exactly ES's
+    missing-docvalue semantics."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(
+        doc_values.select("doc_id", field), "doc_id", "left"
+    )
+    return joined.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col(field).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("doc_count")
+    )
+
+
 def composite_agg(
     spark: SparkSession,
     index_dir: str,

@@ -118,3 +118,70 @@ def test_composite_agg_pagination(
             spark, agg_index, q, doc_values,
             [("b", "weird", "n_chars", None)], size=3,
         )
+
+
+def test_filters_agg_buckets(spark, agg_index, doc_values, py_oracle,
+                             queries):
+    from sparkfts.aggs import filters_agg
+
+    q = queries[0]["query"]
+    filters = [
+        ("en", "lang = 'en'"),
+        ("longish", "n_chars >= 300"),
+        ("nothing", "lang = 'zz'"),
+    ]
+    got = filters_agg(
+        spark, agg_index, q, doc_values, filters, mode="or",
+        other_bucket=True,
+    ).collect()
+    rows = _matched_values(py_oracle, doc_values, q)
+    exp = {
+        "en": sum(1 for r in rows if r["lang"] == "en"),
+        "longish": sum(1 for r in rows if r["n_chars"] >= 300),
+        "nothing": 0,
+        "_other_": sum(
+            1 for r in rows
+            if r["lang"] != "en" and r["n_chars"] < 300
+        ),
+    }
+    # every bucket present (zero-count included), request order, counts
+    assert [(r["key"], r["doc_count"]) for r in got] == [
+        ("en", exp["en"]), ("longish", exp["longish"]),
+        ("nothing", 0), ("_other_", exp["_other_"]),
+    ]
+    # buckets overlap: sum of named buckets + other >= matched count
+    assert exp["en"] + exp["longish"] + exp["_other_"] >= len(rows)
+
+
+def test_filters_agg_validation(spark, agg_index, doc_values):
+    from sparkfts.aggs import filters_agg
+
+    with pytest.raises(ValueError, match="non-empty"):
+        filters_agg(spark, agg_index, "web", doc_values, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        filters_agg(spark, agg_index, "web", doc_values,
+                    [("a", "lang = 'en'"), ("a", "lang = 'de'")])
+
+
+def test_missing_agg_null_and_absent(spark, agg_index, doc_values,
+                                     py_oracle, queries):
+    from sparkfts.aggs import missing_agg
+
+    q = queries[0]["query"]
+    rows = _matched_values(py_oracle, doc_values, q)
+    # (a) NULL values count as missing
+    dv_null = doc_values.select(
+        "doc_id", F.expr("nullif(lang, 'en')").alias("lang_opt")
+    )
+    got = missing_agg(spark, agg_index, q, dv_null, "lang_opt",
+                      mode="or").collect()
+    assert got[0]["doc_count"] == sum(1 for r in rows if r["lang"] == "en")
+    # (b) rows absent from the doc-values frame count as missing too
+    dv_partial = doc_values.where("lang <> 'de'").select("doc_id", "lang")
+    got2 = missing_agg(spark, agg_index, q, dv_partial, "lang",
+                       mode="or").collect()
+    assert got2[0]["doc_count"] == sum(1 for r in rows if r["lang"] == "de")
+    # (c) nothing missing -> 0 (not null)
+    got3 = missing_agg(spark, agg_index, q, doc_values, "lang",
+                       mode="or").collect()
+    assert got3[0]["doc_count"] == 0
