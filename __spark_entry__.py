@@ -64,6 +64,12 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         F.col("lang"),
         F.col("source"),
         F.col("n_chars").cast("long").alias("n_chars"),
+        # deterministic per-doc crawl time as epoch seconds
+        # (2024-01-01 UTC + doc_id % 400 days) — the decay/recency
+        # entries' doc value, reproduced arithmetically in DuckDB
+        (F.lit(1704067200) + (F.col("doc_id") % 400) * 86400)
+        .cast("long")
+        .alias("crawl_epoch"),
     )
 
 
@@ -91,7 +97,7 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = os.path.join(REPO, ".scratch", f"entry_idx_{key}")
     meta_path = os.path.join(idx, "meta.json")
-    want_dv = ["lang", "source", "n_chars"]
+    want_dv = ["lang", "source", "n_chars", "crawl_epoch"]
     stale = True
     if os.path.exists(meta_path):
         import json as _json
@@ -1532,6 +1538,241 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round 4 wave 2: score shaping, pipeline aggs, percolate/termvectors,
+# LM perplexity, sub-document dedup
+# ---------------------------------------------------------------------------
+
+DECAY_ORIGIN = 1717200000.0  # epoch of 2024-06-01 UTC
+DECAY_SCALE = 5184000.0      # 60 days in seconds
+DECAY_OFFSET = 864000.0      # 10 days
+
+
+def q_fts_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation, pivot 200) in bool.should with the
+    AND match: score = BM25 + 0.7 * n_chars/(n_chars+200)."""
+    from sparkfts.scoring import rank_feature_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = rank_feature_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], "n_chars",
+        "saturation", pivot=200.0, boost=0.7, mode="and",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_decay_recency(spark, sf_dir):
+    """ES function_score gauss decay on the synthesized crawl time
+    (origin 2024-06-01, scale 60d, offset 10d, decay 0.5,
+    boost_mode multiply) — the standard recency boost."""
+    from sparkfts.scoring import decay_score_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = decay_score_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], "crawl_epoch", "gauss",
+        origin=DECAY_ORIGIN, scale=DECAY_SCALE, offset=DECAY_OFFSET,
+        decay=0.5, mode="and",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_boosting_topk(spark, sf_dir):
+    """ES boosting query: positive AND match, docs also containing
+    'vector' demoted by negative_boost 0.4."""
+    from sparkfts.scoring import boosting_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = boosting_batch(
+        spark, idx, [(0, BM25_QUERY_AND, "vector", 10)],
+        negative_boost=0.4, mode="and",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_constant_score(spark, sf_dir):
+    """ES constant_score: every OR-match scores boost 1.5; ties pinned
+    doc_id asc so the page is the 12 smallest matching ids."""
+    from sparkfts.scoring import constant_score_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = constant_score_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 12)], boost=1.5, mode="or"
+    )
+    return res.select(
+        "rank", "doc_id", _score_e4_col()
+    )
+
+
+def _month_buckets(spark, sf_dir):
+    """Shared parent agg for the pipeline entries: monthly
+    date_histogram of the OR query over the synthesized crawl_ts."""
+    from sparkfts.aggs import date_histogram
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, CAST(doc_id % 400 AS INT))"
+        ).alias("crawl_ts"),
+    )
+    return date_histogram(
+        spark, idx, BM25_QUERY_OR, docs, "crawl_ts",
+        calendar_interval="month", mode="or",
+    )
+
+
+def q_pipeline_cumsum(spark, sf_dir):
+    """ES cumulative_sum pipeline agg over the monthly date_histogram."""
+    from sparkfts.pipelineaggs import cumulative_sum
+
+    res = cumulative_sum(_month_buckets(spark, sf_dir), "doc_count")
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("cumulative_sum").cast("long").alias("cum"),
+    )
+
+
+def q_pipeline_derivative(spark, sf_dir):
+    """ES derivative pipeline agg (first bucket omitted, as ES omits
+    the field there)."""
+    from sparkfts.pipelineaggs import derivative
+
+    res = derivative(_month_buckets(spark, sf_dir), "doc_count")
+    return res.where(F.col("derivative").isNotNull()).select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("derivative").cast("long").alias("deriv"),
+    )
+
+
+def q_pipeline_moving_avg(spark, sf_dir):
+    """ES moving_fn unweightedAvg, window 3, shift 0 (current bucket
+    excluded — ES default); empty-window buckets omitted."""
+    from sparkfts.pipelineaggs import moving_avg
+
+    res = moving_avg(
+        _month_buckets(spark, sf_dir), "doc_count", window=3, shift=0
+    )
+    return res.where(F.col("moving_avg").isNotNull()).select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.floor(F.col("moving_avg") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("mavg_e6"),
+    )
+
+
+def q_pipeline_stats_bucket(spark, sf_dir):
+    """ES sibling stats_bucket over the monthly doc_counts."""
+    from sparkfts.pipelineaggs import stats_bucket
+
+    res = stats_bucket(_month_buckets(spark, sf_dir), "doc_count")
+    return res.select(
+        F.col("count").cast("long").alias("n_buckets"),
+        F.col("min").cast("long").alias("min_count"),
+        F.col("max").cast("long").alias("max_count"),
+        F.col("sum").cast("long").alias("sum_count"),
+        F.floor(F.col("avg") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("avg_e6"),
+    )
+
+
+def q_pipeline_bucket_sort(spark, sf_dir):
+    """ES bucket_sort: top-3 months by doc_count desc (bucket asc
+    ties)."""
+    from sparkfts.pipelineaggs import bucket_sort
+
+    res = bucket_sort(
+        _month_buckets(spark, sf_dir),
+        [("doc_count", "desc"), ("bucket", "asc")],
+        size=3,
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+PERCOLATE_QUERIES = [
+    (1, BM25_QUERY_AND, "and"),
+    (2, "spark vector", "or"),
+    (3, BM25_QUERY_OR, "msm:2"),
+]
+
+
+def q_percolate_matches(spark, sf_dir):
+    """ES percolator: which registered queries match each document
+    (broadcast query-term table, one join + grouped count)."""
+    from sparkfts.percolate import percolate
+
+    docs = _docs(spark, sf_dir)
+    return percolate(spark, docs, PERCOLATE_QUERIES).select(
+        "doc_id", "query_id"
+    )
+
+
+def q_termvectors(spark, sf_dir):
+    """ES _termvectors with term_statistics for docs 0-2: per-term
+    in-doc tf, doclen, corpus df and total term frequency."""
+    from sparkfts.termvectors import termvectors
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return termvectors(
+        spark, idx, docs, [0, 1, 2], term_statistics=True
+    ).select(
+        "doc_id",
+        "term",
+        F.col("term_freq").cast("long").alias("term_freq"),
+        F.col("doclen").cast("long").alias("doclen"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("ttf").cast("long").alias("ttf"),
+    )
+
+
+def q_unigram_logppl(spark, sf_dir):
+    """Unigram-LM cross-entropy per doc (self-trained, add-1
+    smoothing) — the CCNet/Gopher perplexity-filter shape."""
+    from sparkfts.ops.lm import unigram_cross_entropy
+
+    docs = _docs(spark, sf_dir)
+    res = unigram_cross_entropy(docs, alpha=1.0)
+    return res.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("h") * 1_000_000 + 0.5).cast("long").alias("h_e6"),
+    )
+
+
+def q_chunk_dedup_stats(spark, sf_dir):
+    """Sub-document dedup accounting: 10-token chunks, global
+    first-occurrence winners (doc_id asc, chunk_idx asc)."""
+    from sparkfts.ops.chunkdedup import chunk_dedup_stats
+
+    docs = _docs(spark, sf_dir)
+    res = chunk_dedup_stats(docs, chunk_tokens=10)
+    return res.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Duplicated-span score: fraction of each doc's distinct 5-grams
+    occurring in >= 2 docs (Lee et al. boilerplate signal)."""
+    from sparkfts.ops.chunkdedup import dup_ngram_coverage
+
+    docs = _docs(spark, sf_dir)
+    res = dup_ngram_coverage(docs, n=5)
+    return res.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -1617,6 +1858,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
+        "fts_rank_feature": q_fts_rank_feature,
+        "fts_decay_recency": q_fts_decay_recency,
+        "fts_boosting_topk": q_fts_boosting_topk,
+        "fts_constant_score": q_fts_constant_score,
+        "pipeline_cumsum": q_pipeline_cumsum,
+        "pipeline_derivative": q_pipeline_derivative,
+        "pipeline_moving_avg": q_pipeline_moving_avg,
+        "pipeline_stats_bucket": q_pipeline_stats_bucket,
+        "pipeline_bucket_sort": q_pipeline_bucket_sort,
+        "percolate_matches": q_percolate_matches,
+        "termvectors": q_termvectors,
+        "unigram_logppl": q_unigram_logppl,
+        "chunk_dedup_stats": q_chunk_dedup_stats,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
     }
 
 
@@ -3197,5 +3452,204 @@ SELECT doc_id AS media_id, CAST(j AS INT) AS j,
        CAST(floor(sum(ascii(substr(text, CAST(n AS INT), 1))) / 8.0 / 255.0
                   * 1000000 + 0.5) AS BIGINT) AS f_e6
 FROM grid GROUP BY doc_id, j
+"""
+
+    # --- round-4 wave 2: score shaping -----------------------------------
+    rf_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_AND.split())), True)
+    sqls["fts_rank_feature"] = f"""
+{rf_cte}
+SELECT s.doc_id,
+       CAST(floor((s.score + 0.7 * (d.n_chars / (d.n_chars + 200.0)))
+                  * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score + 0.7 * (d.n_chars / (d.n_chars + 200.0)) DESC, s.doc_id
+LIMIT 10
+"""
+
+    # gauss decay mirrored with the engine's exact float association:
+    # sigma2 = -(scale*scale)/(2*ln(decay)); factor =
+    # exp(-(max(|v-origin|-offset,0))^2 / (2*sigma2)); missing -> 1
+    decay_expr = (
+        "exp(-pow(greatest(abs(CAST(1704067200 + (d.doc_id % 400) * 86400"
+        " AS DOUBLE) - 1717200000.0) - 864000.0, 0.0), 2)"
+        " / (2.0 * (-(5184000.0 * 5184000.0) / (2.0 * ln(0.5)))))"
+    )
+    sqls["fts_decay_recency"] = f"""
+{rf_cte}
+SELECT s.doc_id,
+       CAST(floor(s.score * {decay_expr} * 10000 + 0.5) AS BIGINT)
+         AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {decay_expr} DESC, s.doc_id LIMIT 10
+"""
+
+    sqls["fts_boosting_topk"] = f"""
+{rf_cte},
+neg AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'vector')
+SELECT s.doc_id,
+       CAST(floor(CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.4
+                       ELSE s.score END * 10000 + 0.5) AS BIGINT)
+         AS score_e4
+FROM scored s LEFT JOIN neg n USING (doc_id)
+ORDER BY CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.4
+              ELSE s.score END DESC, s.doc_id
+LIMIT 10
+"""
+
+    or_terms4 = ", ".join(
+        f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split()))
+    )
+    sqls["fts_constant_score"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4}))
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+       doc_id, CAST(15000 AS BIGINT) AS score_e4
+FROM matched ORDER BY doc_id LIMIT 12
+"""
+
+    # --- pipeline aggregations over the monthly date_histogram -----------
+    mb_cte = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4})),
+mb AS (
+  SELECT CAST(floor(epoch(date_trunc('month',
+           TIMESTAMP '2024-01-01 00:00:00'
+           + (d.doc_id % 400) * INTERVAL 1 DAY))) AS BIGINT)
+           AS bucket_epoch,
+         count(*) AS doc_count
+  FROM matched m JOIN documents d USING (doc_id)
+  GROUP BY 1)
+"""
+    sqls["pipeline_cumsum"] = f"""
+{mb_cte}
+SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(sum(doc_count) OVER (ORDER BY bucket_epoch
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+FROM mb ORDER BY bucket_epoch
+"""
+
+    sqls["pipeline_derivative"] = f"""
+{mb_cte}
+SELECT bucket_epoch,
+       CAST(doc_count - lag(doc_count, 1)
+              OVER (ORDER BY bucket_epoch) AS BIGINT) AS deriv
+FROM mb
+QUALIFY lag(doc_count, 1) OVER (ORDER BY bucket_epoch) IS NOT NULL
+ORDER BY bucket_epoch
+"""
+
+    sqls["pipeline_moving_avg"] = f"""
+{mb_cte}
+SELECT bucket_epoch,
+       CAST(floor(avg(doc_count * 1.0) OVER (ORDER BY bucket_epoch
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+              * 1000000 + 0.5) AS BIGINT) AS mavg_e6
+FROM mb
+QUALIFY avg(doc_count * 1.0) OVER (ORDER BY bucket_epoch
+          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) IS NOT NULL
+ORDER BY bucket_epoch
+"""
+
+    sqls["pipeline_stats_bucket"] = f"""
+{mb_cte}
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(doc_count) AS BIGINT) AS min_count,
+       CAST(max(doc_count) AS BIGINT) AS max_count,
+       CAST(sum(doc_count) AS BIGINT) AS sum_count,
+       CAST(floor(avg(doc_count * 1.0) * 1000000 + 0.5) AS BIGINT)
+         AS avg_e6
+FROM mb
+"""
+
+    sqls["pipeline_bucket_sort"] = f"""
+{mb_cte}
+SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count
+FROM mb ORDER BY doc_count DESC, bucket_epoch LIMIT 3
+"""
+
+    # --- percolate / termvectors -----------------------------------------
+    sqls["percolate_matches"] = f"""
+WITH dt AS (SELECT DISTINCT doc_id, tok FROM ({_TOKS}))
+SELECT doc_id, CAST(1 AS INT) AS query_id FROM dt
+WHERE tok IN ('join', 'spark') GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) FROM dt
+WHERE tok IN ('spark', 'vector') GROUP BY doc_id HAVING count(*) >= 1
+UNION ALL
+SELECT doc_id, CAST(3 AS INT) FROM dt
+WHERE tok IN ('join', 'spark', 'vector')
+GROUP BY doc_id HAVING count(*) >= 2
+"""
+
+    sqls["termvectors"] = f"""
+WITH toks AS ({_TOKS}),
+tfx AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+        GROUP BY 1, 2),
+dlx AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+dfx AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        GROUP BY 1),
+ttfx AS (SELECT tok AS term, count(*) AS ttf FROM toks GROUP BY 1)
+SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS term_freq,
+       CAST(dlx.doclen AS BIGINT) AS doclen,
+       CAST(dfx.df AS BIGINT) AS doc_freq,
+       CAST(ttfx.ttf AS BIGINT) AS ttf
+FROM tfx t JOIN dlx USING (doc_id) JOIN dfx USING (term)
+JOIN ttfx USING (term)
+WHERE t.doc_id IN (0, 1, 2) ORDER BY doc_id, term
+"""
+
+    # --- unigram LM cross-entropy ----------------------------------------
+    sqls["unigram_logppl"] = f"""
+WITH toks AS ({_TOKS}),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS vocab FROM cnt)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(-avg(ln((cnt.c + 1.0) / (tot.total + 1.0 * tot.vocab)))
+                  * 1000000 + 0.5) AS BIGINT) AS h_e6
+FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+    # --- sub-document dedup ----------------------------------------------
+    sqls["chunk_dedup_stats"] = f"""
+WITH tl AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+            FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+       FROM tl),
+ch AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk_idx,
+              string_agg(tok, ' ' ORDER BY i) AS chunk_text
+       FROM tk GROUP BY 1, 2),
+hs AS (SELECT doc_id, chunk_idx,
+              CAST(('0x' || substr(md5(chunk_text), 1, 15)) AS BIGINT)
+                % {HASH_P} AS h
+       FROM ch),
+wn AS (SELECT h, min(struct_pack(d := doc_id, c := chunk_idx)) AS w
+       FROM hs GROUP BY h)
+SELECT hs.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN struct_extract(w, 'd') = hs.doc_id
+                      AND struct_extract(w, 'c') = hs.chunk_idx
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM hs JOIN wn USING (h) GROUP BY hs.doc_id
+"""
+
+    sqls["dup_ngram_coverage"] = f"""
+WITH tl AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+            FROM documents),
+gr AS (SELECT doc_id,
+              unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                    for i in range(1, len(t) - 3)]))
+                AS gram
+       FROM tl WHERE len(t) >= 5),
+g31 AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                 % {HASH_P} AS g
+        FROM gr),
+gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM g31 JOIN gdf USING (g) GROUP BY doc_id
 """
     return sqls

@@ -1,0 +1,186 @@
+"""ES pipeline aggregations: second-pass aggs over a parent
+multi-bucket aggregation's REDUCED bucket frame.
+
+In Elasticsearch every pipeline aggregation (``cumulative_sum``,
+``derivative``, ``moving_fn``, ``serial_diff``, ``bucket_script``,
+``bucket_selector``, ``bucket_sort`` and the sibling ``*_bucket``
+family) runs on the coordinating node at reduce time, AFTER the shards
+have produced and merged the parent histogram/terms buckets.  The input
+is therefore always a small frame — bounded by the time range divided
+by the interval, or by the terms agg's ``size`` — never by corpus
+size.  The Spark translation keeps that contract: these helpers take
+the parent agg's output DataFrame (e.g. :func:`sparkfts.aggs.
+date_histogram`) and compose plain column expressions / window
+functions over it.  The deliberate ``coalesce(1)`` + unpartitioned
+window mirrors the ES coordinator reduce and is the CORRECT shape at
+100 TB, because the 100-TB-sized work (matching + bucketing) already
+happened map-side in the parent agg; only (n_buckets) rows reach this
+layer.
+
+Reference parity: the reference delegates all aggregations to
+Elasticsearch via its single ``client.search`` call
+(ElasticsearchHandler.py:69); pipeline aggs are the standard ES
+dashboard layer over the date_histogram facets this engine already
+serves.
+
+Pinned semantics (all ES-documented):
+- ``cumulative_sum``: running sum in bucket order; defined from the
+  first bucket.
+- ``derivative``: ``metric[i] - metric[i-1]``; the first bucket has no
+  derivative (NULL — ES omits the field).
+- ``moving_fn`` (avg): window of ``window`` buckets shifted by
+  ``shift``; with the ES default ``shift=0`` the window is
+  ``[i-window, i)`` — the current bucket is EXCLUDED.  Buckets whose
+  window is empty yield NULL.
+- ``serial_diff``: ``metric[i] - metric[i-lag]``; NULL while no lagged
+  bucket exists.
+- ``bucket_script``: arbitrary arithmetic over the bucket's metrics.
+- ``bucket_selector``: drops buckets where the predicate is false.
+- ``bucket_sort``: re-sorts buckets by metrics with from/size paging;
+  order of surviving buckets is the pipeline sort, not the parent's.
+- sibling ``stats_bucket`` / ``sum_bucket`` / ``avg_bucket`` /
+  ``min_bucket`` / ``max_bucket``: one-row aggregate over the parent's
+  per-bucket metric.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered(buckets: DataFrame, order_by: str) -> tuple[DataFrame, Window]:
+    """One-partition frame + bucket-order window (ES coordinator
+    reduce shape; input is a reduced bucket set, never corpus-sized)."""
+    w = Window.orderBy(F.asc(order_by))
+    return buckets.coalesce(1), w
+
+
+def cumulative_sum(
+    buckets: DataFrame,
+    metric: str,
+    order_by: str = "bucket",
+    out: str = "cumulative_sum",
+) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg."""
+    df, w = _ordered(buckets, order_by)
+    return df.withColumn(
+        out, F.sum(metric).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def derivative(
+    buckets: DataFrame,
+    metric: str,
+    order_by: str = "bucket",
+    out: str = "derivative",
+) -> DataFrame:
+    """ES ``derivative`` pipeline agg (first bucket -> NULL)."""
+    df, w = _ordered(buckets, order_by)
+    return df.withColumn(out, F.col(metric) - F.lag(metric, 1).over(w))
+
+
+def serial_diff(
+    buckets: DataFrame,
+    metric: str,
+    lag: int = 1,
+    order_by: str = "bucket",
+    out: str = "serial_diff",
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg (lag-``lag`` difference)."""
+    df, w = _ordered(buckets, order_by)
+    return df.withColumn(out, F.col(metric) - F.lag(metric, lag).over(w))
+
+
+def moving_avg(
+    buckets: DataFrame,
+    metric: str,
+    window: int,
+    shift: int = 0,
+    order_by: str = "bucket",
+    out: str = "moving_avg",
+) -> DataFrame:
+    """ES ``moving_fn`` with ``MovingFunctions.unweightedAvg``.
+
+    Window spans ``[i - window + shift, i + shift)`` in bucket order —
+    the ES default ``shift=0`` EXCLUDES the current bucket, so the
+    first bucket (empty window) is NULL.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    df, w = _ordered(buckets, order_by)
+    frame = w.rowsBetween(-window + shift, shift - 1)
+    return df.withColumn(out, F.avg(F.col(metric).cast("double")).over(frame))
+
+
+def bucket_script(
+    buckets: DataFrame, out: str, expr: Column
+) -> DataFrame:
+    """ES ``bucket_script``: a computed metric over each bucket's
+    existing metrics (the ``buckets_path`` variables are just the
+    frame's columns here)."""
+    return buckets.withColumn(out, expr)
+
+
+def bucket_selector(buckets: DataFrame, predicate: Column) -> DataFrame:
+    """ES ``bucket_selector``: keep buckets where ``predicate`` holds."""
+    return buckets.where(predicate)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    from_: int = 0,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``bucket_sort``: re-order buckets by metric columns with
+    from/size paging.  ``sort`` is [(column, 'asc'|'desc'), ...]."""
+    cols = [
+        F.asc(c) if d == "asc" else F.desc(c) for c, d in sort
+    ]
+    df = buckets.orderBy(*cols)
+    if from_:
+        w = Window.orderBy(*cols)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > from_)
+            .drop("__rn")
+            .orderBy(*cols)
+        )
+    if size is not None:
+        df = df.limit(size)
+    return df
+
+
+def stats_bucket(
+    buckets: DataFrame, metric: str
+) -> DataFrame:
+    """ES sibling ``stats_bucket``: one row of count/min/max/sum/avg
+    over the parent agg's per-bucket metric."""
+    c = F.col(metric).cast("double")
+    return buckets.agg(
+        F.count(metric).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+    )
+
+
+def sum_bucket(buckets: DataFrame, metric: str) -> DataFrame:
+    """ES sibling ``sum_bucket``."""
+    return buckets.agg(F.sum(F.col(metric).cast("double")).alias("value"))
+
+
+def avg_bucket(buckets: DataFrame, metric: str) -> DataFrame:
+    """ES sibling ``avg_bucket``."""
+    return buckets.agg(F.avg(F.col(metric).cast("double")).alias("value"))
+
+
+def min_bucket(buckets: DataFrame, metric: str) -> DataFrame:
+    """ES sibling ``min_bucket``."""
+    return buckets.agg(F.min(F.col(metric).cast("double")).alias("value"))
+
+
+def max_bucket(buckets: DataFrame, metric: str) -> DataFrame:
+    """ES sibling ``max_bucket``."""
+    return buckets.agg(F.max(F.col(metric).cast("double")).alias("value"))
