@@ -1694,6 +1694,120 @@ def q_pipeline_bucket_sort(spark, sf_dir):
     )
 
 
+def q_extended_stats_agg(spark, sf_dir):
+    """ES extended_stats over the OR match set: + sum_of_squares and
+    the pinned moment-formula population variance/std."""
+    from sparkfts.aggs import extended_stats_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = extended_stats_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", mode="or",
+    )
+    return res.select(
+        F.col("count").cast("long").alias("n"),
+        F.col("min").cast("long").alias("min_chars"),
+        F.col("max").cast("long").alias("max_chars"),
+        F.col("sum").cast("long").alias("sum_chars"),
+        F.col("sum_of_squares").cast("long").alias("sumsq"),
+        F.floor(F.col("variance") * 10_000 + 0.5)
+        .cast("long")
+        .alias("var_e4"),
+        F.floor(F.col("std_deviation") * 10_000 + 0.5)
+        .cast("long")
+        .alias("std_e4"),
+    )
+
+
+def q_weighted_avg_agg(spark, sf_dir):
+    """ES weighted_avg of n_chars weighted by the deterministic
+    wt = doc_id % 7 + 1."""
+    from sparkfts.aggs import weighted_avg_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 7 + 1).cast("long").alias("wt"),
+    )
+    res = weighted_avg_agg(
+        spark, idx, BM25_QUERY_OR, docs, "n_chars", "wt", mode="or"
+    )
+    return res.select(
+        F.floor(F.col("value") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("wavg_e6")
+    )
+
+
+def q_top_metrics_agg(spark, sf_dir):
+    """ES top_metrics: n_chars of the 5 matched docs with the largest
+    wt (ties doc_id asc)."""
+    from sparkfts.aggs import top_metrics_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 7 + 1).cast("long").alias("wt"),
+    )
+    res = top_metrics_agg(
+        spark, idx, BM25_QUERY_OR, docs, "n_chars", "wt",
+        ascending=False, size=5, mode="or",
+    )
+    return res.select(
+        F.col("sort_value").cast("long").alias("sort_value"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "doc_id",
+    )
+
+
+def q_date_range_agg(spark, sf_dir):
+    """ES date_range over the synthesized crawl_ts (from inclusive,
+    to exclusive, zero-count ranges reported in request order)."""
+    from sparkfts.aggs import date_range_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, CAST(doc_id % 400 AS INT))"
+        ).alias("crawl_ts"),
+    )
+    ranges = [
+        ("q1", None, "2024-04-01 00:00:00"),
+        ("q2", "2024-04-01 00:00:00", "2024-07-01 00:00:00"),
+        ("h2", "2024-07-01 00:00:00", "2025-01-01 00:00:00"),
+        ("y25", "2025-01-01 00:00:00", None),
+    ]
+    res = date_range_agg(
+        spark, idx, BM25_QUERY_OR, docs, "crawl_ts", ranges, mode="or"
+    )
+    return res.select("key", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_adjacency_matrix_agg(spark, sf_dir):
+    """ES adjacency_matrix over lang/source/length predicates: singles
+    + pairwise intersections, empty buckets omitted, key asc."""
+    from sparkfts.aggs import adjacency_matrix_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    filters = [
+        ("en", "lang = 'en'"),
+        ("s0", "source = 'src0'"),
+        ("long", "n_chars >= 300"),
+    ]
+    res = adjacency_matrix_agg(
+        spark, idx, BM25_QUERY_OR, docs, filters, mode="or"
+    )
+    return res.select(
+        "key", F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, BM25_QUERY_AND, "and"),
     (2, "spark vector", "or"),
@@ -1872,6 +1986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": q_unigram_logppl,
         "chunk_dedup_stats": q_chunk_dedup_stats,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "extended_stats_agg": q_extended_stats_agg,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "top_metrics_agg": q_top_metrics_agg,
+        "date_range_agg": q_date_range_agg,
+        "adjacency_matrix_agg": q_adjacency_matrix_agg,
     }
 
 
@@ -3565,6 +3684,97 @@ FROM mb
 {mb_cte}
 SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count
 FROM mb ORDER BY doc_count DESC, bucket_epoch LIMIT 3
+"""
+
+    # --- extended metric aggs --------------------------------------------
+    sqls["extended_stats_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4})),
+s AS (
+  SELECT count(*) AS n, min(d.n_chars) AS mn, max(d.n_chars) AS mx,
+         CAST(sum(d.n_chars) AS BIGINT) AS sm,
+         avg(d.n_chars * 1.0) AS av,
+         CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sq
+  FROM matched m JOIN documents d USING (doc_id))
+SELECT CAST(n AS BIGINT) AS n, CAST(mn AS BIGINT) AS min_chars,
+       CAST(mx AS BIGINT) AS max_chars, sm AS sum_chars,
+       sq AS sumsq,
+       CAST(floor((sq * 1.0 / n - av * av) * 10000 + 0.5) AS BIGINT)
+         AS var_e4,
+       CAST(floor(sqrt(sq * 1.0 / n - av * av) * 10000 + 0.5) AS BIGINT)
+         AS std_e4
+FROM s
+"""
+
+    sqls["weighted_avg_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4}))
+SELECT CAST(floor(sum(d.n_chars * 1.0 * (d.doc_id % 7 + 1))
+                  / sum((d.doc_id % 7 + 1) * 1.0)
+                  * 1000000 + 0.5) AS BIGINT) AS wavg_e6
+FROM matched m JOIN documents d USING (doc_id)
+"""
+
+    sqls["top_metrics_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4}))
+SELECT CAST(d.doc_id % 7 + 1 AS BIGINT) AS sort_value,
+       CAST(d.n_chars AS BIGINT) AS n_chars, d.doc_id
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY d.doc_id % 7 + 1 DESC, d.doc_id LIMIT 5
+"""
+
+    sqls["date_range_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4})),
+j AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+           + (d.doc_id % 400) * INTERVAL 1 DAY AS ts
+  FROM matched m JOIN documents d USING (doc_id)),
+c AS (
+  SELECT
+    sum(CASE WHEN ts < TIMESTAMP '2024-04-01 00:00:00'
+             THEN 1 ELSE 0 END) AS q1,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-04-01 00:00:00'
+              AND ts < TIMESTAMP '2024-07-01 00:00:00'
+             THEN 1 ELSE 0 END) AS q2,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-07-01 00:00:00'
+              AND ts < TIMESTAMP '2025-01-01 00:00:00'
+             THEN 1 ELSE 0 END) AS h2,
+    sum(CASE WHEN ts >= TIMESTAMP '2025-01-01 00:00:00'
+             THEN 1 ELSE 0 END) AS y25
+  FROM j)
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count FROM (
+  SELECT 'q1' AS key, q1 AS doc_count FROM c
+  UNION ALL SELECT 'q2', q2 FROM c
+  UNION ALL SELECT 'h2', h2 FROM c
+  UNION ALL SELECT 'y25', y25 FROM c)
+"""
+
+    sqls["adjacency_matrix_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms4})),
+j AS (SELECT d.* FROM matched m JOIN documents d USING (doc_id)),
+c AS (
+  SELECT
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS b_en,
+    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS b_s0,
+    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS b_long,
+    sum(CASE WHEN lang = 'en' AND source = 'src0'
+             THEN 1 ELSE 0 END) AS b_en_s0,
+    sum(CASE WHEN lang = 'en' AND n_chars >= 300
+             THEN 1 ELSE 0 END) AS b_en_long,
+    sum(CASE WHEN source = 'src0' AND n_chars >= 300
+             THEN 1 ELSE 0 END) AS b_s0_long
+  FROM j)
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count FROM (
+  SELECT 'en' AS key, b_en AS doc_count FROM c
+  UNION ALL SELECT 's0', b_s0 FROM c
+  UNION ALL SELECT 'long', b_long FROM c
+  UNION ALL SELECT 'en&s0', b_en_s0 FROM c
+  UNION ALL SELECT 'en&long', b_en_long FROM c
+  UNION ALL SELECT 's0&long', b_s0_long FROM c)
+WHERE doc_count > 0 ORDER BY key
 """
 
     # --- percolate / termvectors -----------------------------------------

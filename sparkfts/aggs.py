@@ -801,6 +801,225 @@ def significant_terms(
     )
 
 
+def extended_stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``extended_stats`` -> one row (count, min, max, sum, avg,
+    sum_of_squares, variance, std_deviation).
+
+    Pinned ES math: population variance via the moment formula
+    ``sum_of_squares/count - avg^2`` (exactly ES's reduce; NOT the
+    two-pass or Welford form — pinning the formula keeps the DuckDB
+    oracle bit-comparable). Same one-pass partial-aggregated plan as
+    :func:`stats_agg`.
+    """
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    c = F.col(field).cast("double")
+    row = matched.join(
+        doc_values.select("doc_id", field), "doc_id"
+    ).agg(
+        F.count("*").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+        F.sum(c * c).alias("sum_of_squares"),
+    )
+    variance = (
+        F.col("sum_of_squares") / F.col("count")
+        - F.col("avg") * F.col("avg")
+    )
+    return row.withColumn("variance", variance).withColumn(
+        "std_deviation", F.sqrt(F.col("variance"))
+    )
+
+
+def weighted_avg_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    value_field: str,
+    weight_field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``weighted_avg`` -> one row (value): ``sum(v*w)/sum(w)``
+    over matched docs where BOTH value and weight are present (ES
+    skips docs missing either, absent a ``missing`` config)."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    v = F.col(value_field).cast("double")
+    w = F.col(weight_field).cast("double")
+    return (
+        matched.join(
+            doc_values.select("doc_id", value_field, weight_field),
+            "doc_id",
+        )
+        .where(v.isNotNull() & w.isNotNull())
+        .agg((F.sum(v * w) / F.sum(w)).alias("value"))
+    )
+
+
+def top_metrics_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    metric_field: str,
+    sort_field: str,
+    ascending: bool = True,
+    size: int = 3,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``top_metrics`` -> the metric values of the ``size`` best
+    matched docs by ``sort_field`` ->
+    ``(sort_value, <metric_field>, doc_id)``, sort order then doc_id
+    asc (ES leaves ties unstable; doc_id asc pins them).
+
+    ``orderBy().limit()`` is a TakeOrdered over the matched-join frame
+    — per-partition heaps of ``size`` rows, no global sort.
+    """
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    s = F.col(sort_field)
+    return (
+        matched.join(
+            doc_values.select("doc_id", metric_field, sort_field),
+            "doc_id",
+        )
+        .orderBy(
+            s.asc() if ascending else s.desc(), F.asc("doc_id")
+        )
+        .limit(size)
+        .select(
+            s.alias("sort_value"), F.col(metric_field), "doc_id"
+        )
+    )
+
+
+def date_range_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    ranges: list[tuple[str, str | None, str | None]],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``date_range`` aggregation -> (key, doc_count) per requested
+    range in request order, zero-count ranges included; ``from``
+    inclusive, ``to`` exclusive (ES semantics), boundaries as
+    ``YYYY-MM-DD[ HH:MM:SS]`` UTC strings compared on the timestamp
+    doc value. Same one-pass conditional-sum plan as :func:`range_agg`.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    v = F.col(field)
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    conds = []
+    for key, lo, hi in ranges:
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (v >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            c = c & (v < F.to_timestamp(F.lit(hi)))
+        conds.append(
+            F.coalesce(
+                F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"_r{len(conds)}")
+        )
+    row = joined.agg(*conds)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"_r{i}").cast("long").alias("doc_count"),
+        )
+        for i, (key, _, _) in enumerate(ranges)
+    ])
+    return row.select(F.explode(pairs).alias("b")).select(
+        F.col("b.key").alias("key"),
+        F.col("b.doc_count").alias("doc_count"),
+    )
+
+
+def adjacency_matrix_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    filters: list[tuple[str, str]],
+    mode: str = "and",
+    separator: str = "&",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` -> (key, doc_count): one bucket per
+    named predicate and one per pairwise intersection (``a&b``, the
+    names joined by ``separator`` in request order), EMPTY BUCKETS
+    OMITTED (ES behavior), key asc.
+
+    One pass: singles and the ``n*(n-1)/2`` pair intersections are all
+    conditional partial-aggregated sums over the same matched-join
+    frame — the intersection matrix costs no extra scan or shuffle
+    (ES warns the bucket count grows quadratically; so does this
+    column list, which is the honest equivalent).
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    keys = [k for k, _ in filters]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate filter keys: {keys}")
+    if any(separator in k for k in keys):
+        raise ValueError(f"filter keys must not contain {separator!r}")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values, "doc_id")
+    conds = [F.expr(pred) for _, pred in filters]
+    names: list[str] = []
+    aggs = []
+    for i, k in enumerate(keys):
+        names.append(k)
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(conds[i], F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias(f"_a{len(aggs)}")
+        )
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            names.append(f"{keys[i]}{separator}{keys[j]}")
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            conds[i] & conds[j], F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias(f"_a{len(aggs)}")
+            )
+    row = joined.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("key"),
+            F.col(f"_a{i}").cast("long").alias("doc_count"),
+        )
+        for i, k in enumerate(names)
+    ])
+    return (
+        row.select(F.explode(pairs).alias("b"))
+        .select(
+            F.col("b.key").alias("key"),
+            F.col("b.doc_count").alias("doc_count"),
+        )
+        .where(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
 def terms_facet_from_index(
     spark: SparkSession,
     index_dir: str,

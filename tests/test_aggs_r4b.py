@@ -1,0 +1,191 @@
+"""ES extended_stats / weighted_avg / top_metrics / date_range /
+adjacency_matrix aggregations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25 import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def agg_index(spark, pages_df, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("agg_idx_r4b"))
+    build_index(pages_df, d, n_shards=4, n_tbuckets=8)
+    return d
+
+
+@pytest.fixture(scope="module")
+def doc_values(spark, pages_df):
+    from sparkfts.tokens import prepare_pages
+
+    return (
+        prepare_pages(pages_df)
+        .select("doc_id", "url")
+        .join(
+            pages_df.select(
+                "url", "lang", "warc_ts",
+                F.length("text").alias("n_chars"),
+            ),
+            "url",
+        )
+        .select(
+            "doc_id", "lang", "warc_ts", "n_chars",
+            (F.col("doc_id") % 7 + 1).cast("long").alias("wt"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def py_oracle(corpus):
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(pd.Series(corpus.column("url").to_pylist()))
+    return BM25Oracle(
+        zip(ids.tolist(), corpus.column("text").to_pylist())
+    )
+
+
+def _matched_values(py_oracle, doc_values, query):
+    vals = {r["doc_id"]: r for r in doc_values.collect()}
+    matched = {
+        d
+        for d, _ in py_oracle.search(
+            query, k=py_oracle.n_docs, mode="or"
+        )
+    }
+    return [vals[d] for d in matched]
+
+
+def test_extended_stats(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import extended_stats_agg
+
+    q = queries[0]["query"]
+    got = extended_stats_agg(
+        spark, agg_index, q, doc_values, "n_chars", mode="or"
+    ).collect()[0]
+    xs = [r["n_chars"] for r in _matched_values(py_oracle, doc_values, q)]
+    assert xs, "fixture too sparse"
+    assert got["count"] == len(xs)
+    assert got["min"] == min(xs) and got["max"] == max(xs)
+    assert math.isclose(got["sum"], sum(xs))
+    sq = sum(x * x for x in xs)
+    avg = sum(xs) / len(xs)
+    assert math.isclose(got["sum_of_squares"], sq)
+    var = sq / len(xs) - avg * avg  # ES moment formula, population
+    assert math.isclose(got["variance"], var, rel_tol=1e-9)
+    assert math.isclose(
+        got["std_deviation"], math.sqrt(var), rel_tol=1e-9
+    )
+
+
+def test_weighted_avg(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import weighted_avg_agg
+
+    q = queries[0]["query"]
+    got = weighted_avg_agg(
+        spark, agg_index, q, doc_values, "n_chars", "wt", mode="or"
+    ).collect()[0]["value"]
+    rows = _matched_values(py_oracle, doc_values, q)
+    exp = sum(r["n_chars"] * r["wt"] for r in rows) / sum(
+        r["wt"] for r in rows
+    )
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+def test_top_metrics(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import top_metrics_agg
+
+    q = queries[0]["query"]
+    rows = _matched_values(py_oracle, doc_values, q)
+    for ascending in (True, False):
+        got = top_metrics_agg(
+            spark, agg_index, q, doc_values, "n_chars", "wt",
+            ascending=ascending, size=4, mode="or",
+        ).collect()
+        exp = sorted(
+            rows,
+            key=lambda r: (
+                r["wt"] if ascending else -r["wt"],
+                r["doc_id"],
+            ),
+        )[:4]
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+        assert [r["sort_value"] for r in got] == [r["wt"] for r in exp]
+        assert [r["n_chars"] for r in got] == [
+            r["n_chars"] for r in exp
+        ]
+
+
+def test_date_range(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import date_range_agg
+
+    q = queries[0]["query"]
+    ranges = [  # synth warc_ts spans ~43 min on 2024-01-01
+        ("early", None, "2024-01-01 00:10:00"),
+        ("mid", "2024-01-01 00:10:00", "2024-01-01 00:30:00"),
+        ("late", "2024-01-01 00:30:00", None),
+        ("never", "2030-01-01 00:00:00", None),
+    ]
+    got = date_range_agg(
+        spark, agg_index, q, doc_values, "warc_ts", ranges, mode="or"
+    ).collect()
+    assert [r["key"] for r in got] == [k for k, _, _ in ranges]
+    import datetime as dt
+
+    rows = _matched_values(py_oracle, doc_values, q)
+
+    def n(lo, hi):
+        c = 0
+        for r in rows:
+            ts = r["warc_ts"]
+            if lo and ts < dt.datetime.fromisoformat(lo):
+                continue
+            if hi and ts >= dt.datetime.fromisoformat(hi):
+                continue
+            c += 1
+        return c
+
+    exp = {k: n(lo, hi) for k, lo, hi in ranges}
+    assert {r["key"]: r["doc_count"] for r in got} == exp
+    assert exp["never"] == 0  # zero-count ranges still reported
+
+
+def test_adjacency_matrix(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import adjacency_matrix_agg
+
+    q = queries[0]["query"]
+    filters = [
+        ("en", "lang = 'en'"),
+        ("short", "n_chars < 300"),
+        ("hw", "wt >= 4"),
+    ]
+    got = {
+        r["key"]: r["doc_count"]
+        for r in adjacency_matrix_agg(
+            spark, agg_index, q, doc_values, filters, mode="or"
+        ).collect()
+    }
+    rows = _matched_values(py_oracle, doc_values, q)
+    preds = {
+        "en": lambda r: r["lang"] == "en",
+        "short": lambda r: r["n_chars"] < 300,
+        "hw": lambda r: r["wt"] >= 4,
+    }
+    exp = {}
+    for k, p in preds.items():
+        exp[k] = sum(1 for r in rows if p(r))
+    for a, b in [("en", "short"), ("en", "hw"), ("short", "hw")]:
+        exp[f"{a}&{b}"] = sum(
+            1 for r in rows if preds[a](r) and preds[b](r)
+        )
+    exp = {k: v for k, v in exp.items() if v > 0}  # ES omits empties
+    assert got == exp
+    assert list(got) == sorted(got)  # key asc
