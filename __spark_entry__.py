@@ -1694,6 +1694,41 @@ def q_pipeline_bucket_sort(spark, sf_dir):
     )
 
 
+def q_fts_span_near(spark, sf_dir):
+    """ES span_near in_order=false, slop=2: 'hash table' matched in
+    either order within the pinned anchor window (sparkfts.spans
+    docstring pins the spec the DuckDB oracle mirrors)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_near_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_near_batch(
+        spark, idx, [(0, PHRASE_QUERY, 10)], slop=2, in_order=False
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_span_first(spark, sf_dir):
+    """ES span_first: 'table' within the first 12 positions (tfp =
+    qualifying occurrences)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_first_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_first_batch(
+        spark, idx, [(0, PHRASE_QUERY.split()[0], 12, 10)]
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_extended_stats_agg(spark, sf_dir):
     """ES extended_stats over the OR match set: + sum_of_squares and
     the pinned moment-formula population variance/std."""
@@ -1991,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_metrics_agg": q_top_metrics_agg,
         "date_range_agg": q_date_range_agg,
         "adjacency_matrix_agg": q_adjacency_matrix_agg,
+        "fts_span_near": q_fts_span_near,
+        "fts_span_first": q_fts_span_first,
     }
 
 
@@ -3684,6 +3721,71 @@ FROM mb
 {mb_cte}
 SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count
 FROM mb ORDER BY doc_count DESC, bucket_epoch LIMIT 3
+"""
+
+    # --- span queries -----------------------------------------------------
+    # span_near unordered, slop=2, n=2 -> window span 3: anchor = any
+    # position of either term with both terms occurring in [a, a+3]
+    sqls["fts_span_near"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+pterms(term, i) AS (VALUES {p_vals}),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ({p_in}) GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN dfs d USING (term) CROSS JOIN stats s),
+hits AS (
+  SELECT DISTINCT a.doc_id, a.pos AS anchor
+  FROM toks a
+  WHERE a.tok IN ('{t0_term}', '{t1_term}')
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = a.doc_id AND b.tok = '{t0_term}'
+                  AND b.pos >= a.pos AND b.pos <= a.pos + 3)
+    AND EXISTS (SELECT 1 FROM toks c
+                WHERE c.doc_id = a.doc_id AND c.tok = '{t1_term}'
+                  AND c.pos >= a.pos AND c.pos <= a.pos + 3)),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_span_first"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok = '{t0_term}'),
+freq AS (SELECT doc_id, count(*) AS tfp FROM toks
+         WHERE tok = '{t0_term}' AND pos < 12 GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         ln(1 + (s.n_docs - x.df + 0.5) / (x.df + 0.5))
+           * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                      / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN dfx x CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # --- extended metric aggs --------------------------------------------
