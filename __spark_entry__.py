@@ -1694,6 +1694,27 @@ def q_pipeline_bucket_sort(spark, sf_dir):
     )
 
 
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: 'past hast' corrected via per-slot term
+    candidates (AUTO fuzz ladder) re-ranked by the pinned
+    Stupid-Backoff bigram LM (sparkfts.phrasesuggest docstring)."""
+    from sparkfts.phrasesuggest import build_bigram_model, suggest_phrase
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "lm")):
+        build_bigram_model(_docs(spark, sf_dir), idx)
+    res = suggest_phrase(
+        spark, idx, "past hast", size=3, max_candidates=3
+    )
+    return res.select(
+        "phrase",
+        F.floor(F.col("score_ln") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("score_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_fts_span_near(spark, sf_dir):
     """ES span_near in_order=false, slop=2: 'hash table' matched in
     either order within the pinned anchor window (sparkfts.spans
@@ -2028,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix_agg": q_adjacency_matrix_agg,
         "fts_span_near": q_fts_span_near,
         "fts_span_first": q_fts_span_first,
+        "phrase_suggest": q_phrase_suggest,
     }
 
 
@@ -3721,6 +3743,61 @@ FROM mb
 {mb_cte}
 SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count
 FROM mb ORDER BY doc_count DESC, bucket_epoch LIMIT 3
+"""
+
+    # --- phrase suggester -------------------------------------------------
+    # inputs 'past' / 'hast' (len 5 -> AUTO fuzz 1, neither in the
+    # vocabulary); slot candidates mirror the term-suggester pin
+    # (dist asc, df desc, term asc, top 3 + input-if-in-dict)
+    def _slot_cte(name: str, q: str) -> str:
+        return f"""
+{name} AS (
+  SELECT term FROM dfd WHERE term = '{q}'
+  UNION ALL
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+      ORDER BY levenshtein(term, '{q}') ASC, df DESC, term ASC) AS rn
+    FROM dfd
+    WHERE term != '{q}' AND abs(length(term) - {len(q)}) <= 1
+      AND levenshtein(term, '{q}') <= 1)
+  WHERE rn <= 3)"""
+
+    sqls["phrase_suggest"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+dfd AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        GROUP BY 1),
+{_slot_cte('s1', 'past')},
+{_slot_cte('s2', 'hast')},
+bi AS (
+  SELECT w1, w2, count(*) AS bc FROM (
+    SELECT tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks)
+  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+phr AS (
+  SELECT s1.term AS a, s2.term AS b,
+         s1.term || ' ' || s2.term AS phrase
+  FROM s1, s2
+  WHERE NOT (s1.term = 'past' AND s2.term = 'hast')),
+scored AS (
+  SELECT phrase,
+         ln(u1.c * 1.0 / tot.t)
+           + CASE WHEN bi.bc IS NOT NULL THEN ln(bi.bc * 1.0 / u1.c)
+                  ELSE ln(0.4 * u2.c / tot.t) END AS score
+  FROM phr
+  JOIN uni u1 ON phr.a = u1.tok
+  JOIN uni u2 ON phr.b = u2.tok
+  LEFT JOIN bi ON bi.w1 = phr.a AND bi.w2 = phr.b
+  CROSS JOIN tot)
+SELECT phrase, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
+       CAST(row_number() OVER (ORDER BY score DESC, phrase) AS INT)
+         AS rank
+FROM scored ORDER BY score DESC, phrase LIMIT 3
 """
 
     # --- span queries -----------------------------------------------------
