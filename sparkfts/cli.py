@@ -175,7 +175,135 @@ def cmd_query(args: argparse.Namespace) -> None:
             .orderBy("rank")
             .collect()
         )
-        _print_hits(rows, time.time() - t0)
+        _print_hits(rows, time.time() - t0, min_score=args.min_score)
+        return
+    new_modes = [
+        ("--span-near", args.span_near),
+        ("--span-first", args.span_first is not None),
+        ("--boosting", args.boosting is not None),
+        ("--constant-score", args.constant_score is not None),
+        ("--rank-feature", args.rank_feature is not None),
+        ("--decay", args.decay is not None),
+    ]
+    active_new = [f for f, on in new_modes if on]
+    if len(active_new) > 1:
+        raise SystemExit(
+            f"{' / '.join(active_new)} are mutually exclusive"
+        )
+    if active_new:
+        flag = active_new[0]
+        # each mode's supported companions: --k/--cores (+ --mode for
+        # the scoring modes, + --slop for --span-near); everything else
+        # fails loudly — never silently dropped
+        bad = [
+            f
+            for f, on in (
+                ("--phrase", args.phrase),
+                ("--prefix", args.prefix),
+                ("--wildcard", args.wildcard),
+                ("--fuzzy", args.fuzzy),
+                ("--fields", args.fields),
+                ("--synonyms", args.synonyms),
+                ("--filter", args.filter),
+                ("--must-not", args.must_not),
+                ("--search-after", args.search_after),
+                ("--offset", args.offset),
+                ("--min-should-match", args.min_should_match != 1),
+                ("--no-blockmax", args.no_blockmax),
+                ("--max-expansions", args.max_expansions is not None),
+                ("--transpositions", args.transpositions),
+                ("--slop", args.slop and flag != "--span-near"),
+            )
+            if on
+        ]
+        if bad:
+            raise SystemExit(
+                f"{' / '.join(bad)} not supported with {flag}"
+            )
+        spark = _spark(args.cores, "sparkfts-query")
+        from sparkfts.index import load_docmap
+
+        t0 = time.time()
+        if flag == "--span-near":
+            if not os.path.isdir(os.path.join(args.index, "positions")):
+                raise SystemExit(
+                    "no positions table; run `positions --input ... "
+                    "--index ...`"
+                )
+            from sparkfts.spans import span_near_batch
+
+            res = span_near_batch(
+                spark, args.index, [(0, args.query, args.k)],
+                slop=args.slop, in_order=False,
+            )
+        elif flag == "--span-first":
+            if not os.path.isdir(os.path.join(args.index, "positions")):
+                raise SystemExit(
+                    "no positions table; run `positions --input ... "
+                    "--index ...`"
+                )
+            from sparkfts.spans import span_first_batch
+
+            res = span_first_batch(
+                spark, args.index,
+                [(0, args.query, args.span_first, args.k)],
+            )
+        elif flag == "--boosting":
+            from sparkfts.scoring import boosting_batch
+
+            res = boosting_batch(
+                spark, args.index,
+                [(0, args.query, args.boosting, args.k)],
+                negative_boost=args.negative_boost, mode=args.mode,
+            )
+        elif flag == "--constant-score":
+            from sparkfts.scoring import constant_score_batch
+
+            res = constant_score_batch(
+                spark, args.index, [(0, args.query, args.k)],
+                boost=args.constant_score, mode=args.mode,
+            )
+        elif flag == "--rank-feature":
+            from sparkfts.scoring import rank_feature_batch
+
+            parts = args.rank_feature.split(":")
+            if len(parts) not in (2, 3):
+                raise SystemExit(
+                    "--rank-feature format: FIELD:FUNC[:PIVOT] "
+                    "(FUNC: saturation|log|sigmoid)"
+                )
+            field, func = parts[0], parts[1]
+            pivot = float(parts[2]) if len(parts) == 3 else 1.0
+            res = rank_feature_batch(
+                spark, args.index, [(0, args.query, args.k)],
+                field, func, pivot=pivot, scaling=pivot,
+                mode=args.mode,
+            )
+        else:  # --decay
+            from sparkfts.scoring import decay_score_batch
+
+            parts = args.decay.split(":")
+            if len(parts) not in (4, 5, 6):
+                raise SystemExit(
+                    "--decay format: FIELD:FUNC:ORIGIN:SCALE"
+                    "[:OFFSET[:DECAY]] (FUNC: gauss|exp|linear)"
+                )
+            res = decay_score_batch(
+                spark, args.index, [(0, args.query, args.k)],
+                parts[0], parts[1],
+                origin=float(parts[2]), scale=float(parts[3]),
+                offset=float(parts[4]) if len(parts) > 4 else 0.0,
+                decay=float(parts[5]) if len(parts) > 5 else 0.5,
+                mode=args.mode,
+            )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+        _print_hits(rows, time.time() - t0, min_score=args.min_score)
         return
     if (args.prefix or args.wildcard) and (
         args.phrase or args.fields or args.fuzzy
@@ -383,10 +511,13 @@ def cmd_query(args: argparse.Namespace) -> None:
             filter_expr=args.filter,
             must_not={0: args.must_not} if args.must_not else None,
         ).collect()
-    _print_hits(rows, time.time() - t0)
+    _print_hits(rows, time.time() - t0, min_score=args.min_score)
 
 
-def _print_hits(rows, sec: float) -> None:
+def _print_hits(rows, sec: float, min_score: float | None = None) -> None:
+    if min_score is not None:
+        # exact: a score floor commutes with score-descending top-k
+        rows = [r for r in rows if r["score"] >= min_score]
     for r in rows:
         print(
             json.dumps(
@@ -420,9 +551,32 @@ def cmd_stats(args: argparse.Namespace) -> None:
 
 def cmd_suggest(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-suggest")
+    t0 = time.time()
+    if args.phrase:
+        from sparkfts.phrasesuggest import suggest_phrase
+
+        if not os.path.isdir(os.path.join(args.index, "lm")):
+            raise SystemExit(
+                "no LM sidecar; run `lm --input ... --index ...` first"
+            )
+        rows = suggest_phrase(
+            spark, args.index, args.query, size=args.size,
+            max_candidates=args.max_candidates,
+        ).collect()
+        for r in rows:
+            print(json.dumps({
+                "phrase": r["phrase"],
+                "score_ln": round(r["score_ln"], 6),
+                "rank": r["rank"],
+            }))
+        print(
+            json.dumps({"suggestions": len(rows),
+                        "sec": round(time.time() - t0, 3)}),
+            file=sys.stderr,
+        )
+        return
     from sparkfts.suggest import suggest_terms
 
-    t0 = time.time()
     rows = suggest_terms(
         spark, args.index, args.query, size=args.size
     ).collect()
@@ -433,6 +587,81 @@ def cmd_suggest(args: argparse.Namespace) -> None:
         }))
     print(
         json.dumps({"suggestions": len(rows),
+                    "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
+
+
+def cmd_lm(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-lm")
+    from sparkfts.phrasesuggest import build_bigram_model
+
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    build_bigram_model(pages, args.index)
+    print(json.dumps({"sec": round(time.time() - t0, 2),
+                      "index": args.index}))
+
+
+def cmd_termvectors(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-termvectors")
+    from sparkfts.termvectors import termvectors
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    ids = [int(x) for x in args.ids.split(",")]
+    rows = termvectors(
+        spark, args.index, docs, ids,
+        id_col=args.id_col, text_col=args.text_col,
+        term_statistics=args.term_statistics,
+    ).collect()
+    for r in rows:
+        out = {
+            "doc_id": r["doc_id"], "term": r["term"],
+            "term_freq": r["term_freq"], "doclen": r["doclen"],
+            "doc_freq": r["doc_freq"],
+        }
+        if args.term_statistics:
+            out["ttf"] = r["ttf"]
+        print(json.dumps(out))
+    print(
+        json.dumps({"terms": len(rows),
+                    "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
+
+
+def cmd_percolate(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-percolate")
+    from sparkfts.percolate import percolate
+
+    queries = []
+    for part in args.queries.split(";"):
+        qid, _, rest = part.partition(":")
+        mode, _, text = rest.partition(":")
+        if not qid or not mode or not text:
+            raise SystemExit(
+                "--queries format: 'ID:MODE:text;ID:MODE:text' "
+                "(MODE: and | or | msm:N — use msm.N here)"
+            )
+        queries.append(
+            (int(qid), text, mode.replace("msm.", "msm:"))
+        )
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    rows = (
+        percolate(
+            spark, docs, queries,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        .orderBy("doc_id", "query_id")
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps({"doc_id": r["doc_id"],
+                          "query_id": r["query_id"]}))
+    print(
+        json.dumps({"matches": len(rows),
                     "sec": round(time.time() - t0, 3)}),
         file=sys.stderr,
     )
@@ -635,6 +864,35 @@ def main(argv: list[str] | None = None) -> None:
                    help="query_string combinator for bare adjacent terms")
     q.add_argument("--must-not", default=None, metavar="QUERY",
                    help="bool.must_not: exclude docs matching this query")
+    q.add_argument("--span-near", action="store_true",
+                   help="ES span_near in_order=false: unordered "
+                        "proximity within --slop (ordered proximity is "
+                        "--phrase --slop)")
+    q.add_argument("--span-first", type=int, default=None, metavar="END",
+                   help="ES span_first: single term restricted to the "
+                        "first END positions")
+    q.add_argument("--boosting", default=None, metavar="NEG_QUERY",
+                   help="ES boosting query: demote docs matching "
+                        "NEG_QUERY by --negative-boost")
+    q.add_argument("--negative-boost", type=float, default=0.5,
+                   help="boosting query demotion factor (default 0.5)")
+    q.add_argument("--constant-score", type=float, default=None,
+                   metavar="BOOST",
+                   help="ES constant_score: every match scores BOOST; "
+                        "page = k smallest matching doc_ids")
+    q.add_argument("--rank-feature", default=None,
+                   metavar="FIELD:FUNC[:PARAM]",
+                   help="ES rank_feature in bool.should: BM25 + "
+                        "f(doc value); FUNC saturation|log|sigmoid, "
+                        "PARAM = pivot (saturation/sigmoid) or "
+                        "scaling (log)")
+    q.add_argument("--decay", default=None,
+                   metavar="FIELD:FUNC:ORIGIN:SCALE[:OFFSET[:DECAY]]",
+                   help="ES function_score decay (gauss|exp|linear) "
+                        "on a numeric doc value, boost_mode multiply")
+    q.add_argument("--min-score", type=float, default=None,
+                   help="ES min_score: drop hits scoring below the "
+                        "floor (exact post-filter on the ranked page)")
 
     pp = sub.add_parser(
         "positions", help="build the positions table for phrase queries"
@@ -662,12 +920,51 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--cores", default="*")
     st.set_defaults(fn=cmd_stats)
 
-    sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
+    sg = sub.add_parser("suggest", help="term / phrase suggester "
+                                        "(did-you-mean)")
     sg.add_argument("--index", required=True)
     sg.add_argument("--query", required=True)
     sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--phrase", action="store_true",
+                    help="phrase suggester: whole-query correction "
+                         "re-ranked by the bigram LM (needs `lm`)")
+    sg.add_argument("--max-candidates", type=int, default=3,
+                    help="phrase suggester per-slot candidate cap")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
+
+    lm = sub.add_parser("lm", help="build the phrase-suggester bigram "
+                                   "LM sidecar")
+    lm.add_argument("--input", required=True)
+    lm.add_argument("--index", required=True)
+    lm.add_argument("--cores", default="*")
+    lm.set_defaults(fn=cmd_lm)
+
+    tv = sub.add_parser("termvectors", help="per-doc term statistics "
+                                            "(_termvectors)")
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--input", required=True,
+                    help="parquet with the documents' text")
+    tv.add_argument("--ids", required=True, help="comma-separated doc ids")
+    tv.add_argument("--id-col", default="doc_id")
+    tv.add_argument("--text-col", default="text")
+    tv.add_argument("--term-statistics", action="store_true",
+                    help="also compute corpus ttf per term")
+    tv.add_argument("--cores", default="*")
+    tv.set_defaults(fn=cmd_termvectors)
+
+    pc = sub.add_parser("percolate", help="reverse search: which "
+                                          "registered queries match "
+                                          "each doc")
+    pc.add_argument("--input", required=True,
+                    help="parquet with the documents to percolate")
+    pc.add_argument("--queries", required=True,
+                    help="'ID:MODE:text;ID:MODE:text' "
+                         "(MODE: and | or | msm.N)")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--cores", default="*")
+    pc.set_defaults(fn=cmd_percolate)
 
     ex = sub.add_parser("explain", help="per-term BM25 score breakdown "
                                         "for one (query, doc) pair")
