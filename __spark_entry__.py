@@ -1694,6 +1694,20 @@ def q_pipeline_bucket_sort(spark, sf_dir):
     )
 
 
+def q_fts_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix 'spark jo' (search-as-you-type,
+    non-positional): term clause 'spark' + prefix clause 'jo*',
+    bool.should combine; prefix expansions each carry their own idf,
+    best expansion wins (the engine's pinned prefix scoring)."""
+    from sparkfts.prefix import match_bool_prefix_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = match_bool_prefix_batch(
+        spark, idx, [(0, "spark jo", 10)], mode="or"
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_phrase_suggest(spark, sf_dir):
     """ES phrase suggester: 'past hast' corrected via per-slot term
     candidates (AUTO fuzz ladder) re-ranked by the pinned
@@ -2050,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_span_near": q_fts_span_near,
         "fts_span_first": q_fts_span_first,
         "phrase_suggest": q_phrase_suggest,
+        "fts_bool_prefix": q_fts_bool_prefix,
     }
 
 
@@ -3743,6 +3758,42 @@ FROM mb
 {mb_cte}
 SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count
 FROM mb ORDER BY doc_count DESC, bucket_epoch LIMIT 3
+"""
+
+    # --- match_bool_prefix ------------------------------------------------
+    sqls["fts_bool_prefix"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tfx AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfd AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+norms AS (SELECT dl.doc_id,
+                 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl) AS norm
+          FROM dl CROSS JOIN stats s),
+fixedc AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf / (t.tf + n.norm)) * 2.2 AS s
+  FROM tfx t JOIN dfd d USING (term) JOIN norms n USING (doc_id)
+  CROSS JOIN stats s
+  WHERE t.term = 'spark'),
+prefc AS (
+  SELECT t.doc_id,
+         max(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf / (t.tf + n.norm)) * 2.2) AS s
+  FROM tfx t JOIN dfd d USING (term) JOIN norms n USING (doc_id)
+  CROSS JOIN stats s
+  WHERE t.term LIKE 'jo%' GROUP BY t.doc_id),
+u AS (
+  SELECT COALESCE(f.doc_id, p.doc_id) AS doc_id,
+         COALESCE(f.s, 0) + COALESCE(p.s, 0) AS score
+  FROM fixedc f FULL JOIN prefc p USING (doc_id))
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM u ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # --- phrase suggester -------------------------------------------------

@@ -118,6 +118,30 @@ def _expanded_topk_batch(
     )
     if not all_terms:
         return _empty_results(spark)
+    return _grouped_tail(
+        spark, index_dir, meta, queries_grouped, all_terms,
+        mode="or",  # single group per query: and/or coincide
+        offset=offset, filter_expr=filter_expr,
+    )
+
+
+def _grouped_tail(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    queries_grouped,
+    all_terms: list[str],
+    mode: str,
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """Grouped-scorer execution tail shared by prefix / wildcard /
+    match_bool_prefix: pruned postings -> per-shard grouped kernel ->
+    global window top-k."""
+    from sparkfts.deletes import load_tombstones
+    from sparkfts.index import load_postings, term_bucket
+    from sparkfts.query import _make_fuzzy_shard_scorer
+
     buckets = sorted({term_bucket(t, meta["n_tbuckets"]) for t in all_terms})
     postings = load_postings(spark, index_dir).where(
         F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms)
@@ -125,7 +149,7 @@ def _expanded_topk_batch(
     scorer = _make_fuzzy_shard_scorer(
         queries_grouped,
         meta["avgdl"],
-        "or",  # single group per query: and/or coincide
+        mode,
         meta["block_size"],
         exclude=load_tombstones(spark, index_dir),
         filtered=filter_expr is not None,
@@ -150,7 +174,7 @@ def _expanded_topk_batch(
         )
     from sparkfts.index import lit_map
 
-    k_map = lit_map((qid, k) for qid, _, k in queries)
+    k_map = lit_map((qid, k) for qid, _, k in queries_grouped)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
@@ -160,6 +184,71 @@ def _expanded_topk_batch(
         )
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
         .orderBy("query_id", "rank")
+    )
+
+
+def match_bool_prefix_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    mode: str = "or",
+    max_expansions: int | None = None,
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` (search-as-you-type, non-positional):
+    every term but the last is a plain term clause, the last is a
+    ``prefix`` clause; clauses combine as ``bool.should`` (``mode='or'``,
+    the ES default) or ``bool.must`` (``mode='and'``, ES
+    ``operator: and``).
+
+    Pinned scoring stays consistent with the engine's prefix query:
+    each clause is a group scored ``idf * tf_norm * (k1+1)``; the
+    prefix group's expansions each carry their OWN idf and the best
+    expansion wins per doc (prefix.py module docstring) — the same
+    grouped kernel as fuzzy/prefix, one pruned postings pass,
+    per-shard top-k, ``<= n_shards * k`` rows to the global window.
+    """
+    from sparkfts.analysis import analysis_opts, tokenize
+    from sparkfts.index import df_map_for, read_meta
+    from sparkfts.query import _empty_results
+
+    meta = read_meta(index_dir)
+    sw, stem = analysis_opts(meta)
+    analyzed = []
+    for qid, text, k in queries:
+        toks = tokenize(text, sw, stem)
+        if toks:
+            analyzed.append((qid, toks, k + int(offset)))
+    if not analyzed or meta["n_docs"] == 0:
+        return _empty_results(spark)
+
+    fixed_terms = sorted(
+        {t for _, toks, _ in analyzed for t in toks[:-1]}
+    )
+    df_map = df_map_for(spark, index_dir, fixed_terms)
+    prefixes = sorted({(qid, toks[-1]) for qid, toks, _ in analyzed})
+    expansions = expand_prefix(
+        spark, index_dir, list(prefixes), meta["n_docs"], max_expansions
+    )
+    queries_grouped = []
+    all_terms: set[str] = set()
+    for qid, toks, k in analyzed:
+        groups = []
+        for t in toks[:-1]:
+            w = idf_fn(meta["n_docs"], df_map.get(t, 0))
+            groups.append((t, [(t, w)] if df_map.get(t, 0) else []))
+            if df_map.get(t, 0):
+                all_terms.add(t)
+        exps = expansions.get(qid, [])
+        groups.append((f"{toks[-1]}*", exps))
+        all_terms.update(t for t, _ in exps)
+        queries_grouped.append((qid, groups, k))
+    if not all_terms:
+        return _empty_results(spark)
+    return _grouped_tail(
+        spark, index_dir, meta, queries_grouped, sorted(all_terms),
+        mode=mode, offset=offset, filter_expr=filter_expr,
     )
 
 
