@@ -1694,6 +1694,43 @@ def q_pipeline_bucket_sort(spark, sf_dir):
     )
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """ES kNN with filter (exact brute path): top-10 by cosine AMONG
+    label=2 vectors — pre-filter semantics (always k hits when k
+    candidates pass), not a post-filtered unfiltered page."""
+    from sparkfts.ops.knnfilter import cosine_topk_filtered
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk_filtered(emb, list(qvec), "label = 2", k=10)
+
+
+def q_ann_range_search(spark, sf_dir):
+    """ES kNN similarity radius: every vector with cos_e6 >= 120000
+    vs the vec_id=0 query, cos desc."""
+    from sparkfts.ops.knnfilter import cosine_range_search
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_range_search(emb, list(qvec), 120000)
+
+
+def q_curate_funnel(spark, sf_dir):
+    """End-to-end curation funnel (quality -> exact dedup -> 500-per-
+    mille sample) with per-stage retention accounting — the pipeline
+    composition a training-data engineer actually reports."""
+    from sparkfts.ops.curate import curate_corpus, funnel_df
+
+    docs = _docs(spark, sf_dir)
+    _final, funnel = curate_corpus(
+        spark, docs, quality=True, exact=True, neardup=False,
+        sample_rate_per_mille=500,
+    )
+    return funnel_df(spark, funnel).select(
+        "stage_idx", "stage", "docs_in", "docs_out"
+    )
+
+
 def q_fts_bool_prefix(spark, sf_dir):
     """ES match_bool_prefix 'spark jo' (search-as-you-type,
     non-positional): term clause 'spark' + prefix clause 'jo*',
@@ -2065,6 +2102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_span_first": q_fts_span_first,
         "phrase_suggest": q_phrase_suggest,
         "fts_bool_prefix": q_fts_bool_prefix,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "ann_range_search": q_ann_range_search,
+        "curate_funnel": q_curate_funnel,
     }
 
 
@@ -4091,5 +4131,79 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    # ES kNN with filter — pre-filter semantics: top-k AMONG label=2
+    sqls["ann_filtered_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE label = 2),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dots, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    # ES kNN similarity radius — every vector with cos_e6 >= 120000
+    sqls["ann_range_search"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dots, nq WHERE na > 0
+  AND CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+      >= 120000
+"""
+
+    # curation funnel retention table: input -> quality (the pinned
+    # Gopher-style bounds, same arithmetic as sqls["quality_scores"])
+    # -> exact md5 dedup (keep-first) -> 500-per-mille LCG sample
+    sqls["curate_funnel"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens,
+         length(text) AS n_chars,
+         list_aggregate(list_transform(
+             regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+             x -> length(x)), 'sum') AS tok_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS non_alnum
+  FROM documents),
+q AS (
+  SELECT doc_id, text FROM f
+  WHERE n_tokens >= 5
+    AND floor(tok_chars * 1000000 / greatest(n_tokens, 1))
+        BETWEEN 1500000 AND 12000000
+    AND floor(non_alnum * 1000000 / greatest(n_chars, 1)) < 300000),
+e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+s AS (
+  SELECT doc_id FROM e
+  WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647
+         * 1103515245 + 12345) % 2147483647 % 1000 < 500),
+n0 AS (SELECT count(*) AS c FROM documents),
+n1 AS (SELECT count(*) AS c FROM q),
+n2 AS (SELECT count(*) AS c FROM e),
+n3 AS (SELECT count(*) AS c FROM s)
+SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+       n0.c AS docs_in, n0.c AS docs_out FROM n0
+UNION ALL SELECT CAST(1 AS INT), 'quality', n0.c, n1.c FROM n0, n1
+UNION ALL SELECT CAST(2 AS INT), 'exact_dedup', n1.c, n2.c FROM n1, n2
+UNION ALL SELECT CAST(3 AS INT), 'sample', n2.c, n3.c FROM n2, n3
 """
     return sqls

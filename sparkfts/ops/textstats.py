@@ -82,17 +82,20 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     non_alnum = F.length(
         F.regexp_replace(F.col(text_col), "[a-zA-Z0-9\\s]", "")
     )
+    # micro-ratio numerators cast to LONG before the 1e6 scale: an
+    # int32 numerator overflows (ANSI crash) on any doc with > ~2147
+    # token chars — i.e. on ordinary real web pages
     out = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
-        (tok_chars * 1_000_000 / F.greatest(n_tok, F.lit(1)))
+        (tok_chars.cast("long") * 1_000_000 / F.greatest(n_tok, F.lit(1)))
         .cast("long")
         .alias("mean_tok_len_micro"),
-        (stop_hits * 1_000_000 / F.greatest(n_tok, F.lit(1)))
+        (stop_hits.cast("long") * 1_000_000 / F.greatest(n_tok, F.lit(1)))
         .cast("long")
         .alias("stopword_ratio_micro"),
-        (non_alnum * 1_000_000 / F.greatest(n_chars, F.lit(1)))
+        (non_alnum.cast("long") * 1_000_000 / F.greatest(n_chars, F.lit(1)))
         .cast("long")
         .alias("punct_ratio_micro"),
     )
