@@ -813,6 +813,18 @@ def q_fts_wildcard_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_regexp_topk(spark, sf_dir):
+    """ES regexp query: anchored pattern 's(c|p)a[a-z]+' over the term
+    dictionary (literal-prefix 's' range pre-filter, RE2/Java common
+    subset); best-expansion-wins scoring, same pinned spec as
+    prefix/wildcard."""
+    from sparkfts.prefix import regexp_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = regexp_topk_batch(spark, idx, [(0, "s(c|p)a[a-z]+", 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_cardinality_agg(spark, sf_dir):
     """ES cardinality aggregation (exact variant) over the full match
     set: distinct langs among docs matching the OR query."""
@@ -2032,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_stats_nested": q_terms_stats_nested,
         "date_histogram": q_date_histogram,
         "fts_wildcard_topk": q_fts_wildcard_topk,
+        "fts_regexp_topk": q_fts_regexp_topk,
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
         "more_like_this": q_more_like_this,
@@ -2940,6 +2953,35 @@ stats AS (
 tf AS (
   SELECT doc_id, tok AS term, count(*) AS tf FROM toks
   WHERE tok LIKE 's%a%' GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         max( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_regexp_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE regexp_full_match(tok, 's(c|p)a[a-z]+') GROUP BY doc_id, tok
 ),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (

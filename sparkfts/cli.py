@@ -138,6 +138,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--phrase", args.phrase),
                 ("--prefix", args.prefix),
                 ("--wildcard", args.wildcard),
+                ("--regexp", args.regexp),
                 ("--fuzzy", args.fuzzy),
                 ("--fields", args.fields),
                 ("--synonyms", args.synonyms),
@@ -201,6 +202,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--phrase", args.phrase),
                 ("--prefix", args.prefix),
                 ("--wildcard", args.wildcard),
+                ("--regexp", args.regexp),
                 ("--fuzzy", args.fuzzy),
                 ("--fields", args.fields),
                 ("--synonyms", args.synonyms),
@@ -305,20 +307,18 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
         _print_hits(rows, time.time() - t0, min_score=args.min_score)
         return
-    if (args.prefix or args.wildcard) and (
-        args.phrase or args.fields or args.fuzzy
-        or (args.prefix and args.wildcard)
-    ):
+    n_expq = sum(map(bool, (args.prefix, args.wildcard, args.regexp)))
+    if n_expq and (args.phrase or args.fields or args.fuzzy or n_expq > 1):
         raise SystemExit(
-            "--prefix/--wildcard are exclusive of each other and of "
-            "--phrase/--fields/--fuzzy"
+            "--prefix/--wildcard/--regexp are exclusive of each other "
+            "and of --phrase/--fields/--fuzzy"
         )
-    if (args.prefix or args.wildcard) and (
+    if n_expq and (
         args.search_after or args.min_should_match != 1
         or args.must_not or args.slop
     ):
         raise SystemExit(
-            "--prefix/--wildcard support only "
+            "--prefix/--wildcard/--regexp support only "
             "--k/--offset/--max-expansions/--filter"
         )
     if args.phrase or args.fields or args.fuzzy:
@@ -352,23 +352,33 @@ def cmd_query(args: argparse.Namespace) -> None:
             )
     elif args.slop:
         raise SystemExit("--slop requires --phrase")
-    elif args.max_expansions is not None and not (args.prefix or args.wildcard):
+    elif args.max_expansions is not None and not n_expq:
         raise SystemExit(
-            "--max-expansions requires --fuzzy/--prefix/--wildcard"
+            "--max-expansions requires --fuzzy/--prefix/--wildcard/--regexp"
         )
     elif args.transpositions:
         raise SystemExit("--transpositions requires --fuzzy")
-    if args.synonyms and (args.prefix or args.wildcard):
-        raise SystemExit("--synonyms not supported with --prefix/--wildcard")
+    if args.synonyms and n_expq:
+        raise SystemExit(
+            "--synonyms not supported with --prefix/--wildcard/--regexp"
+        )
     spark = _spark(args.cores, "sparkfts-query")
     from sparkfts.query import bm25_index_batch, bm25_index_fuzzy_batch
 
     t0 = time.time()
-    if args.prefix or args.wildcard:
+    if n_expq:
         from sparkfts.index import load_docmap
-        from sparkfts.prefix import prefix_topk_batch, wildcard_topk_batch
+        from sparkfts.prefix import (
+            prefix_topk_batch,
+            regexp_topk_batch,
+            wildcard_topk_batch,
+        )
 
-        fn = wildcard_topk_batch if args.wildcard else prefix_topk_batch
+        fn = (
+            wildcard_topk_batch if args.wildcard
+            else regexp_topk_batch if args.regexp
+            else prefix_topk_batch
+        )
         res = fn(
             spark, args.index, [(0, args.query, args.k)],
             max_expansions=args.max_expansions, offset=args.offset,
@@ -837,6 +847,10 @@ def main(argv: list[str] | None = None) -> None:
                         "(dictionary range expansion)")
     q.add_argument("--wildcard", action="store_true",
                    help="ES wildcard query: QUERY uses * and ? over the "
+                        "term dictionary")
+    q.add_argument("--regexp", action="store_true",
+                   help="ES regexp query: QUERY is an anchored regex "
+                        "(Java/RE2 common subset, flags=NONE) over the "
                         "term dictionary")
     q.add_argument("--max-expansions", type=int, default=None,
                    help="cap prefix expansions (sorted term order)")

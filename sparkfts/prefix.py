@@ -92,17 +92,23 @@ def _expanded_topk_batch(
     max_expansions: int | None = None,
     offset: int = 0,
     filter_expr: str | None = None,
+    lower_patterns: bool = True,
 ) -> DataFrame:
     """Shared scoring tail for dictionary-expansion term queries
-    (prefix / wildcard): expansion collect -> pruned postings ->
-    grouped best-expansion-wins kernel -> global window top-k."""
+    (prefix / wildcard / regexp): expansion collect -> pruned postings
+    -> grouped best-expansion-wins kernel -> global window top-k.
+    ``lower_patterns=False`` for pattern syntaxes where case-folding
+    changes meaning (regexp escapes: lower('\\D') = '\\d')."""
     from sparkfts.deletes import load_tombstones
     from sparkfts.index import load_postings, read_meta, term_bucket
     from sparkfts.query import _empty_results, _make_fuzzy_shard_scorer
 
     meta = read_meta(index_dir)
-    queries = [(qid, p.strip().lower(), k + int(offset))
-               for qid, p, k in queries if p and p.strip()]
+    queries = [
+        (qid, p.strip().lower() if lower_patterns else p.strip(),
+         k + int(offset))
+        for qid, p, k in queries if p and p.strip()
+    ]
     if not queries or meta["n_docs"] == 0:
         return _empty_results(spark)
 
@@ -336,4 +342,127 @@ def wildcard_topk_batch(
     return _expanded_topk_batch(
         spark, index_dir, queries, expand_wildcard, max_expansions, offset,
         filter_expr,
+    )
+
+
+# ES `regexp` query — the last member of the multi-term query family
+# (term / prefix / wildcard / fuzzy / regexp). Syntax is pinned to the
+# Java-regex / RE2 common subset (the same portability rule as
+# ops/textclean.py's PII chain) so the Spark JVM `rlike`, the Python
+# validator, and the DuckDB oracle all agree; Lucene's OPTIONAL
+# operators (`~` complement, `@` any-string, `#` empty, `&`
+# intersection, `<n-m>` numeric range) are rejected fail-loud, matching
+# an ES index with `regexp` flags set to NONE.
+
+_LUCENE_ONLY_OPS = "~@#&<>"
+
+
+def validate_regexp(pattern: str) -> None:
+    """Fail-loud syntax gate: compiles under Python `re` AND contains
+    no unescaped Lucene-optional operator / backreference."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("regexp pattern must be non-empty")
+    prev_backslash = False
+    for ch in pattern:
+        if prev_backslash:
+            if ch.isdigit():
+                raise ValueError(
+                    "backreferences are not supported in regexp queries"
+                )
+            prev_backslash = False
+            continue
+        if ch == "\\":
+            prev_backslash = True
+            continue
+        if ch in _LUCENE_ONLY_OPS:
+            raise ValueError(
+                f"Lucene optional operator {ch!r} is not supported "
+                "(flags=NONE semantics); escape it with a backslash "
+                "to match literally"
+            )
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"invalid regexp pattern {pattern!r}: {e}") from e
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Leading literal run of an (anchored) regexp — the Lucene trick
+    that turns `spa.*k` into a `startswith('spa')` dictionary range
+    scan. A char is literal only if it is not a metachar and not
+    followed by a quantifier (in `ab*`, only `a` is guaranteed)."""
+    meta = set(".?*+[]{}()|\\^$")
+    lit = []
+    for i, ch in enumerate(pattern):
+        if ch in meta:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
+def expand_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    n_docs: int,
+    max_expansions: int | None = None,
+) -> dict[int, list[tuple[str, float]]]:
+    """``query_id -> [(term, idf weight)]`` for each regexp pattern.
+
+    ES `regexp` is implicitly anchored (the pattern must match the
+    WHOLE term); the literal prefix narrows the dictionary scan to a
+    row-group-pruned `startswith` range when the pattern has one, else
+    the scan covers the (postings-relative tiny) dictionary — the same
+    caveat ES documents for `.*foo`-shaped patterns.
+    """
+    import re as _re
+
+    from sparkfts.index import load_terms
+
+    out: dict[int, list[tuple[str, float]]] = {
+        qid: [] for qid, _ in patterns
+    }
+    valid = [(qid, p) for qid, p in patterns if p]
+    for _, p in valid:
+        validate_regexp(p)
+    if not valid:
+        return out
+    terms = load_terms(spark, index_dir)
+    cond = None
+    for _, p in valid:
+        c = F.col("term").rlike(f"^(?:{p})$")
+        lit = regexp_literal_prefix(p)
+        if lit:
+            c = F.col("term").startswith(lit) & c
+        cond = c if cond is None else (cond | c)
+    rows = terms.where(cond).select("term", "df").collect()
+    for qid, p in valid:
+        rx = _re.compile(f"(?:{p})\\Z")
+        exps = sorted(
+            (r["term"], int(r["df"])) for r in rows if rx.match(r["term"])
+        )
+        if max_expansions is not None:
+            exps = exps[:max_expansions]
+        out[qid] = [(t, idf_fn(n_docs, df)) for t, df in exps]
+    return out
+
+
+def regexp_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    max_expansions: int | None = None,
+    offset: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """ES ``regexp`` query top-k — same pinned best-expansion-wins
+    scoring as prefix/wildcard, expansion set from
+    :func:`expand_regexp`."""
+    return _expanded_topk_batch(
+        spark, index_dir, queries, expand_regexp, max_expansions, offset,
+        filter_expr, lower_patterns=False,
     )

@@ -202,3 +202,108 @@ def test_wildcard_topk_matches_py_oracle(spark, pcorpus, pidx):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (d, pytest.approx(s, rel=1e-9)) for d, s in scored[:10]
     ]
+
+
+# ---- ES regexp query (Java/RE2 common subset, flags=NONE) ----
+
+
+def test_regexp_validation():
+    from sparkfts.prefix import validate_regexp
+
+    for bad in ("a~b", "a@", "#", "a&b", "a<1-2>", "(a", "a\\1"):
+        with pytest.raises(ValueError):
+            validate_regexp(bad)
+    # escaped Lucene operators and plain RE2 syntax are fine
+    for ok in ("a\\~b", "sp[a-z]+", "(sp|st)ark", "a.c", "x{1,3}y"):
+        validate_regexp(ok)
+
+
+def test_regexp_literal_prefix():
+    from sparkfts.prefix import regexp_literal_prefix
+
+    assert regexp_literal_prefix("spark") == "spark"
+    assert regexp_literal_prefix("spa.*k") == "spa"
+    assert regexp_literal_prefix("ab*c") == "a"  # b is quantified
+    assert regexp_literal_prefix(".*foo") == ""
+    assert regexp_literal_prefix("s(p|t)a") == "s"
+    assert regexp_literal_prefix("ab{2}") == "a"
+
+
+def test_regexp_prefix_equivalence(spark, pcorpus, pidx):
+    """`p[a-z0-9]*` is the regexp spelling of the prefix query `p` —
+    identical pages, scores, and expansion sets."""
+    from sparkfts.prefix import expand_regexp, regexp_topk_batch
+
+    p = _pick_prefix(pcorpus)
+    a = regexp_topk_batch(spark, pidx, [(0, p + "[a-z0-9]*", 10)]).collect()
+    exp = _py_oracle(pcorpus, p, 10)
+    assert [(r["doc_id"], r["score"]) for r in a] == exp
+    exps = expand_regexp(spark, pidx, [(0, p + "[a-z0-9]*")], 200)[0]
+    vocab = {
+        t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)
+    }
+    assert [t for t, _ in exps] == sorted(
+        t for t in vocab if t.startswith(p)
+    )
+
+
+def test_regexp_is_anchored(spark, pcorpus, pidx):
+    """ES regexp matches the WHOLE term: a bare literal matches only
+    that exact dictionary term, never its extensions."""
+    from sparkfts.prefix import expand_regexp
+
+    vocab = sorted(
+        {t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)}
+    )
+    # a term that is a strict prefix of another vocab term
+    t = next(
+        (t for t in vocab
+         if any(u != t and u.startswith(t) for u in vocab)), None
+    )
+    if t is None:
+        pytest.skip("no nested vocab terms at this seed")
+    exps = expand_regexp(spark, pidx, [(0, t)], 200)[0]
+    assert [x for x, _ in exps] == [t]
+
+
+def test_regexp_alternation_matches_brute(spark, pcorpus, pidx):
+    """(t1|t2) scores as best-of over exactly those two terms; also
+    pins that patterns are NOT case-folded (an uppercase class still
+    compiles and matches nothing against the lowercase dictionary)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from sparkfts.prefix import expand_regexp, regexp_topk_batch
+
+    vocab = sorted(
+        {t for txt in pcorpus.column("text").to_pylist() for t in tokenize(txt)}
+    )
+    t1, t2 = vocab[3], vocab[11]
+    pattern = f"({t1}|{t2})"
+    got = regexp_topk_batch(spark, pidx, [(0, pattern, 10)]).collect()
+    texts = pcorpus.column("text").to_pylist()
+    ids = sha1_doc_id(pd.Series(pcorpus.column("url").to_pylist())).tolist()
+    toks = [tokenize(t) for t in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    df = Counter()
+    for t in toks:
+        df.update(set(t))
+    scored = []
+    for d, tk in zip(ids, toks):
+        tf = Counter(tk)
+        best = 0.0
+        for t in (t1, t2):
+            if tf[t]:
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                norm = BM25_K1 * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+                best = max(best, idf * (tf[t] / (tf[t] + norm)) * (BM25_K1 + 1))
+        if best > 0:
+            scored.append((int(d), best))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-9)) for d, s in scored[:10]
+    ]
+    # no case folding: [A-Z]+ stays uppercase -> zero dictionary hits
+    assert expand_regexp(spark, pidx, [(0, "[A-Z]+")], 200)[0] == []
