@@ -1778,6 +1778,22 @@ def q_phrase_suggest(spark, sf_dir):
     )
 
 
+def q_completion_suggest(spark, sf_dir):
+    """ES completion suggester: top-5 completions of the prefix
+    'the ' from weighted corpus n-gram entries (unigrams + bigrams,
+    weight = occurrence count; sparkfts.complete docstring pins the
+    spec this DuckDB oracle mirrors)."""
+    from sparkfts.complete import complete
+    from sparkfts.phrasesuggest import build_bigram_model
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "lm")):
+        build_bigram_model(_docs(spark, sf_dir), idx)
+    return complete(spark, idx, "the ", size=5).select(
+        "entry", "weight", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_fts_span_near(spark, sf_dir):
     """ES span_near in_order=false, slop=2: 'hash table' matched in
     either order within the pinned anchor window (sparkfts.spans
@@ -2115,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_span_first": q_fts_span_first,
         "phrase_suggest": q_phrase_suggest,
         "fts_bool_prefix": q_fts_bool_prefix,
+        "completion_suggest": q_completion_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_range_search": q_ann_range_search,
         "curate_funnel": q_curate_funnel,
@@ -4173,6 +4190,25 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    # ES completion suggester: weighted n-gram entries, prefix 'the '
+    sqls["completion_suggest"] = f"""
+WITH tk AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+            FROM documents),
+uni AS (SELECT unnest(t) AS entry FROM tk),
+bi AS (SELECT unnest([t[i] || ' ' || t[i + 1]
+                      for i in range(1, len(t))]) AS entry
+       FROM tk WHERE len(t) >= 2),
+ent AS (
+  SELECT entry, count(*) AS weight
+  FROM (SELECT entry FROM uni UNION ALL SELECT entry FROM bi)
+  GROUP BY entry),
+m AS (SELECT entry, CAST(weight AS BIGINT) AS weight FROM ent
+      WHERE entry LIKE 'the %')
+SELECT entry, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, entry) AS INT) AS rank
+FROM m ORDER BY weight DESC, entry LIMIT 5
 """
 
     # ES kNN with filter — pre-filter semantics: top-k AMONG label=2

@@ -560,8 +560,32 @@ def cmd_stats(args: argparse.Namespace) -> None:
 
 
 def cmd_suggest(args: argparse.Namespace) -> None:
+    if args.phrase and args.complete:
+        raise SystemExit("--phrase and --complete are exclusive")
     spark = _spark(args.cores, "sparkfts-suggest")
     t0 = time.time()
+    if args.complete:
+        from sparkfts.complete import complete
+
+        if not os.path.isdir(os.path.join(args.index, "lm")):
+            raise SystemExit(
+                "no LM sidecar; run `lm --input ... --index ...` first"
+            )
+        rows = complete(
+            spark, args.index, args.query, size=args.size,
+            fuzziness=args.fuzziness,
+        ).collect()
+        for r in rows:
+            print(json.dumps({
+                "entry": r["entry"], "weight": r["weight"],
+                "rank": r["rank"],
+            }))
+        print(
+            json.dumps({"suggestions": len(rows),
+                        "sec": round(time.time() - t0, 3)}),
+            file=sys.stderr,
+        )
+        return
     if args.phrase:
         from sparkfts.phrasesuggest import suggest_phrase
 
@@ -944,6 +968,13 @@ def main(argv: list[str] | None = None) -> None:
                          "re-ranked by the bigram LM (needs `lm`)")
     sg.add_argument("--max-candidates", type=int, default=3,
                     help="phrase suggester per-slot candidate cap")
+    sg.add_argument("--complete", action="store_true",
+                    help="completion suggester: extend QUERY as a "
+                         "prefix from weighted corpus n-gram entries "
+                         "(needs `lm`)")
+    sg.add_argument("--fuzziness", type=int, default=0,
+                    help="completion suggester prefix edit budget "
+                         "(first char exact)")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
 
