@@ -673,6 +673,21 @@ def q_fts_function_score(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_script_score(spark, sf_dir):
+    """ES script_score: final = _score * (0.5 + value/(value+10)) with
+    value = n_chars — the pinned arithmetic DSL (sparkfts.scripting),
+    parsed driver-side, compiled to a vectorized numpy closure (no
+    eval), evaluated in the exhaustive in-shard re-rank kernel."""
+    from sparkfts.docvalues import script_score_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = script_score_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], "n_chars",
+        "_score * (0.5 + value / (value + 10))", mode="or",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_collapse(spark, sf_dir):
     """ES ``collapse``: top-k with one best hit per ``source``.
     Per-shard best-per-key -> top-k, global re-collapse -> top-k
@@ -2050,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_synonym_topk": q_fts_synonym_topk,
         "fts_sort_topk": q_fts_sort_topk,
         "fts_function_score": q_fts_function_score,
+        "fts_script_score": q_fts_script_score,
         "fts_collapse": q_fts_collapse,
         "terms_top_hits": q_terms_top_hits,
         "terms_facet": q_terms_facet,
@@ -2699,6 +2715,16 @@ SELECT s.doc_id,
          AS score_e4
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 10
+"""
+
+    sqls["fts_script_score"] = f"""
+{or_cte}
+SELECT s.doc_id,
+       CAST(floor(s.score * (0.5 + d.n_chars / (d.n_chars + 10.0))
+                  * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * (0.5 + d.n_chars / (d.n_chars + 10.0)) DESC, s.doc_id
+LIMIT 10
 """
 
     sqls["fts_collapse"] = f"""

@@ -184,6 +184,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         ("--boosting", args.boosting is not None),
         ("--constant-score", args.constant_score is not None),
         ("--rank-feature", args.rank_feature is not None),
+        ("--script-score", args.script_score is not None),
         ("--decay", args.decay is not None),
     ]
     active_new = [f for f, on in new_modes if on]
@@ -265,6 +266,23 @@ def cmd_query(args: argparse.Namespace) -> None:
                 spark, args.index, [(0, args.query, args.k)],
                 boost=args.constant_score, mode=args.mode,
             )
+        elif flag == "--script-score":
+            from sparkfts.docvalues import script_score_batch
+
+            parts = args.script_score.split(":", 1)
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise SystemExit(
+                    "--script-score format: FIELD:SCRIPT (script over "
+                    "_score and value, e.g. n_chars:'_score * "
+                    "log1p(value)')"
+                )
+            try:
+                res = script_score_batch(
+                    spark, args.index, [(0, args.query, args.k)],
+                    parts[0], parts[1], mode=args.mode,
+                )
+            except ValueError as e:
+                raise SystemExit(str(e)) from e
         elif flag == "--rank-feature":
             from sparkfts.scoring import rank_feature_batch
 
@@ -924,6 +942,12 @@ def main(argv: list[str] | None = None) -> None:
                         "f(doc value); FUNC saturation|log|sigmoid, "
                         "PARAM = pivot (saturation/sigmoid) or "
                         "scaling (log)")
+    q.add_argument("--script-score", default=None,
+                   metavar="FIELD:SCRIPT",
+                   help="ES script_score: final = SCRIPT(_score, "
+                        "value) with value = FIELD doc value; pinned "
+                        "arithmetic DSL (+-*/, log, log1p, sqrt, abs, "
+                        "exp, min, max, pow)")
     q.add_argument("--decay", default=None,
                    metavar="FIELD:FUNC:ORIGIN:SCALE[:OFFSET[:DECAY]]",
                    help="ES function_score decay (gauss|exp|linear) "

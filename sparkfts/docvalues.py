@@ -67,6 +67,7 @@ def _make_value_kernel(
     modifier: str = "log1p",
     factor: float = 1.0,
     hits: int = 3,
+    script_fn=None,
     exclude=None,
 ):
     """Cogrouped kernel ``(postings_pdf, docvals_pdf) -> pdf``.
@@ -126,10 +127,16 @@ def _make_value_kernel(
                             }
                         )
                     )
-                elif op == "function_score":
-                    fs = scores * (
-                        factor * mod_fn(vals.astype(np.float64))
-                    )
+                elif op in ("function_score", "script_score"):
+                    if op == "script_score":
+                        fs = script_fn(
+                            {"_score": scores,
+                             "value": vals.astype(np.float64)}
+                        )
+                    else:
+                        fs = scores * (
+                            factor * mod_fn(vals.astype(np.float64))
+                        )
                     order = np.lexsort((ids, -fs))[:k]
                     out.append(
                         pd.DataFrame(
@@ -358,6 +365,48 @@ def function_score_batch(
     local = _cogrouped_run(
         spark, index_dir, queries, field, mode, "function_score",
         schema, schema, modifier=modifier, factor=factor,
+    )
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    if local is None:
+        return spark.createDataFrame([], out_schema)
+    local = local.repartition(_session_cores(spark), "query_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    km = _k_map([(qid, k) for qid, _t, k in queries])
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(km, F.col("query_id")))
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .coalesce(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
+def script_score_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str,
+    script: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``script_score``: final score = script(``_score``,
+    ``value``) where ``value`` is the named doc-value field and the
+    script is the pinned arithmetic DSL (sparkfts.scripting — parsed
+    fail-loud on the driver, compiled to a vectorized numpy closure,
+    never ``eval``). Same exhaustive in-shard re-rank as
+    function_score: an arbitrary script breaks score-bound pruning, so
+    exhaustive per shard is the only exact mode (ES's own cost model).
+    Returns ``(query_id, rank, doc_id, score)``.
+    """
+    from sparkfts.scripting import compile_script
+
+    script_fn = compile_script(script)  # driver-side fail-loud parse
+    schema = "query_id int, doc_id long, score double"
+    local = _cogrouped_run(
+        spark, index_dir, queries, field, mode, "script_score",
+        schema, schema, script_fn=script_fn,
     )
     out_schema = "query_id int, rank int, doc_id long, score double"
     if local is None:

@@ -169,3 +169,83 @@ def test_sort_empty_query(spark, dvidx):
 
     got = sort_by_field_batch(spark, dvidx, [(0, "", 5)], "nch").collect()
     assert got == []
+
+
+# ---- ES script_score (pinned arithmetic DSL, sparkfts.scripting) ----
+
+
+def test_script_dsl_parse_and_eval():
+    import numpy as np
+
+    from sparkfts.scripting import compile_script, parse_script
+
+    s = np.array([1.0, 2.0, 4.0])
+    v = np.array([0.0, 10.0, 100.0])
+    cases = [
+        ("_score", s),
+        ("_score * 2 + 1", s * 2 + 1),
+        ("-_score / (1 + value)", -s / (1 + v)),
+        ("log1p(value) * _score", np.log1p(v) * s),
+        ("max(_score, sqrt(value))", np.maximum(s, np.sqrt(v))),
+        ("pow(value, 0.5) - min(_score, 1.5)",
+         np.power(v, 0.5) - np.minimum(s, 1.5)),
+        ("1 - 2 - 3", -4.0),  # left association
+        ("2e1 + 1.5", 21.5),
+    ]
+    for src, exp in cases:
+        got = compile_script(src)({"_score": s, "value": v})
+        assert np.ravel(got).tolist() == pytest.approx(
+            np.ravel(exp).tolist()
+        ), src
+
+    for bad in ("", "_score +", "foo(2)", "doc['f']", "min(1)",
+                "_score ** 2", "1 2", "(1", "score"):
+        with pytest.raises(ValueError):
+            parse_script(bad)
+
+
+def test_script_score_matches_brute(spark, dvidx, dvcorpus, dvals):
+    from sparkfts.docvalues import script_score_batch
+
+    q = _query(dvcorpus)
+    matched = _full(spark, dvidx, q, "or")
+    script = "_score * (0.5 + value / (value + 10))"
+    got = script_score_batch(
+        spark, dvidx, [(0, q, 12)], "nch", script, mode="or"
+    ).collect()
+    exp = sorted(
+        ((d, s * (0.5 + dvals[d][1] / (dvals[d][1] + 10)))
+         for d, s in matched.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:12]
+    assert [(r["doc_id"]) for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+    assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+
+
+def test_script_score_equals_function_score_when_equivalent(
+    spark, dvidx, dvcorpus
+):
+    """script '_score * log1p(value)' is field_value_factor log1p
+    factor=1 — identical pages and float64 scores."""
+    from sparkfts.docvalues import function_score_batch, script_score_batch
+
+    q = _query(dvcorpus)
+    a = script_score_batch(
+        spark, dvidx, [(0, q, 10)], "nch", "_score * log1p(value)",
+        mode="or",
+    ).collect()
+    b = function_score_batch(
+        spark, dvidx, [(0, q, 10)], "nch", modifier="log1p", mode="or"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_script_score_bad_script_fails_before_spark(spark, dvidx):
+    from sparkfts.docvalues import script_score_batch
+
+    with pytest.raises(ValueError, match="unknown script name"):
+        script_score_batch(spark, dvidx, [(0, "x", 5)], "nch", "bogus + 1")
