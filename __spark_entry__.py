@@ -828,6 +828,48 @@ def q_fts_wildcard_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_rare_terms_agg(spark, sf_dir):
+    """ES rare_terms aggregation: the long-tail `source` buckets
+    (doc_count <= 2) among docs matching 'dup' (a mid-frequency term,
+    so rarity is non-vacuous at sf0.01) — doc_count asc, value asc
+    (exact; see sparkfts.aggs.rare_terms scale note)."""
+    from sparkfts.aggs import rare_terms
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = rare_terms(
+        spark, idx, "dup", _docs(spark, sf_dir), "source",
+        mode="or", max_doc_count=2,
+    )
+    return res.select("value", F.col("doc_count").cast("long"))
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram (target 15 buckets): finest calendar
+    interval from the pinned ladder whose non-empty bucket count fits —
+    over the deterministic crawl_ts (2024-01-01 + doc_id%400 days,
+    same synthesis as date_histogram); the 400-day span lands on
+    'month' (14 buckets), derived — not hardcoded — in both engines."""
+    from sparkfts.aggs import auto_date_histogram
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, CAST(doc_id % 400 AS INT))"
+        ).alias("crawl_ts"),
+    )
+    res = auto_date_histogram(
+        spark, idx, BM25_QUERY_OR, docs, "crawl_ts",
+        target_buckets=15, mode="or",
+    )
+    return res.select(
+        "interval",
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_fts_regexp_topk(spark, sf_dir):
     """ES regexp query: anchored pattern 's(c|p)a[a-z]+' over the term
     dictionary (literal-prefix 's' range pre-filter, RE2/Java common
@@ -2077,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "fts_regexp_topk": q_fts_regexp_topk,
+        "rare_terms_agg": q_rare_terms_agg,
+        "auto_date_histogram": q_auto_date_histogram,
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
         "more_like_this": q_more_like_this,
@@ -4216,6 +4260,55 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    sqls["rare_terms_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok = 'dup')
+SELECT d.source AS value, count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 HAVING count(*) <= 2
+ORDER BY doc_count, value
+"""
+
+    sqls["auto_date_histogram"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+j AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 400) * INTERVAL 1 DAY AS ts
+  FROM matched),
+c AS (
+  SELECT count(DISTINCT date_trunc('minute', ts)) AS c_minute,
+         count(DISTINCT date_trunc('hour', ts)) AS c_hour,
+         count(DISTINCT date_trunc('day', ts)) AS c_day,
+         count(DISTINCT date_trunc('week', ts)) AS c_week,
+         count(DISTINCT date_trunc('month', ts)) AS c_month,
+         count(DISTINCT date_trunc('quarter', ts)) AS c_quarter,
+         count(DISTINCT date_trunc('year', ts)) AS c_year
+  FROM j),
+iv AS (
+  SELECT CASE WHEN c_minute <= 15 THEN 'minute'
+              WHEN c_hour <= 15 THEN 'hour'
+              WHEN c_day <= 15 THEN 'day'
+              WHEN c_week <= 15 THEN 'week'
+              WHEN c_month <= 15 THEN 'month'
+              WHEN c_quarter <= 15 THEN 'quarter'
+              ELSE 'year' END AS iv
+  FROM c)
+SELECT iv.iv AS interval,
+       CAST(floor(epoch(CASE iv.iv
+              WHEN 'minute' THEN date_trunc('minute', ts)
+              WHEN 'hour' THEN date_trunc('hour', ts)
+              WHEN 'day' THEN date_trunc('day', ts)
+              WHEN 'week' THEN date_trunc('week', ts)
+              WHEN 'month' THEN date_trunc('month', ts)
+              WHEN 'quarter' THEN date_trunc('quarter', ts)
+              ELSE date_trunc('year', ts) END)) AS BIGINT)
+         AS bucket_epoch,
+       count(*) AS doc_count
+FROM j, iv GROUP BY 1, 2 ORDER BY 2
 """
 
     # ES completion suggester: weighted n-gram entries, prefix 'the '

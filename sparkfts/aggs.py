@@ -677,6 +677,84 @@ def date_histogram(
     )
 
 
+def rare_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation -> (value, doc_count): the buckets
+    whose doc_count <= ``max_doc_count`` (the long tail the ``terms``
+    agg's count-desc ordering structurally hides), doc_count asc then
+    value asc — ES's pinned rare-terms order.
+
+    Exact, not ES's CuckooFilter approximation: the count shuffle
+    carries one row per DISTINCT value (partial-aggregated map-side),
+    and the rarity filter runs after the reduce, so the plan cost
+    equals the exact terms facet regardless of ``max_doc_count``.
+    """
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    return (
+        matched.join(doc_values.select("doc_id", field), "doc_id")
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") <= int(max_doc_count))
+        .orderBy(F.asc("doc_count"), F.asc("value"))
+    )
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    target_buckets: int = 10,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``auto_date_histogram`` -> (interval, bucket, doc_count),
+    bucket asc: the FINEST calendar interval from the pinned ladder
+    (minute, hour, day, week, month, quarter, year — coarsening order)
+    whose non-empty bucket count is <= ``target_buckets``; falls back
+    to ``year`` when even that overflows. All DATE_INTERVALS semantics
+    (UTC truncation, ISO weeks, min_doc_count=1) match
+    :func:`date_histogram`.
+
+    Plan: ONE aggregation job computes every ladder interval's
+    non-empty bucket count (seven countDistincts over the same
+    matched-join frame, partial-aggregated map-side); the interval
+    choice is a driver-side compare of seven scalars; then the normal
+    single-join date_histogram plan runs for the chosen interval —
+    two bounded jobs, never an iterative roll-up.
+    """
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    ladder = tuple(reversed(DATE_INTERVALS))  # finest -> coarsest
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    counts = joined.agg(
+        *[
+            F.countDistinct(F.date_trunc(iv, F.col(field))).alias(iv)
+            for iv in ladder
+        ]
+    ).collect()[0]
+    chosen = next(
+        (iv for iv in ladder if counts[iv] <= target_buckets), "year"
+    )
+    bucket = F.date_trunc(chosen, F.col(field)).alias("bucket")
+    return (
+        joined.groupBy(bucket)
+        .agg(F.count("*").alias("doc_count"))
+        .select(F.lit(chosen).alias("interval"), "bucket", "doc_count")
+        .orderBy(F.asc("bucket"))
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -189,3 +189,80 @@ def test_adjacency_matrix(spark, agg_index, doc_values, py_oracle, queries):
     exp = {k: v for k, v in exp.items() if v > 0}  # ES omits empties
     assert got == exp
     assert list(got) == sorted(got)  # key asc
+
+
+def test_rare_terms(spark, agg_index, doc_values, py_oracle, queries):
+    from collections import Counter
+
+    from sparkfts.aggs import rare_terms
+
+    q = queries[0]["query"]
+    counts = Counter(
+        r["lang"] for r in _matched_values(py_oracle, doc_values, q)
+    )
+    for mdc in (1, 2, 5):
+        got = rare_terms(
+            spark, agg_index, q, doc_values, "lang", mode="or",
+            max_doc_count=mdc,
+        ).collect()
+        exp = sorted(
+            ((v, c) for v, c in counts.items() if c <= mdc),
+            key=lambda t: (t[1], t[0]),
+        )
+        assert [(r["value"], r["doc_count"]) for r in got] == exp
+    # a giant bound returns every bucket, rarity order
+    got_all = rare_terms(
+        spark, agg_index, q, doc_values, "lang", mode="or",
+        max_doc_count=10**9,
+    ).collect()
+    assert len(got_all) == len(counts)
+    with pytest.raises(ValueError):
+        rare_terms(spark, agg_index, q, doc_values, "lang",
+                   max_doc_count=0)
+
+
+def test_auto_date_histogram(spark, agg_index, doc_values, py_oracle,
+                             queries):
+    from sparkfts.aggs import auto_date_histogram, date_histogram
+
+    q = queries[0]["query"]
+    rows = _matched_values(py_oracle, doc_values, q)
+    assert rows, "fixture too sparse"
+
+    import pandas as pd
+
+    ts = pd.Series([r["warc_ts"] for r in rows])
+
+    def n_buckets(iv):
+        iso = {"minute": "min", "hour": "h", "day": "D"}
+        if iv in iso:
+            return ts.dt.floor(iso[iv]).nunique()
+        if iv == "week":
+            return (ts - pd.to_timedelta(
+                ts.dt.dayofweek, unit="D")).dt.normalize().nunique()
+        per = {"month": "M", "quarter": "Q", "year": "Y"}[iv]
+        return ts.dt.to_period(per).nunique()
+
+    ladder = ("minute", "hour", "day", "week", "month", "quarter", "year")
+    for target in (1, 3, 10**6):
+        exp_iv = next(
+            (iv for iv in ladder if n_buckets(iv) <= target), "year"
+        )
+        got = auto_date_histogram(
+            spark, agg_index, q, doc_values, "warc_ts",
+            target_buckets=target, mode="or",
+        ).collect()
+        assert got and all(r["interval"] == exp_iv for r in got)
+        assert len(got) == n_buckets(exp_iv)
+        assert len(got) <= max(target, 1) or exp_iv == "year"
+        # bucket contents equal the fixed-interval histogram
+        fixed = date_histogram(
+            spark, agg_index, q, doc_values, "warc_ts",
+            calendar_interval=exp_iv, mode="or",
+        ).collect()
+        assert [(r["bucket"], r["doc_count"]) for r in got] == [
+            (r["bucket"], r["doc_count"]) for r in fixed
+        ]
+    with pytest.raises(ValueError):
+        auto_date_histogram(spark, agg_index, q, doc_values, "warc_ts",
+                            target_buckets=0)
