@@ -828,6 +828,21 @@ def q_fts_wildcard_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_count(spark, sf_dir):
+    """ES _count: matching-doc totals for the AND and OR flagship
+    queries in one batch — no scoring, partial-aggregated counts only
+    (sparkfts.aggs.count_matches)."""
+    from sparkfts.aggs import count_matches
+
+    idx = _index_dir_for(spark, sf_dir)
+    both = count_matches(
+        spark, idx, [(0, BM25_QUERY_AND)], mode="and"
+    ).unionByName(
+        count_matches(spark, idx, [(1, BM25_QUERY_OR)], mode="or")
+    )
+    return both.select("query_id", "doc_count")
+
+
 def q_rare_terms_agg(spark, sf_dir):
     """ES rare_terms aggregation: the long-tail `source` buckets
     (doc_count <= 2) among docs matching 'dup' (a mid-frequency term,
@@ -2119,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "fts_regexp_topk": q_fts_regexp_topk,
+        "fts_count": q_fts_count,
         "rare_terms_agg": q_rare_terms_agg,
         "auto_date_histogram": q_auto_date_histogram,
         "term_suggest": q_term_suggest,
@@ -4260,6 +4276,16 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    n_and = len(set(BM25_QUERY_AND.split()))
+    sqls["fts_count"] = f"""
+SELECT CAST(0 AS INT) AS query_id, CAST(count(*) AS BIGINT) AS doc_count
+FROM (SELECT doc_id FROM ({_TOKS}) WHERE tok IN ({and_terms})
+      GROUP BY doc_id HAVING count(DISTINCT tok) = {n_and})
+UNION ALL
+SELECT CAST(1 AS INT), CAST(count(*) AS BIGINT)
+FROM (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
 """
 
     sqls["rare_terms_agg"] = f"""

@@ -143,6 +143,37 @@ def match_docs_batch(
     )
 
 
+def count_matches(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``_count`` -> (query_id, doc_count): how many docs match,
+    no scoring, no page. Every query in the batch gets a row (0 when
+    nothing matches — ES's contract). Plan: the per-shard match kernel
+    plus a partial-aggregated count, so only per-(query, partition)
+    scalars cross the exchange; the match set itself is never shuffled
+    or collected."""
+    matched = match_docs_batch(spark, index_dir, queries, mode)
+    counts = matched.groupBy("query_id").agg(
+        F.count("*").alias("doc_count")
+    )
+    qids = spark.createDataFrame(
+        [(int(qid),) for qid, _ in queries], "query_id int"
+    ).distinct()
+    return (
+        qids.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("doc_count"), F.lit(0))
+            .cast("long")
+            .alias("doc_count"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def terms_facet(
     spark: SparkSession,
     index_dir: str,

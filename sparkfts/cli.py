@@ -644,6 +644,20 @@ def cmd_suggest(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_count(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-count")
+    from sparkfts.aggs import count_matches
+
+    t0 = time.time()
+    rows = count_matches(
+        spark, args.index, [(0, args.query)], mode=args.mode
+    ).collect()
+    print(json.dumps({
+        "count": rows[0]["doc_count"] if rows else 0,
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
 def cmd_lm(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-lm")
     from sparkfts.phrasesuggest import build_bigram_model
@@ -1001,6 +1015,14 @@ def main(argv: list[str] | None = None) -> None:
                          "(first char exact)")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
+
+    cnt = sub.add_parser("count", help="ES _count: matching-doc count, "
+                                       "no scoring or page")
+    cnt.add_argument("--index", required=True)
+    cnt.add_argument("--query", required=True)
+    cnt.add_argument("--mode", choices=["and", "or"], default="and")
+    cnt.add_argument("--cores", default="*")
+    cnt.set_defaults(fn=cmd_count)
 
     lm = sub.add_parser("lm", help="build the phrase-suggester bigram "
                                    "LM sidecar")

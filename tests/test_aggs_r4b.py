@@ -266,3 +266,26 @@ def test_auto_date_histogram(spark, agg_index, doc_values, py_oracle,
     with pytest.raises(ValueError):
         auto_date_histogram(spark, agg_index, q, doc_values, "warc_ts",
                             target_buckets=0)
+
+
+def test_count_matches(spark, agg_index, py_oracle, queries):
+    from sparkfts.aggs import count_matches
+
+    q = queries[0]["query"]
+    exp = {
+        mode: len(py_oracle.search(q, k=py_oracle.n_docs, mode=mode))
+        for mode in ("and", "or")
+    }
+    for mode in ("and", "or"):
+        got = count_matches(spark, agg_index, [(0, q)], mode=mode).collect()
+        assert [(r["query_id"], r["doc_count"]) for r in got] == [
+            (0, exp[mode])
+        ]
+    # batch: every query gets a row; no-match and empty-analysis -> 0
+    got = count_matches(
+        spark, agg_index,
+        [(0, q), (1, "zzzzqq"), (2, "...")], mode="or",
+    ).collect()
+    assert [(r["query_id"], r["doc_count"]) for r in got] == [
+        (0, exp["or"]), (1, 0), (2, 0)
+    ]
