@@ -828,6 +828,42 @@ def q_fts_wildcard_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def _routed_index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) a ROUTED index over `documents`: shard =
+    md5-hash(source) — ES custom routing, so per-source queries prune
+    to one shard."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(REPO, ".scratch", f"entry_idx_routed_{key}")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        from sparkfts.index import build_index
+
+        build_index(
+            _docs_as_pages(_docs(spark, sf_dir)),
+            idx,
+            n_shards=8,
+            n_tbuckets=16,
+            id_source="column",
+            docvalue_cols=["source"],
+            routing_col="source",
+        )
+    return idx
+
+
+def q_fts_routed_topk(spark, sf_dir):
+    """ES custom routing: the OR query routed to the shard owning
+    source='src3' — the postings scan prunes to 1 of 8 shards; results
+    equal the unrouted query restricted to that shard's docs (global
+    stats, the engine's pinned dfs_query_then_fetch-style contract).
+    The DuckDB oracle recomputes the same md5-prefix shard hash."""
+    from sparkfts.query import bm25_index_batch
+
+    idx = _routed_index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or", routing="src3"
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_count(spark, sf_dir):
     """ES _count: matching-doc totals for the AND and OR flagship
     queries in one batch — no scoring, partial-aggregated counts only
@@ -2135,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "fts_regexp_topk": q_fts_regexp_topk,
         "fts_count": q_fts_count,
+        "fts_routed_topk": q_fts_routed_topk,
         "rare_terms_agg": q_rare_terms_agg,
         "auto_date_histogram": q_auto_date_histogram,
         "term_suggest": q_term_suggest,
@@ -4276,6 +4313,19 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    sqls["fts_routed_topk"] = f"""
+{or_cte},
+routed AS (
+  SELECT doc_id FROM documents
+  WHERE (CAST('0x' || substr(md5(source), 1, 15) AS BIGINT)
+         % 2147483647) % 8
+      = (CAST('0x' || substr(md5('src3'), 1, 15) AS BIGINT)
+         % 2147483647) % 8)
+SELECT s.doc_id, {_SCORE_E4} AS score_e4
+FROM scored s JOIN routed USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
 
     n_and = len(set(BM25_QUERY_AND.split()))

@@ -50,6 +50,10 @@ def cmd_build(args: argparse.Namespace) -> None:
     if args.fields:
         if args.resume:
             raise SystemExit("--resume is per-field; rerun without --fields")
+        if args.routing_col:
+            raise SystemExit(
+                "--routing-col is not supported with --fields"
+            )
         from sparkfts.multifield import build_multifield_index
 
         mf = build_multifield_index(
@@ -80,6 +84,8 @@ def cmd_build(args: argparse.Namespace) -> None:
         )
         return
     if args.resume:
+        if args.routing_col:
+            raise SystemExit("--routing-col is not supported with --resume")
         if args.stopwords or args.stemmer:
             # resumable builds pin global stats up front; analyzer-aware
             # stats aren't threaded there yet — fail loudly, never drop
@@ -112,6 +118,7 @@ def cmd_build(args: argparse.Namespace) -> None:
                 args.stopwords.split(",") if args.stopwords else None
             ),
             stemmer=args.stemmer,
+            routing_col=args.routing_col,
         )
     sec = time.time() - t0
     print(
@@ -150,6 +157,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--transpositions", args.transpositions),
                 ("--min-should-match", args.min_should_match != 1),
                 ("--no-blockmax", args.no_blockmax),
+                ("--routing", args.routing is not None),
             )
             if on
         ]
@@ -216,6 +224,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--max-expansions", args.max_expansions is not None),
                 ("--transpositions", args.transpositions),
                 ("--slop", args.slop and flag != "--span-near"),
+                ("--routing", args.routing is not None),
             )
             if on
         ]
@@ -325,6 +334,13 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
         _print_hits(rows, time.time() - t0, min_score=args.min_score)
         return
+    if args.routing is not None and (
+        args.phrase or args.fields or args.fuzzy or args.prefix
+        or args.wildcard or args.regexp or args.synonyms
+    ):
+        raise SystemExit(
+            "--routing is supported on the plain query path only"
+        )
     n_expq = sum(map(bool, (args.prefix, args.wildcard, args.regexp)))
     if n_expq and (args.phrase or args.fields or args.fuzzy or n_expq > 1):
         raise SystemExit(
@@ -538,6 +554,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             min_should_match=args.min_should_match,
             filter_expr=args.filter,
             must_not={0: args.must_not} if args.must_not else None,
+            routing=args.routing,
         ).collect()
     _print_hits(rows, time.time() - t0, min_score=args.min_score)
 
@@ -878,6 +895,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="index-time stemmer applied after the stop "
                         "filter; 'porter' = pinned classic Porter "
                         "(re-applied at query analysis from meta)")
+    b.add_argument("--routing-col", default=None,
+                   help="ES custom routing: shard by the md5 hash of "
+                        "this column instead of the doc_id salt; "
+                        "queries with --routing VALUE then scan one "
+                        "shard (list non-canonical columns in "
+                        "--docvalues too)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
@@ -966,6 +989,10 @@ def main(argv: list[str] | None = None) -> None:
                    metavar="FIELD:FUNC:ORIGIN:SCALE[:OFFSET[:DECAY]]",
                    help="ES function_score decay (gauss|exp|linear) "
                         "on a numeric doc value, boost_mode multiply")
+    q.add_argument("--routing", default=None,
+                   help="ES custom routing value: prune the search to "
+                        "the single shard owning this routing value "
+                        "(index must be built with routing_col)")
     q.add_argument("--min-score", type=float, default=None,
                    help="ES min_score: drop hits scoring below the "
                         "floor (exact post-filter on the ranked page)")

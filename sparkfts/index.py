@@ -182,6 +182,36 @@ def _make_postings_stream(avgdl: float, n_tbuckets: int, block_size: int):
     return gen
 
 
+ROUTING_HASH_P = 2_147_483_647  # md5-prefix hash modulus (engine-wide)
+
+
+def shard_expr(n_shards: int, routing_col: str | None = None):
+    """Doc -> shard id Column. Default: ``pmod(doc_id, n_shards)`` (a
+    doc-space salt). With ES custom routing: the md5-prefix hash of the
+    routing value mod ``n_shards`` — every doc sharing a routing value
+    lands in ONE shard, so a routed query prunes the scan to that shard
+    (the per-tenant/per-host query shape at web scale)."""
+    if routing_col is None:
+        return F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    from sparkfts.ops.textstats import term_hash31
+
+    routed = F.coalesce(F.col(routing_col).cast("string"), F.lit(""))
+    return F.pmod(term_hash31(routed), F.lit(n_shards)).cast("int")
+
+
+def routing_shard(value, n_shards: int) -> int:
+    """Query-time mirror of :func:`shard_expr`'s routing hash (and of
+    the DuckDB spelling ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)
+    % P % n_shards``)."""
+    import hashlib
+
+    h = (
+        int(hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16)
+        % ROUTING_HASH_P
+    )
+    return int(h % n_shards)
+
+
 def build_index(
     pages: DataFrame,
     out_dir: str,
@@ -198,6 +228,7 @@ def build_index(
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
     store_source: bool = False,
+    routing_col: str | None = None,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -217,6 +248,16 @@ def build_index(
     re-applied at query analysis like stopwords. Doclen/avgdl are
     unchanged (stemming is 1:1); surface forms stemming alike merge into
     one indexed term with summed tf.
+
+    ``routing_col``: OPTIONAL ES custom routing — shard assignment
+    becomes the md5-prefix hash of this column's value instead of the
+    doc_id salt, so all docs sharing a routing value co-locate in one
+    shard and routed queries (``bm25_index_batch(routing=...)``) scan
+    exactly one shard. The column must be available on the prepared
+    pages (list it in ``docvalue_cols`` for arbitrary page columns).
+    Recorded in meta and inherited by streamed appends. Trade-off vs
+    the doc-space salt: a single hot routing value concentrates in one
+    shard (ES documents the same skew caveat for custom routing).
 
     Returns the meta dict (also written to ``meta.json``).
     """
@@ -240,27 +281,47 @@ def build_index(
         id_source=id_source,
         keep_cols=docvalue_cols,
     )
+    if routing_col is not None and routing_col not in prepared.columns:
+        raise ValueError(
+            f"routing_col {routing_col!r} not on the prepared pages; "
+            "add it to docvalue_cols (or use a canonical page column)"
+        )
     prepared = prepared.withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        "shard", shard_expr(n_shards, routing_col)
     )
     if shard_filter is not None:
         prepared = prepared.where(F.col("shard").isin(list(shard_filter)))
     prepared = prepared.cache()
 
-    tokens = tokenize_docs(
-        prepared, stopwords=stopwords, stemmer=stemmer
-    ).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
-    )
+    if routing_col is None:
+        tokens = tokenize_docs(
+            prepared, stopwords=stopwords, stemmer=stemmer
+        ).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+    else:
+        # routed shards aren't derivable from doc_id: the tokenizer
+        # passes the prepared frame's shard through each Arrow batch
+        tokens = tokenize_docs(
+            prepared, stopwords=stopwords, stemmer=stemmer,
+            shard_col="shard",
+        )
     # stats come from the docmap pass (a vectorized regex COUNT per doc),
     # not from a second full tokenization: sum(doclen) == total tokens, so
     # avgdl is bit-identical to the oracle's and the expensive
     # tokenize+shuffle pipeline below runs exactly ONCE per build
-    docmap = build_docmap(
-        prepared, docvalue_cols=docvalue_cols, stopwords=stopwords
-    ).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
-    )
+    if routing_col is None:
+        docmap = build_docmap(
+            prepared, docvalue_cols=docvalue_cols, stopwords=stopwords
+        ).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+    else:
+        docmap = build_docmap(
+            prepared,
+            docvalue_cols=list(docvalue_cols or []) + ["shard"],
+            stopwords=stopwords,
+        )
     docmap = docmap.cache()
     if fixed_stats is not None:
         n_docs, avgdl = int(fixed_stats[0]), float(fixed_stats[1])
@@ -334,6 +395,7 @@ def build_index(
         "stopwords": sorted(stopwords) if stopwords else [],
         "stemmer": stemmer or None,
         "store_source": bool(store_source),
+        "routing_col": routing_col or None,
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

@@ -416,8 +416,17 @@ def bm25_index_batch(
     min_should_match: int = 1,
     filter_expr: str | None = None,
     must_not: dict[int, str] | None = None,
+    routing: str | None = None,
 ) -> DataFrame:
     """Answer a batch of BM25 top-k queries from a built index.
+
+    ``routing``: ES custom routing — only valid on an index built with
+    ``routing_col``; the postings scan (and the bool.filter docmap
+    scan) prune to the single shard ``routing_shard(routing)``, so the
+    whole batch touches 1/n_shards of the index (the per-tenant /
+    per-host query shape). Scoring stats stay corpus-global (the
+    engine's pinned dfs_query_then_fetch-style contract), so a routed
+    query equals the unrouted query restricted to that shard's docs.
 
     ``min_should_match`` (OR mode): ES ``minimum_should_match`` — docs
     must contain at least this many distinct query terms.
@@ -469,6 +478,7 @@ def bm25_index_batch(
         load_postings,
         load_terms,
         read_meta,
+        routing_shard,
         term_bucket,
     )
 
@@ -483,6 +493,13 @@ def bm25_index_batch(
     # is gated off while tombstones exist (a theta seeded from a deleted
     # doc could over-prune) — merge reclaims and restores it
     tombstones = load_tombstones(spark, index_dir)
+    routed_shard = None
+    if routing is not None:
+        if not meta.get("routing_col"):
+            raise ValueError(
+                "routing= requires an index built with routing_col"
+            )
+        routed_shard = routing_shard(routing, meta["n_shards"])
     sw, stem = analysis_opts(meta)
     analyzed = [
         (qid, tokenize_query(text, sw, stem), k) for qid, text, k in queries
@@ -519,7 +536,12 @@ def bm25_index_batch(
     # shuffle, not the scan
     postings = load_postings(spark, index_dir).where(
         in_list("tbucket", buckets) & in_list("term", all_terms)
-    ).coalesce(_session_cores(spark))
+    )
+    if routed_shard is not None:
+        # files are sorted by (tbucket, term, shard): the equality
+        # predicate row-group-prunes on shard min/max stats
+        postings = postings.where(F.col("shard") == routed_shard)
+    postings = postings.coalesce(_session_cores(spark))
     # global df for the query terms, shipped in the kernel closure.
     # df_map_for caches the whole dictionary on the driver per index
     # generation when it fits (ES's in-memory terms dictionary), so a
@@ -556,9 +578,12 @@ def bm25_index_batch(
         # push down to the parquet scan; only `shard`+`doc_id` survive
         # column pruning), cogrouped with the postings by shard so each
         # kernel sees exactly its shard's allowed id set
+        allowed = load_docmap(spark, index_dir)
+        if routed_shard is not None:
+            # docmap is written partitioned by shard: partition-pruned
+            allowed = allowed.where(F.col("shard") == routed_shard)
         allowed = (
-            load_docmap(spark, index_dir)
-            .where(F.expr(filter_expr))
+            allowed.where(F.expr(filter_expr))
             .select("shard", "doc_id")
             .coalesce(_session_cores(spark))
         )
@@ -1038,9 +1063,12 @@ def _grouped_expansion_topk(
     )
     result_schema = "query_id int, doc_id long, score double"
     if filter_expr is not None:
+        allowed = load_docmap(spark, index_dir)
+        if routed_shard is not None:
+            # docmap is written partitioned by shard: partition-pruned
+            allowed = allowed.where(F.col("shard") == routed_shard)
         allowed = (
-            load_docmap(spark, index_dir)
-            .where(F.expr(filter_expr))
+            allowed.where(F.expr(filter_expr))
             .select("shard", "doc_id")
             .coalesce(_session_cores(spark))
         )

@@ -112,6 +112,8 @@ def ingest_batch(
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
     store_source: bool | None = None,
+    routing_col: str | None = None,
+    docvalue_cols: list[str] | None = None,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
@@ -139,6 +141,15 @@ def ingest_batch(
             # segments must store _source iff the base build does, or
             # reindex/merge would see a partial source table
             store_source = bool(root_meta.get("store_source", False))
+        if routing_col is None:
+            # routed indexes must shard streamed docs identically or a
+            # doc's postings would straddle shards (breaking the
+            # in-shard completeness invariant every kernel relies on)
+            routing_col = root_meta.get("routing_col") or None
+        if docvalue_cols is None:
+            # segment docmaps must carry the same docvalue columns as
+            # the base build or the cross-segment docmap union breaks
+            docvalue_cols = root_meta.get("docvalue_cols") or None
 
     seg_name = f"stream_{int(batch_id):08d}"
     running = _read_running(index_dir)
@@ -147,7 +158,12 @@ def ingest_batch(
 
     if dedup:
         batch_df = _dedup_against_seen(batch_df, batch_id, index_dir)
-    prepared = prepare_pages(batch_df).cache()
+    keep = sorted(
+        {routing_col} | set(docvalue_cols or []) - {None}
+    ) if (routing_col or docvalue_cols) else None
+    if keep is not None:
+        keep = [c for c in keep if c]
+    prepared = prepare_pages(batch_df, keep_cols=keep).cache()
     row = build_docmap(prepared, stopwords=stopwords).agg(
         F.count("*").alias("n"),
         F.sum(F.col("doclen").cast("long")).alias("t"),
@@ -172,6 +188,8 @@ def ingest_batch(
         stopwords=stopwords,
         stemmer=stemmer,
         store_source=bool(store_source),
+        routing_col=routing_col,
+        docvalue_cols=list(docvalue_cols) if docvalue_cols else None,
     )
     if positions:
         # before the stats commit: a crash here replays the whole batch

@@ -163,6 +163,7 @@ def tokenize_docs(
     text_col: str = "text",
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """``(id, text)`` -> ``(doc_id, term, tf, doclen)`` (one row per distinct term).
 
@@ -170,19 +171,41 @@ def tokenize_docs(
     shuffle moves one row per *distinct* (doc, term) — not one per token
     occurrence. At web scale that's the difference between shuffling
     ~10^14 token rows and ~10^13 distinct-pair rows.
+
+    ``shard_col``: pass this int column of ``df`` through to the output
+    (routed builds, where a doc's shard is NOT derivable from doc_id);
+    a map-side per-batch pandas merge, no extra shuffle.
     """
-    src = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
-    )
+    cols = [
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ]
+    if shard_col is not None:
+        cols.append(F.col(shard_col).cast("int").alias("__shard"))
+    src = df.select(*cols)
     sw = frozenset(stopwords) if stopwords else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _tokenize_batch(
+            out = _tokenize_batch(
                 pdf, "doc_id", "text", stopwords=sw, stemmer=stemmer
             )
+            if shard_col is not None:
+                out = out.merge(
+                    pdf[["doc_id", "__shard"]].rename(
+                        columns={"__shard": "shard"}
+                    ),
+                    on="doc_id",
+                )
+            yield out
 
-    return src.mapInPandas(gen, TOKENS_SCHEMA)
+    if shard_col is None:
+        return src.mapInPandas(gen, TOKENS_SCHEMA)
+    schema = T.StructType(
+        TOKENS_SCHEMA.fields
+        + [T.StructField("shard", T.IntegerType(), False)]
+    )
+    return src.mapInPandas(gen, schema)
 
 
 def prepare_pages(
