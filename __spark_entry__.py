@@ -1835,6 +1835,17 @@ def q_ann_range_search(spark, sf_dir):
     return cosine_range_search(emb, list(qvec), 120000)
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """ES int8-quantized ANN (two-phase): rank all vectors by the int8
+    approximate cosine, keep top-50, exact-rerank to top-10 — ES's
+    default dense_vector quantization + rescore_vector shape."""
+    from sparkfts.ops.similarity import ann_sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_sq8_topk(emb, list(qvec), k=10, rescore=50)
+
+
 def q_curate_funnel(spark, sf_dir):
     """End-to-end curation funnel (quality -> exact dedup -> 500-per-
     mille sample) with per-stage retention accounting — the pipeline
@@ -2247,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": q_completion_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_range_search": q_ann_range_search,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "curate_funnel": q_curate_funnel,
     }
 
@@ -4443,6 +4455,49 @@ SELECT vec_id,
 FROM dots, nq WHERE na > 0
   AND CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
       >= 120000
+"""
+
+    # int8-quantized two-phase ANN: approximate int8 scan (per-vector
+    # symmetric scale, q = floor(x*127/max|x|+0.5)) -> top-50 ->
+    # exact e3-quantized rerank -> top-10
+    sqls["ann_sq8_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qsc AS (SELECT CAST(list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                    AS DOUBLE) AS s FROM q),
+qq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 127.0 / s + 0.5)
+                   AS BIGINT) AS v
+       FROM q, qsc),
+nqq AS (SELECT sum(v * v) AS nqq FROM qq),
+esc AS (SELECT vec_id,
+               CAST(list_aggregate(list_transform(embedding, x -> abs(x)),
+                                   'max') AS DOUBLE) AS s
+        FROM embeddings),
+ee AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS pos,
+              CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 127.0
+                         / esc.s + 0.5) AS BIGINT) AS v
+       FROM embeddings e JOIN esc USING (vec_id) WHERE esc.s > 0),
+adots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dotq, sum(e.v * e.v) AS naq
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+cand AS (
+  SELECT vec_id, dotq / (sqrt(CAST(naq AS DOUBLE)) * sqrt(nqq.nqq)) AS a
+  FROM adots, nqq WHERE naq > 0
+  ORDER BY a DESC, vec_id LIMIT 50),
+ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+cq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+nq AS (SELECT sum(v * v) AS nq FROM cq),
+d2 AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ce e JOIN cq q USING (pos) GROUP BY e.vec_id)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM d2, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
 
     # curation funnel retention table: input -> quality (the pinned

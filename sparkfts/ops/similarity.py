@@ -484,3 +484,99 @@ def embedding_dup_pairs(
         .where(F.col("cos_e6") >= F.lit(int(threshold_e6)))
         .select("id_a", "id_b", "cos_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (ES dense_vector `int8` quantization shape):
+# approximate int8 scan -> exact re-rank of the top `rescore` candidates
+# ---------------------------------------------------------------------------
+
+
+def sq8_query(query_vec: list[float]) -> tuple[list[int], int]:
+    """Driver-side mirror of :func:`_sq8_cols`'s per-vector symmetric
+    int8 quantization -> (int8 components, squared norm). Fail-loud on
+    a zero vector."""
+    import math
+
+    s = max(abs(float(x)) for x in query_vec)
+    if s <= 0.0:
+        raise ValueError("query vector must be non-zero")
+    q = [int(math.floor(float(x) * 127.0 / s + 0.5)) for x in query_vec]
+    return q, sum(v * v for v in q)
+
+
+def _sq8_cols(vec_col: str):
+    """(scale, int8-quantized array) Columns: per-vector symmetric
+    scaling q_i = floor(x_i * 127 / max|x| + 0.5) — the same expression
+    DuckDB evaluates, so both engines quantize bit-identically."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    q = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast(
+            "long"
+        ),
+    )
+    return scale, q
+
+
+def ann_sq8_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES-style int8-quantized ANN -> (vec_id, cos_e6): rank ALL
+    vectors by the int8 approximate cosine (integer dot over the
+    quantized components — 4x less memory traffic than float32, the
+    reason ES quantizes by default), keep the top ``rescore``, then
+    re-rank those with the exact quantized-e3 cosine and return the
+    top ``k``.
+
+    Two-phase exactly like ES's `rescore_vector`: the cheap pass
+    bounds the exact pass to ``rescore`` vectors. Deterministic: both
+    phases break ties by vec_id, and every arithmetic step is either
+    exact-integer or one pinned float64 expression, so the DuckDB
+    oracle reproduces the full pipeline bit-identically.
+
+    Scale shape: phase 1 is a narrow map + TakeOrdered (per-partition
+    top-``rescore`` then merge); phase 2 scores only the surviving
+    ``rescore`` rows. Nothing is collected.
+    """
+    if rescore < k:
+        raise ValueError("rescore must be >= k")
+    qq, nqq = sq8_query(query_vec)
+    qcol = F.array(*[F.lit(v) for v in qq])
+    scale, q8 = _sq8_cols(vec_col)
+    dotq = F.aggregate(
+        F.zip_with(q8, qcol, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    naq = F.aggregate(
+        q8, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    approx = (
+        emb.where(scale > 0)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__emb"),
+            dotq.alias("dotq"),
+            naq.alias("naq"),
+        )
+        .where(F.col("naq") > 0)
+        .withColumn(
+            "approx",
+            F.col("dotq")
+            / (F.sqrt(F.col("naq").cast("double"))
+               * F.sqrt(F.lit(float(nqq)))),
+        )
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(int(rescore))
+    )
+    return cosine_topk(
+        approx.select("vec_id", F.col("__emb").alias(vec_col)),
+        query_vec, k, id_col="vec_id", vec_col=vec_col,
+    )

@@ -146,3 +146,78 @@ def test_ivf_index_probe_and_recall(spark, emb_df, tmp_path):
     pruned = spark.read.parquet(path).where(F.col("centroid_id").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+
+
+# ---- int8 scalar-quantized ANN (two-phase, ES int8 quantization) ----
+
+
+def _py_sq8_pipeline(rows, qvec, k, rescore):
+    import math
+
+    def quant8(v):
+        s = max(abs(float(x)) for x in v)
+        if s <= 0:
+            return None
+        return [int(math.floor(float(x) * 127.0 / s + 0.5)) for x in v]
+
+    qq = quant8(qvec)
+    nqq = sum(x * x for x in qq)
+    approx = []
+    for vid, v in rows:
+        q8 = quant8(v)
+        if q8 is None:
+            continue
+        naq = sum(x * x for x in q8)
+        if naq <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(q8, qq))
+        approx.append((vid, dot / (math.sqrt(naq) * math.sqrt(nqq)), v))
+    approx.sort(key=lambda t: (-t[1], t[0]))
+    cand = approx[:rescore]
+    qi = [int(math.floor(float(x) * 1000 + 0.5)) for x in qvec]
+    nq = sum(x * x for x in qi)
+    exact = []
+    for vid, _, v in cand:
+        vi = [int(math.floor(float(x) * 1000 + 0.5)) for x in v]
+        na = sum(x * x for x in vi)
+        if na <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(vi, qi))
+        c = math.floor(
+            dot / (math.sqrt(na) * math.sqrt(nq)) * 1_000_000 + 0.5
+        )
+        exact.append((vid, int(c)))
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:k]
+
+
+def test_sq8_matches_python_mirror(emb_df):
+    from sparkfts.ops.similarity import ann_sq8_topk
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb_df.collect()]
+    qvec = dict(rows)[0]
+    got = ann_sq8_topk(emb_df, list(qvec), k=8, rescore=15).collect()
+    exp = _py_sq8_pipeline(rows, list(qvec), 8, 15)
+    assert [(r["vec_id"], r["cos_e6"]) for r in got] == exp
+    assert got[0]["vec_id"] == 0 and got[0]["cos_e6"] == 1_000_000
+
+
+def test_sq8_full_rescore_equals_exact(emb_df):
+    from sparkfts.ops.similarity import ann_sq8_topk, cosine_topk
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb_df.collect()]
+    qvec = dict(rows)[3]
+    a = ann_sq8_topk(emb_df, list(qvec), k=10, rescore=1000).collect()
+    b = cosine_topk(emb_df, list(qvec), k=10).collect()
+    assert [(r["vec_id"], r["cos_e6"]) for r in a] == [
+        (r["vec_id"], r["cos_e6"]) for r in b
+    ]
+
+
+def test_sq8_validation(emb_df):
+    from sparkfts.ops.similarity import ann_sq8_topk, sq8_query
+
+    with pytest.raises(ValueError):
+        ann_sq8_topk(emb_df, [1.0] * 16, k=10, rescore=5)
+    with pytest.raises(ValueError):
+        sq8_query([0.0] * 16)
