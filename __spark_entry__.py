@@ -1835,6 +1835,16 @@ def q_ann_range_search(spark, sf_dir):
     return cosine_range_search(emb, list(qvec), 120000)
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Sequence-packing manifest (concat-then-chunk, capacity 2048):
+    where every doc lands in the packed token stream — a two-phase
+    distributed prefix sum, never a single-partition global window
+    (sparkfts.ops.packing docstring)."""
+    from sparkfts.ops.packing import pack_manifest
+
+    return pack_manifest(_docs(spark, sf_dir), capacity=2048)
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """ES int8-quantized ANN (two-phase): rank all vectors by the int8
     approximate cosine, keep top-50, exact-rerank to top-10 — ES's
@@ -2260,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": q_ann_range_search,
         "ann_sq8_topk": q_ann_sq8_topk,
         "curate_funnel": q_curate_funnel,
+        "pack_manifest": q_pack_manifest,
     }
 
 
@@ -4455,6 +4466,27 @@ SELECT vec_id,
 FROM dots, nq WHERE na > 0
   AND CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
       >= 120000
+"""
+
+    # concat-then-chunk packing manifest: global exclusive prefix sum
+    # over doc_id order, capacity-2048 chunk spans
+    sqls["pack_manifest"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM n WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS first_chunk,
+       (start_offset + n_tokens - 1) // 2048 AS last_chunk
+FROM s ORDER BY doc_id
 """
 
     # int8-quantized two-phase ANN: approximate int8 scan (per-vector
