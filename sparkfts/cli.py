@@ -661,6 +661,26 @@ def cmd_suggest(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_snapshot(args: argparse.Namespace) -> None:
+    from sparkfts.lifecycle import list_snapshots, snapshot
+
+    if args.list:
+        for s in list_snapshots(args.repo):
+            print(json.dumps(s))
+        return
+    if not args.index or not args.name:
+        raise SystemExit("snapshot needs --index and --name (or --list)")
+    print(json.dumps(snapshot(args.index, args.repo, args.name)))
+
+
+def cmd_restore(args: argparse.Namespace) -> None:
+    from sparkfts.lifecycle import restore_snapshot
+
+    print(json.dumps(
+        restore_snapshot(args.repo, args.name, args.target)
+    ))
+
+
 def cmd_count(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-count")
     from sparkfts.aggs import count_matches
@@ -1042,6 +1062,22 @@ def main(argv: list[str] | None = None) -> None:
                          "(first char exact)")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
+
+    sn = sub.add_parser("snapshot", help="ES _snapshot: point-in-time "
+                                         "incremental index snapshot")
+    sn.add_argument("--repo", required=True)
+    sn.add_argument("--index", default=None)
+    sn.add_argument("--name", default=None)
+    sn.add_argument("--list", action="store_true",
+                    help="list committed snapshots in the repo")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="restore a snapshot into a NEW "
+                                        "index dir")
+    rs.add_argument("--repo", required=True)
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--target", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     cnt = sub.add_parser("count", help="ES _count: matching-doc count, "
                                        "no scoring or page")

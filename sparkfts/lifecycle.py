@@ -159,3 +159,172 @@ def rollover(
         write_idx = next_index_dir
     return {"rolled": met, "write_index": write_idx,
             "conditions": conditions}
+
+
+# ---------------------------------------------------------------------------
+# Snapshot / restore (ES _snapshot repository surface)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_MANIFEST = "snapshot.json"
+
+
+def _file_md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _walk_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            out.append(
+                os.path.relpath(os.path.join(dirpath, fn), root)
+            )
+    return sorted(out)
+
+
+def snapshot(
+    index_dir: str,
+    repo_dir: str,
+    name: str,
+) -> dict:
+    """Point-in-time snapshot of ``index_dir`` into ``repo_dir/name``.
+
+    ES semantics pinned: snapshots are immutable, named, and
+    INCREMENTAL — a file whose (relative path, size, md5) matches the
+    newest prior snapshot in the repo is HARD-LINKED instead of
+    copied (segments are immutable once written, so unchanged segment
+    files dedupe exactly like ES's segment-level sharing; works on any
+    POSIX filesystem, falls back to a copy when linking fails).
+    Written atomically: staged under ``<name>.tmp`` then renamed — a
+    crashed snapshot never appears in :func:`list_snapshots`.
+    """
+    import json as _json
+    import shutil
+
+    if not name or "/" in name:
+        raise ValueError("snapshot name must be a plain directory name")
+    dst = os.path.join(repo_dir, name)
+    if os.path.exists(dst):
+        raise FileExistsError(f"snapshot {name!r} already exists")
+    prior = None
+    priors = list_snapshots(repo_dir)
+    if priors:
+        prior = os.path.join(repo_dir, priors[-1]["name"])
+    prior_manifest = {}
+    if prior is not None:
+        with open(os.path.join(prior, SNAPSHOT_MANIFEST)) as f:
+            prior_manifest = {
+                e["path"]: e for e in _json.load(f)["files"]
+            }
+
+    tmp = dst + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    files, linked = [], 0
+    for rel in _walk_files(index_dir):
+        src = os.path.join(index_dir, rel)
+        out = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        size = os.path.getsize(src)
+        digest = _file_md5(src)
+        pe = prior_manifest.get(rel)
+        if pe and pe["size"] == size and pe["md5"] == digest:
+            try:
+                os.link(os.path.join(prior, rel), out)
+                linked += 1
+            except OSError:
+                shutil.copy2(src, out)
+        else:
+            shutil.copy2(src, out)
+        files.append({"path": rel, "size": size, "md5": digest})
+    manifest = {
+        "name": name,
+        "source": os.path.abspath(index_dir),
+        "n_files": len(files),
+        "total_bytes": sum(e["size"] for e in files),
+        "files": files,
+    }
+    with open(os.path.join(tmp, SNAPSHOT_MANIFEST), "w") as f:
+        _json.dump(manifest, f, indent=2)
+    os.rename(tmp, dst)  # atomic commit: dst checked absent above
+    return {
+        "name": name,
+        "n_files": len(files),
+        "linked": linked,
+        "total_bytes": manifest["total_bytes"],
+    }
+
+
+def list_snapshots(repo_dir: str) -> list[dict]:
+    """Committed snapshots in the repo, name-sorted (ES `_cat/snapshots`
+    analogue); staging dirs (`*.tmp`) are invisible."""
+    import json as _json
+
+    if not os.path.isdir(repo_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(repo_dir)):
+        mpath = os.path.join(repo_dir, name, SNAPSHOT_MANIFEST)
+        if name.endswith(".tmp") or not os.path.isfile(mpath):
+            continue
+        with open(mpath) as f:
+            m = _json.load(f)
+        out.append({
+            "name": name,
+            "n_files": m["n_files"],
+            "total_bytes": m["total_bytes"],
+        })
+    return out
+
+
+def restore_snapshot(
+    repo_dir: str,
+    name: str,
+    target_dir: str,
+    verify: bool = True,
+) -> dict:
+    """Restore snapshot ``name`` into a NEW index dir (ES restores
+    into a new/closed index; an existing live target fails loud).
+    ``verify=True`` re-hashes every file against the manifest and
+    refuses a corrupted repository instead of restoring garbage."""
+    import json as _json
+    import shutil
+
+    src = os.path.join(repo_dir, name)
+    mpath = os.path.join(src, SNAPSHOT_MANIFEST)
+    if not os.path.isfile(mpath):
+        raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
+    if os.path.exists(target_dir):
+        raise FileExistsError(
+            f"restore target {target_dir} exists; restore into a new dir"
+        )
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    if verify:
+        for e in manifest["files"]:
+            p = os.path.join(src, e["path"])
+            if (
+                not os.path.isfile(p)
+                or os.path.getsize(p) != e["size"]
+                or _file_md5(p) != e["md5"]
+            ):
+                raise ValueError(
+                    f"snapshot {name!r} is corrupt at {e['path']}"
+                )
+    tmp = target_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for e in manifest["files"]:
+        out = os.path.join(tmp, e["path"])
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.copy2(os.path.join(src, e["path"]), out)
+    os.rename(tmp, target_dir)
+    return {
+        "name": name,
+        "target": target_dir,
+        "n_files": manifest["n_files"],
+    }

@@ -225,3 +225,79 @@ def test_rollover_conditions_and_alias_append(spark, src_index, tmp_path):
     )
     assert r["rolled"] is True
     assert r["conditions"]["max_bytes"]["current"] > 1
+
+
+# ---- snapshot / restore (ES _snapshot repository surface) ----
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    import shutil
+
+    from sparkfts.index import build_index
+    from sparkfts.lifecycle import (
+        list_snapshots,
+        restore_snapshot,
+        snapshot,
+    )
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.synth import gen_corpus
+
+    idx = str(tmp_path / "snap_idx")
+    repo = str(tmp_path / "repo")
+    build_index(
+        spark.createDataFrame(gen_corpus(120, seed=51).to_pandas()),
+        idx, n_shards=2, n_tbuckets=4,
+    )
+    base = bm25_index_batch(spark, idx, [(0, "the", 10)], mode="or").collect()
+    assert base
+
+    s1 = snapshot(idx, repo, "s1")
+    assert s1["linked"] == 0 and s1["n_files"] > 0
+    assert [s["name"] for s in list_snapshots(repo)] == ["s1"]
+
+    # mutate the live index (delete the top hit) -> snapshot is PIT
+    from sparkfts.deletes import delete_docs
+
+    delete_docs(spark, idx, [base[0]["doc_id"]])
+    after = bm25_index_batch(spark, idx, [(0, "the", 10)], mode="or").collect()
+    assert after[0]["doc_id"] != base[0]["doc_id"]
+
+    restored = str(tmp_path / "restored_idx")
+    restore_snapshot(repo, "s1", restored)
+    got = bm25_index_batch(
+        spark, restored, [(0, "the", 10)], mode="or"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+
+    # second snapshot after the mutation: unchanged files hard-link
+    s2 = snapshot(idx, repo, "s2")
+    assert s2["linked"] > 0
+    assert [s["name"] for s in list_snapshots(repo)] == ["s1", "s2"]
+
+    # duplicate name / existing target / corruption all fail loud
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        snapshot(idx, repo, "s1")
+    with _pytest.raises(FileExistsError):
+        restore_snapshot(repo, "s1", restored)
+    victim = None
+    import os as _os
+
+    for dirpath, _d, files in _os.walk(_os.path.join(repo, "s2")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                victim = _os.path.join(dirpath, fn)
+                break
+        if victim:
+            break
+    # corrupt a COPIED (not hard-linked) file representative: rewrite
+    # via a fresh inode so s1 stays intact
+    data = open(victim, "rb").read()
+    _os.unlink(victim)
+    with open(victim, "wb") as f:
+        f.write(data[: max(0, len(data) - 7)] + b"corrupt")
+    with _pytest.raises(ValueError, match="corrupt"):
+        restore_snapshot(repo, "s2", str(tmp_path / "x"))
