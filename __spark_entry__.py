@@ -864,6 +864,31 @@ def q_fts_routed_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (exact CDF pin, integer arithmetic): what
+    percent of matched docs' n_chars fall at or below each probe."""
+    from sparkfts.aggs import percentile_ranks_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    return percentile_ranks_agg(
+        spark, idx, BM25_QUERY_OR, _docs(spark, sf_dir), "n_chars",
+        [2000.0, 5000.0, 20000.0], mode="or",
+    )
+
+
+def q_mget_docs(spark, sf_dir):
+    """ES _mget: docmap lookups for a fixed id list (one missing id),
+    request order, found flags; newest-segment/tombstone visibility
+    rules apply (sparkfts.lifecycle.mget)."""
+    from sparkfts.lifecycle import mget
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = mget(spark, idx, [3, 1, 999999, 7])
+    return res.select(
+        "doc_id", "found", "url", F.col("doclen").cast("int")
+    )
+
+
 def q_fts_count(spark, sf_dir):
     """ES _count: matching-doc totals for the AND and OR flagship
     queries in one batch — no scoring, partial-aggregated counts only
@@ -2193,6 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_regexp_topk": q_fts_regexp_topk,
         "fts_count": q_fts_count,
         "fts_routed_topk": q_fts_routed_topk,
+        "percentile_ranks_agg": q_percentile_ranks,
+        "mget_docs": q_mget_docs,
         "rare_terms_agg": q_rare_terms_agg,
         "auto_date_histogram": q_auto_date_histogram,
         "term_suggest": q_term_suggest,
@@ -4336,6 +4363,36 @@ gdf AS (SELECT g, count(*) AS c FROM g31 GROUP BY g)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM g31 JOIN gdf USING (g) GROUP BY doc_id
+"""
+
+    sqls["percentile_ranks_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+j AS (SELECT d.n_chars FROM matched m JOIN documents d USING (doc_id)),
+c AS (SELECT count(*) AS n,
+             CAST(sum(CASE WHEN n_chars <= 2000.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le_0,
+             CAST(sum(CASE WHEN n_chars <= 5000.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le_1,
+             CAST(sum(CASE WHEN n_chars <= 20000.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le_2
+      FROM j)
+SELECT 2000.0 AS value, le_0 * 100000000 // greatest(n, 1) AS rank_e6
+FROM c
+UNION ALL SELECT 5000.0, le_1 * 100000000 // greatest(n, 1) FROM c
+UNION ALL SELECT 20000.0, le_2 * 100000000 // greatest(n, 1) FROM c
+"""
+
+    sqls["mget_docs"] = f"""
+WITH req(doc_id) AS (VALUES (3), (1), (999999), (7)),
+dm AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+              AS INT) AS doclen
+  FROM documents)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       dm.doc_id IS NOT NULL AS found, dm.url, dm.doclen
+FROM req r LEFT JOIN dm USING (doc_id)
 """
 
     sqls["fts_routed_topk"] = f"""

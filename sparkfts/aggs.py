@@ -407,6 +407,50 @@ def percentiles_agg(
     )
 
 
+def percentile_ranks_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    values: list[float],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation -> one row per requested
+    value (value, rank_e6): what percent of the matched docs' field
+    values are <= the given value, as percent*1e6. ES approximates
+    with t-digest; this pins the exact CDF definition in pure integer
+    arithmetic (``cnt_le * 100_000_000 div n``), bit-identical in the
+    DuckDB oracle. One conditional-sum pass over the matched-join
+    frame — a single scalar row crosses the exchange."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(
+            F.when(F.col(field) <= F.lit(v), 1).otherwise(0)
+        ).cast("long").alias(f"le_{i}")
+        for i, v in enumerate(values)
+    ]
+    row = joined.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.expr(
+                    f"le_{i} * 100000000 div greatest(n, 1)"
+                ).alias("rank_e6"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("z")).select(
+        F.col("z.value").alias("value"),
+        F.col("z.rank_e6").alias("rank_e6"),
+    )
+
+
 def range_agg(
     spark: SparkSession,
     index_dir: str,

@@ -661,6 +661,37 @@ def cmd_suggest(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_delete_by_query(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-delete")
+    from sparkfts.deletes import delete_by_query
+
+    t0 = time.time()
+    n = delete_by_query(spark, args.index, args.query, mode=args.mode)
+    print(json.dumps({"deleted": n, "sec": round(time.time() - t0, 3)}))
+
+
+def cmd_mget(args: argparse.Namespace) -> None:
+    spark = _spark(args.cores, "sparkfts-mget")
+    from sparkfts.lifecycle import mget
+
+    try:
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    except ValueError as e:
+        raise SystemExit(f"--ids must be comma-separated integers: {e}")
+    t0 = time.time()
+    rows = mget(spark, args.index, ids, with_source=args.source).collect()
+    for r in rows:
+        out = {"doc_id": r["doc_id"], "found": r["found"],
+               "url": r["url"], "doclen": r["doclen"]}
+        if args.source:
+            out["text"] = r["text"]
+        print(json.dumps(out))
+    print(json.dumps({"requested": len(ids),
+                      "found": sum(1 for r in rows if r["found"]),
+                      "sec": round(time.time() - t0, 3)}),
+          file=sys.stderr)
+
+
 def cmd_snapshot(args: argparse.Namespace) -> None:
     from sparkfts.lifecycle import list_snapshots, snapshot
 
@@ -1062,6 +1093,27 @@ def main(argv: list[str] | None = None) -> None:
                          "(first char exact)")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
+
+    dbq = sub.add_parser("delete-by-query",
+                         help="ES _delete_by_query: tombstone every "
+                              "matching doc (distributed write, no "
+                              "driver collect)")
+    dbq.add_argument("--index", required=True)
+    dbq.add_argument("--query", required=True)
+    dbq.add_argument("--mode", choices=["and", "or"], default="and")
+    dbq.add_argument("--cores", default="*")
+    dbq.set_defaults(fn=cmd_delete_by_query)
+
+    mg = sub.add_parser("mget", help="ES _mget: fetch docs by id "
+                                     "(request order, found flags)")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--ids", required=True,
+                    help="comma-separated doc ids")
+    mg.add_argument("--source", action="store_true",
+                    help="include stored _source text (needs "
+                         "store_source build)")
+    mg.add_argument("--cores", default="*")
+    mg.set_defaults(fn=cmd_mget)
 
     sn = sub.add_parser("snapshot", help="ES _snapshot: point-in-time "
                                          "incremental index snapshot")

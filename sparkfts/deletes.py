@@ -51,6 +51,36 @@ def delete_docs(
     return 0 if t is None else int(t.size)
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "and",
+) -> int:
+    """ES ``_delete_by_query``: tombstone every doc matching the
+    query. Returns the number of NEWLY deleted docs (already-deleted
+    docs are masked out of the match set, so replays count 0 — ES's
+    ``deleted`` semantics).
+
+    Scale shape: the match set is written straight to the tombstone
+    table as a distributed parquet append — matched ids are never
+    collected to the driver; the only driver-side scalar is the
+    map-side-aggregated count."""
+    from sparkfts.aggs import match_docs_batch
+
+    matched = match_docs_batch(
+        spark, index_dir, [(0, query)], mode
+    ).select("doc_id")
+    matched = matched.cache()
+    n = matched.count()
+    if n:
+        matched.write.mode("append").parquet(
+            os.path.join(index_dir, TOMBSTONE_DIR)
+        )
+    matched.unpersist()
+    return int(n)
+
+
 def load_tombstones(
     spark: SparkSession, index_dir: str
 ) -> np.ndarray | None:

@@ -59,6 +59,71 @@ def source_pages(spark: SparkSession, index_dir: str) -> DataFrame:
     return pages
 
 
+def mget(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list[int],
+    with_source: bool = False,
+) -> DataFrame:
+    """ES ``_mget`` -> one row per requested id, REQUEST order
+    preserved: (doc_id, found, url, doclen[, text]). Applies the
+    query-path visibility rule: newest segment wins per doc,
+    tombstoned docs report ``found = false``.
+
+    Plan: the id list broadcast-joins the docmap scan (the IN
+    predicate pushes into the parquet read, and the docmap is
+    shard-partitioned, so only the owning row groups are touched);
+    ``with_source=True`` additionally joins the stored ``_source``
+    table (requires ``store_source=True`` at build time)."""
+    from sparkfts.deletes import load_tombstones
+    from sparkfts.index import in_list, load_docmap, load_source
+
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        schema = "doc_id long, found boolean, url string, doclen int"
+        return spark.createDataFrame(
+            [], schema + (", text string" if with_source else "")
+        )
+    req = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(ids)], "doc_id long, _ord int"
+    )
+
+    def newest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.desc("segment_id"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "segment_id")
+        )
+
+    dm = newest(
+        load_docmap(spark, index_dir).where(in_list("doc_id", sorted(set(ids))))
+    ).select("doc_id", "url", "doclen")
+    tombstones = load_tombstones(spark, index_dir)
+    if tombstones is not None:
+        tomb = spark.createDataFrame(
+            [(int(d),) for d in tombstones], "doc_id long"
+        )
+        dm = dm.join(F.broadcast(tomb), "doc_id", "left_anti")
+    out = req.join(dm, "doc_id", "left").withColumn(
+        "found", F.col("url").isNotNull()
+    )
+    cols = ["doc_id", "found", "url", "doclen"]
+    if with_source:
+        src = newest(
+            load_source(spark, index_dir).where(
+                in_list("doc_id", sorted(set(ids)))
+            )
+        ).select("doc_id", "text")
+        out = out.join(src, "doc_id", "left").withColumn(
+            # a tombstoned doc still has segment _source bytes; found
+            # governs visibility for every field
+            "text", F.when(F.col("found"), F.col("text"))
+        )
+        cols.append("text")
+    return out.orderBy("_ord").select(*cols)
+
+
 def reindex(
     spark: SparkSession,
     src_index: str,

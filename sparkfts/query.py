@@ -1063,12 +1063,9 @@ def _grouped_expansion_topk(
     )
     result_schema = "query_id int, doc_id long, score double"
     if filter_expr is not None:
-        allowed = load_docmap(spark, index_dir)
-        if routed_shard is not None:
-            # docmap is written partitioned by shard: partition-pruned
-            allowed = allowed.where(F.col("shard") == routed_shard)
         allowed = (
-            allowed.where(F.expr(filter_expr))
+            load_docmap(spark, index_dir)
+            .where(F.expr(filter_expr))
             .select("shard", "doc_id")
             .coalesce(_session_cores(spark))
         )
