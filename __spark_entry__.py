@@ -1860,6 +1860,21 @@ def q_ann_range_search(spark, sf_dir):
     return cosine_range_search(emb, list(qvec), 120000)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer training + segmentation (sparkfts.ops.bpe): learn
+    20 merges from the corpus word-frequency table (the one
+    corpus-scale stage; pinned count-desc/pair-asc tie-break), then
+    segment every doc distributed. Iterative merge training is not
+    SQL-expressible, so this entry is rows-only by design (the driver
+    contract's documented carve-out); the algorithm is pinned against
+    an independent brute-force mirror in tests/test_bpe.py."""
+    from sparkfts.ops.bpe import apply_bpe, learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe(docs, n_merges=20, max_words=5000)
+    return apply_bpe(docs, merges).orderBy("doc_id")
+
+
 def q_pack_manifest(spark, sf_dir):
     """Sequence-packing manifest (concat-then-chunk, capacity 2048):
     where every doc lands in the packed token stream — a two-phase
@@ -2298,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": q_ann_sq8_topk,
         "curate_funnel": q_curate_funnel,
         "pack_manifest": q_pack_manifest,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
