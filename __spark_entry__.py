@@ -1896,6 +1896,18 @@ def q_ann_sq8_topk(spark, sf_dir):
     return ann_sq8_topk(emb, list(qvec), k=10, rescore=50)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (ADC): 4 subspaces x 8 codewords (pinned
+    id-order bootstrap, same as IVF), driver-side query-dot lookup
+    tables, approximate pass touches only each vector's 4 code ints;
+    top-50 re-rank exactly to top-10."""
+    from sparkfts.ops.similarity import ann_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_pq_topk(emb, list(qvec), k=10, rescore=50, m=4, ks=8)
+
+
 def q_curate_funnel(spark, sf_dir):
     """End-to-end curation funnel (quality -> exact dedup -> 500-per-
     mille sample) with per-stage retention accounting — the pipeline
@@ -2311,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_range_search": q_ann_range_search,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "curate_funnel": q_curate_funnel,
         "pack_manifest": q_pack_manifest,
         "bpe_token_counts": q_bpe_token_counts,
@@ -4602,6 +4615,59 @@ SELECT vec_id,
        CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
          AS cos_e6
 FROM d2, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    # product-quantized ANN: 4x8 id-order codebooks, integer-L2 code
+    # assignment, ADC lookup scoring, top-50 exact rerank -> top-10
+    sqls["ann_pq_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qe AS (SELECT pos // 16 AS s, pos % 16 AS p, v FROM (
+  SELECT generate_subscripts(e, 1) - 1 AS pos,
+         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q)),
+nq AS (SELECT sum(v * v) AS nq FROM qe),
+cbrows AS (SELECT embedding,
+                  row_number() OVER (ORDER BY vec_id) - 1 AS j
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+cbe AS (SELECT j, pos // 16 AS s, pos % 16 AS p, v FROM (
+  SELECT j, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+  FROM cbrows)),
+ve AS (SELECT vec_id, pos // 16 AS s, pos % 16 AS p, v FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+  FROM embeddings)),
+d2 AS (SELECT ve.vec_id, cbe.s, cbe.j,
+              sum((ve.v - cbe.v) * (ve.v - cbe.v)) AS d2
+       FROM ve JOIN cbe ON ve.s = cbe.s AND ve.p = cbe.p
+       GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, s,
+                struct_extract(min(struct_pack(d := d2, j := j)), 'j') AS j
+         FROM d2 GROUP BY 1, 2),
+qd AS (SELECT cbe.s, cbe.j, sum(qe.v * cbe.v) AS qd
+       FROM cbe JOIN qe ON qe.s = cbe.s AND qe.p = cbe.p
+       GROUP BY 1, 2),
+cn AS (SELECT s, j, sum(v * v) AS cn FROM cbe GROUP BY 1, 2),
+ap AS (SELECT c.vec_id, sum(qd.qd) AS adot, sum(cn.cn) AS anorm
+       FROM code c JOIN qd ON qd.s = c.s AND qd.j = c.j
+                   JOIN cn ON cn.s = c.s AND cn.j = c.j
+       GROUP BY 1),
+cand AS (SELECT vec_id,
+                adot / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(nq.nq)) AS a
+         FROM ap, nq WHERE anorm > 0
+         ORDER BY a DESC, vec_id LIMIT 50),
+ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+cq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+nq2 AS (SELECT sum(v * v) AS nq FROM cq),
+dx AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+       FROM ce e JOIN cq q USING (pos) GROUP BY e.vec_id)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dx, nq2 WHERE na > 0
 ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
 

@@ -580,3 +580,156 @@ def ann_sq8_topk(
         approx.select("vec_id", F.col("__emb").alias(vec_col)),
         query_vec, k, id_col="vec_id", vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ stage): m subspace codebooks,
+# ADC scoring via driver-side lookup tables, exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """``codebooks[s][j]`` = the e3-quantized subvector (subspace
+    ``s``) of the ``j``-th smallest vec_id — the same reproducible
+    sample-init bootstrap as :func:`ivf_centroids` (id order instead
+    of an RNG), so the DuckDB oracle derives identical codebooks.
+    Requires ``dim % m == 0`` and at least ``ks`` vectors (fail-loud).
+    """
+    rows = emb.orderBy(F.asc(id_col)).limit(int(ks)).collect()
+    if len(rows) < ks:
+        raise ValueError(f"need >= {ks} vectors for {ks} codewords")
+    vecs = [
+        [int(np_floor_half(float(x))) for x in r[vec_col]] for r in rows
+    ]
+    d = len(vecs[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    ss = d // m
+    return [
+        [v[s * ss:(s + 1) * ss] for v in vecs] for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, code array<int>): per subspace, the codeword with
+    the smallest EXACT integer squared L2 to the vector's quantized
+    subvector (ties -> smaller codeword id; all-int64, so assignments
+    are engine-independent). One narrow map per vector — the
+    codebooks ride in the plan as literals, no join, no shuffle."""
+    m, ss = len(codebooks), len(codebooks[0][0])
+    qv = quantize_vec(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sub = F.slice(qv, s * ss + 1, ss)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(c) for c in codebooks[s][j]]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(len(codebooks[s]))
+            ]
+        )
+        codes.append(F.array_min(cands)["j"])
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.array(*codes).alias("code")
+    )
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 50,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized ANN -> (vec_id, cos_e6): ADC (asymmetric
+    distance computation) ranks ALL vectors by the PQ-approximate
+    cosine, the top ``rescore`` re-rank exactly — completing the
+    production ANN family (LSH buckets, IVF-flat, int8 SQ, PQ).
+
+    The PQ trick, preserved: the query never meets raw vectors in
+    phase 1 — the per-(subspace, codeword) query dots and codeword
+    norms are ``m * ks`` DRIVER-computed integers riding the plan as
+    literal lookup tables, so the scan touches only each vector's
+    ``m`` small code ints (the 64x memory-traffic cut that makes PQ
+    the 10^12-vector shape). Exact-integer kernels + one pinned
+    float64 expression -> bit-identical in the DuckDB oracle.
+    """
+    if rescore < k:
+        raise ValueError("rescore must be >= k")
+    cbs = pq_codebooks(emb, m, ks, id_col, vec_col)
+    ss = len(cbs[0][0])
+    qint = [int(np_floor_half(float(x))) for x in query_vec]
+    if len(qint) != m * ss:
+        raise ValueError("query dim != codebook dim")
+    nq = sum(v * v for v in qint)
+    qd = [
+        [
+            sum(a * b for a, b in zip(qint[s * ss:(s + 1) * ss], cbs[s][j]))
+            for j in range(ks)
+        ]
+        for s in range(m)
+    ]
+    cn = [
+        [sum(c * c for c in cbs[s][j]) for j in range(ks)]
+        for s in range(m)
+    ]
+    codes = pq_encode(emb, cbs, id_col, vec_col)
+    adot = sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in qd[s]]),
+            F.element_at("code", s + 1) + 1,
+        ).cast("long")
+        for s in range(m)
+    )
+    anorm = sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in cn[s]]),
+            F.element_at("code", s + 1) + 1,
+        ).cast("long")
+        for s in range(m)
+    )
+    cand = (
+        codes.select(
+            "vec_id", adot.alias("adot"), anorm.alias("anorm")
+        )
+        .where(F.col("anorm") > 0)
+        .withColumn(
+            "approx",
+            F.col("adot")
+            / (F.sqrt(F.col("anorm").cast("double"))
+               * F.sqrt(F.lit(float(nq)))),
+        )
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(int(rescore))
+        .select(F.col("vec_id").alias("__cand_id"))
+    )
+    pruned = emb.join(
+        F.broadcast(cand),
+        F.col(id_col) == F.col("__cand_id"),
+        "left_semi",
+    )
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)

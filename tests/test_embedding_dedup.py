@@ -221,3 +221,83 @@ def test_sq8_validation(emb_df):
         ann_sq8_topk(emb_df, [1.0] * 16, k=10, rescore=5)
     with pytest.raises(ValueError):
         sq8_query([0.0] * 16)
+
+
+# ---- product-quantized ANN (ADC + exact re-rank) ----
+
+
+def _py_pq_pipeline(rows, qvec, k, rescore, m=4, ks=8):
+    import math
+
+    def e3(v):
+        return [int(math.floor(float(x) * 1000 + 0.5)) for x in v]
+
+    ordered = sorted(rows)[:ks]
+    vecs = [e3(v) for _, v in ordered]
+    d = len(vecs[0])
+    ss = d // m
+    cbs = [[v[s * ss:(s + 1) * ss] for v in vecs] for s in range(m)]
+    qint = e3(qvec)
+    nq = sum(v * v for v in qint)
+    approx = []
+    for vid, v in rows:
+        vi = e3(v)
+        adot = anorm = 0
+        for s in range(m):
+            sub = vi[s * ss:(s + 1) * ss]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cbs[s][j])), j)
+                for j in range(ks)
+            )[1]
+            cw = cbs[s][best]
+            adot += sum(
+                a * b for a, b in zip(qint[s * ss:(s + 1) * ss], cw)
+            )
+            anorm += sum(c * c for c in cw)
+        if anorm > 0:
+            approx.append(
+                (vid, adot / (math.sqrt(anorm) * math.sqrt(nq)))
+            )
+    approx.sort(key=lambda t: (-t[1], t[0]))
+    cand = {vid for vid, _ in approx[:rescore]}
+    exact = []
+    for vid, v in rows:
+        if vid not in cand:
+            continue
+        vi = e3(v)
+        na = sum(x * x for x in vi)
+        if na <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(vi, qint))
+        exact.append(
+            (vid, int(math.floor(
+                dot / (math.sqrt(na) * math.sqrt(nq)) * 1_000_000 + 0.5
+            )))
+        )
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:k]
+
+
+def test_pq_matches_python_mirror(emb_df):
+    from sparkfts.ops.similarity import ann_pq_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[2]
+    got = ann_pq_topk(emb_df, qvec, k=8, rescore=12, m=4, ks=8).collect()
+    exp = _py_pq_pipeline(rows, qvec, 8, 12)
+    assert [(r["vec_id"], r["cos_e6"]) for r in got] == exp
+    # the query vector itself survives ADC + rerank at generous rescore
+    got_wide = ann_pq_topk(emb_df, qvec, k=5, rescore=45).collect()
+    assert got_wide[0]["vec_id"] == 2
+    assert got_wide[0]["cos_e6"] == 1_000_000
+
+
+def test_pq_validation(emb_df):
+    from sparkfts.ops.similarity import ann_pq_topk, pq_codebooks
+
+    with pytest.raises(ValueError):
+        ann_pq_topk(emb_df, [1.0] * 16, k=10, rescore=5)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb_df, m=5, ks=8)  # dim 16 % 5 != 0
+    with pytest.raises(ValueError, match="codewords"):
+        pq_codebooks(emb_df.limit(3), m=4, ks=8)
