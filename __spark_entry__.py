@@ -673,6 +673,20 @@ def q_fts_function_score(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_terms_set(spark, sf_dir):
+    """ES terms_set: per-doc minimum_should_match — doc matches when
+    it contains >= min(doc_id%5, n_terms) of the query's terms
+    (required < 1 never matches); standard OR scoring over the
+    matching terms."""
+    from sparkfts.docvalues import terms_set_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = terms_set_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], "pmod(doc_id, 5)"
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_script_score(spark, sf_dir):
     """ES script_score: final = _score * (0.5 + value/(value+10)) with
     value = n_chars — the pinned arithmetic DSL (sparkfts.scripting),
@@ -2232,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sort_topk": q_fts_sort_topk,
         "fts_function_score": q_fts_function_score,
         "fts_script_score": q_fts_script_score,
+        "fts_terms_set": q_fts_terms_set,
         "fts_collapse": q_fts_collapse,
         "terms_top_hits": q_terms_top_hits,
         "terms_facet": q_terms_facet,
@@ -2891,6 +2906,21 @@ SELECT s.doc_id,
          AS score_e4
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 10
+"""
+
+    ts_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split()))
+    )
+    sqls["fts_terms_set"] = f"""
+{or_cte},
+cnts AS (
+  SELECT doc_id, count(DISTINCT tok) AS c FROM ({_TOKS})
+  WHERE tok IN ({ts_terms}) GROUP BY doc_id),
+req AS (SELECT doc_id, doc_id % 5 AS r FROM documents)
+SELECT s.doc_id, {_SCORE_E4} AS score_e4
+FROM scored s JOIN cnts USING (doc_id) JOIN req USING (doc_id)
+WHERE r >= 1 AND c >= least(r, {len(set(BM25_QUERY_OR.split()))})
+ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
 
     sqls["fts_script_score"] = f"""

@@ -661,6 +661,31 @@ def cmd_suggest(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_analyze(args: argparse.Namespace) -> None:
+    """ES _analyze: show the token stream the analysis chain produces
+    (no Spark session needed — the analyzer is pure Python shared with
+    the oracle)."""
+    from sparkfts.analysis import tokenize
+
+    sw = args.stopwords.split(",") if args.stopwords else None
+    stem = args.stemmer
+    if args.index:
+        from sparkfts.index import read_meta
+
+        meta = read_meta(args.index)
+        if sw is None:
+            sw = meta.get("stopwords") or None
+        if stem is None:
+            stem = meta.get("stemmer") or None
+    toks = tokenize(args.text, frozenset(sw) if sw else None, stem)
+    print(json.dumps({
+        "tokens": toks,
+        "n": len(toks),
+        "stopwords": sorted(sw) if sw else [],
+        "stemmer": stem or None,
+    }))
+
+
 def cmd_delete_by_query(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-delete")
     from sparkfts.deletes import delete_by_query
@@ -1093,6 +1118,16 @@ def main(argv: list[str] | None = None) -> None:
                          "(first char exact)")
     sg.add_argument("--cores", default="*")
     sg.set_defaults(fn=cmd_suggest)
+
+    an = sub.add_parser("analyze", help="ES _analyze: run the analysis "
+                                        "chain on a text (optionally "
+                                        "with an index's meta options)")
+    an.add_argument("--text", required=True)
+    an.add_argument("--index", default=None,
+                    help="inherit stopwords/stemmer from this index")
+    an.add_argument("--stopwords", default=None)
+    an.add_argument("--stemmer", default=None)
+    an.set_defaults(fn=cmd_analyze)
 
     dbq = sub.add_parser("delete-by-query",
                          help="ES _delete_by_query: tombstone every "

@@ -107,6 +107,61 @@ def _make_value_kernel(
                 vvals = vvals.astype(str)
             vorder = np.argsort(vids, kind="stable")
             vids, vvals = vids[vorder], vvals[vorder]
+            if op == "terms_set":
+                # per-doc minimum_should_match: value = this doc's
+                # required distinct-term count (capped at n_terms —
+                # the ES Math.min(params.num_terms, doc[f]) idiom);
+                # required < 1 -> the doc never matches
+                from sparkfts.wand import union_scores_counts
+
+                rows_by_term, postings_of = _postings_reader(
+                    pdf_postings, avgdl, block_size=128
+                )
+                idf_map = {
+                    t: idf_fn(n_docs, df_map.get(t, 0))
+                    for t in rows_by_term
+                }
+                for qid, terms, k in queries_analyzed:
+                    nonempty = [
+                        (postings_of(t)[:3], idf_map[t])
+                        for t in terms
+                        if t in rows_by_term
+                    ]
+                    if not nonempty:
+                        continue
+                    ids, scores, counts = union_scores_counts(
+                        nonempty, avgdl
+                    )
+                    if exclude is not None and len(exclude):
+                        m = ~np.isin(ids, exclude)
+                        ids, scores, counts = ids[m], scores[m], counts[m]
+                    if not ids.size:
+                        continue
+                    pos = np.searchsorted(vids, ids)
+                    pos_c = np.minimum(pos, vids.size - 1)
+                    ok = vids[pos_c] == ids
+                    ids, scores, counts = ids[ok], scores[ok], counts[ok]
+                    req = vvals[pos_c[ok]].astype(np.int64)
+                    need = np.minimum(req, len(terms))
+                    keep = (req >= 1) & (counts >= need)
+                    ids, scores = ids[keep], scores[keep]
+                    if not ids.size:
+                        continue
+                    order = np.lexsort((ids, -scores))[:k]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    order.size, qid, np.int32
+                                ),
+                                "doc_id": ids[order],
+                                "score": scores[order],
+                            }
+                        )
+                    )
+                if not out:
+                    return None
+                return pd.concat(out, ignore_index=True)
             # docmap rows are unique per doc within an index generation
             for qid, k, ids, scores in _matches(pdf_postings):
                 pos = np.searchsorted(vids, ids)
@@ -275,7 +330,10 @@ def _cogrouped_run(
     )
     vals = (
         load_docmap(spark, index_dir)
-        .select("shard", "doc_id", F.col(field).alias("value"))
+        # F.expr: `field` may be a plain docmap column or a SQL
+        # expression over docmap columns (e.g. a derived required-
+        # matches count for terms_set)
+        .select("shard", "doc_id", F.expr(field).alias("value"))
         .coalesce(_session_cores(spark))
     )
 
@@ -407,6 +465,46 @@ def script_score_batch(
     local = _cogrouped_run(
         spark, index_dir, queries, field, mode, "script_score",
         schema, schema, script_fn=script_fn,
+    )
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    if local is None:
+        return spark.createDataFrame([], out_schema)
+    local = local.repartition(_session_cores(spark), "query_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    km = _k_map([(qid, k) for qid, _t, k in queries])
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(km, F.col("query_id")))
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .coalesce(1)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
+def terms_set_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    required_field: str,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches when it contains at least
+    ``min(doc[required_field], n_terms)`` of the query's distinct
+    terms — the per-doc ``minimum_should_match_field`` /
+    ``Math.min(params.num_terms, doc[f])`` idiom; ``required < 1``
+    never matches. Scoring = the standard OR sum over the doc's
+    matching terms. ``required_field`` may be any SQL expression over
+    docmap columns. Returns ``(query_id, rank, doc_id, score)``.
+
+    Plan: the same cogrouped shape as the other doc-value queries —
+    postings + this shard's (doc_id, required) rows meet in one
+    kernel; exhaustive in-shard (the per-doc threshold defeats score
+    bounds), per-shard top-k, bounded global merge."""
+    schema = "query_id int, doc_id long, score double"
+    local = _cogrouped_run(
+        spark, index_dir, queries, required_field, "or", "terms_set",
+        schema, schema,
     )
     out_schema = "query_id int, rank int, doc_id long, score double"
     if local is None:

@@ -300,6 +300,24 @@ def score_disjunctive(
     nonempty = [(p, i) for p, i in zip(term_postings, idfs) if p[0].size > 0]
     if not nonempty or len(nonempty) < min_match:
         return _EMPTY
+    union, scores, counts = union_scores_counts(nonempty, avgdl, k1, b)
+    if min_match > 1:
+        keep = counts >= min_match
+        union, scores = union[keep], scores[keep]
+    return _topk(union, scores, k, after, exclude, include)
+
+
+def union_scores_counts(
+    nonempty: list,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """The exhaustive-OR core, exposed pre-top-k: ``[(postings, idf)]``
+    with non-empty lists -> (union ids, summed scores, distinct-term
+    match counts). Float accumulation order is sorted-term order —
+    bit-identical to the score_disjunctive it was factored out of
+    (per-doc minimum_should_match / terms_set needs the counts)."""
     union, dls = _union_with_dls(nonempty)
     scores = np.zeros(union.size, np.float64)
     counts = np.zeros(union.size, np.int32)
@@ -307,10 +325,7 @@ def score_disjunctive(
         pos = np.searchsorted(union, ids)
         scores[pos] += _contribution(tfs, d, idf, avgdl, k1, b)
         counts[pos] += 1
-    if min_match > 1:
-        keep = counts >= min_match
-        union, scores = union[keep], scores[keep]
-    return _topk(union, scores, k, after, exclude, include)
+    return union, scores, counts
 
 
 def score_disjunctive_blockmax(

@@ -249,3 +249,66 @@ def test_script_score_bad_script_fails_before_spark(spark, dvidx):
 
     with pytest.raises(ValueError, match="unknown script name"):
         script_score_batch(spark, dvidx, [(0, "x", 5)], "nch", "bogus + 1")
+
+
+# ---- ES terms_set (per-doc minimum_should_match from a doc value) ----
+
+
+def test_terms_set_matches_brute(spark, dvidx, dvcorpus, dvals):
+    from collections import Counter
+
+    from sparkfts.docvalues import terms_set_batch
+
+    c: Counter = Counter()
+    for t in dvcorpus.column("text").to_pylist():
+        c.update(set(tokenize(t)))
+    terms = [t for t, _ in c.most_common(3)]
+    q = " ".join(terms)
+    matched = _full(spark, dvidx, q, "or")
+
+    # per-doc distinct-term counts from the corpus
+    texts = dvcorpus.column("text").to_pylist()
+    import pandas as pd
+
+    from sparkfts.tokens import sha1_doc_id
+
+    ids = sha1_doc_id(
+        pd.Series(dvcorpus.column("url").to_pylist())
+    ).tolist()
+    nmatch = {
+        d: sum(1 for t in terms if t in set(tokenize(txt)))
+        for d, txt in zip(ids, texts)
+    }
+    exp = sorted(
+        (
+            (d, s)
+            for d, s in matched.items()
+            if (d % 4) >= 1 and nmatch[d] >= min(d % 4, len(terms))
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:12]
+    got = terms_set_batch(
+        spark, dvidx, [(0, q, 12)], "pmod(doc_id, 4)"
+    ).collect()
+    assert exp, "fixture too sparse"
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-12)) for d, s in exp
+    ]
+    # required > n_terms caps at n_terms (docs with all 3 terms match
+    # even where doc_id % 4 == 3 == n_terms)
+    assert any(nmatch[r["doc_id"]] == 3 for r in got) or all(
+        (r["doc_id"] % 4) < 3 for r in got
+    )
+
+
+def test_terms_set_required_zero_never_matches(spark, dvidx, dvcorpus):
+    from collections import Counter
+
+    from sparkfts.docvalues import terms_set_batch
+
+    c: Counter = Counter()
+    for t in dvcorpus.column("text").to_pylist():
+        c.update(set(tokenize(t)))
+    q = " ".join(t for t, _ in c.most_common(2))
+    got = terms_set_batch(spark, dvidx, [(0, q, 100)], "0").collect()
+    assert got == []
