@@ -114,19 +114,28 @@ def damerau_levenshtein(a: str, b: str) -> int:
 
 
 def expand(
-    term: str, dictionary: list[str], transpositions: bool = False
+    term: str,
+    dictionary: list[str],
+    transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> list[tuple[str, int]]:
     """All dictionary terms within AUTO distance of ``term`` -> (t', dist).
 
     ``transpositions``: ES ``fuzzy_transpositions`` — distance is
     Damerau-Levenshtein instead of plain Levenshtein. The pinned default
     stays False (the original oracle contract); ES's own default is true.
+
+    ``prefix_length``: ES fuzzy ``prefix_length`` — candidates must
+    share the query term's first N characters exactly.
     """
     d = auto_fuzz(term)
     dist_fn = damerau_levenshtein if transpositions else levenshtein
+    pfx = term[: max(0, int(prefix_length))]
     out = []
     for t in dictionary:
         if abs(len(t) - len(term)) > d:
+            continue
+        if pfx and not t.startswith(pfx):
             continue
         dist = dist_fn(term, t)
         if dist <= d:
@@ -140,13 +149,17 @@ def fuzzy_search(
     k: int = 10,
     mode: str = "and",
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> list[tuple[int, float]]:
     """Top-k ``(doc_id, score)`` under the pinned fuzzy semantics above."""
     terms = tokenize_query(query)
     if not terms:
         return []
     dictionary = list(oracle.postings.keys())
-    expansions = {t: expand(t, dictionary, transpositions) for t in terms}
+    expansions = {
+        t: expand(t, dictionary, transpositions, prefix_length)
+        for t in terms
+    }
 
     # candidate docs per query term = union of its expansions' postings
     per_term_docs: dict[str, set[int]] = {}

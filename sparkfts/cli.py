@@ -158,6 +158,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--min-should-match", args.min_should_match != 1),
                 ("--no-blockmax", args.no_blockmax),
                 ("--routing", args.routing is not None),
+                ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
             )
             if on
         ]
@@ -225,6 +226,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--transpositions", args.transpositions),
                 ("--slop", args.slop and flag != "--span-near"),
                 ("--routing", args.routing is not None),
+                ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
             )
             if on
         ]
@@ -392,6 +394,12 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
     elif args.transpositions:
         raise SystemExit("--transpositions requires --fuzzy")
+    if args.fuzzy_prefix_length and not args.fuzzy:
+        raise SystemExit("--fuzzy-prefix-length requires --fuzzy")
+    if args.fuzzy_prefix_length and args.fields:
+        raise SystemExit(
+            "--fuzzy-prefix-length is not threaded through --fields yet"
+        )
     if args.synonyms and n_expq:
         raise SystemExit(
             "--synonyms not supported with --prefix/--wildcard/--regexp"
@@ -497,6 +505,7 @@ def cmd_query(args: argparse.Namespace) -> None:
             offset=args.offset,
             filter_expr=args.filter,
             transpositions=args.transpositions,
+            prefix_length=args.fuzzy_prefix_length,
         )
         urls = load_docmap(spark, args.index).select("doc_id", "url")
         rows = (
@@ -1011,6 +1020,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="cap prefix expansions (sorted term order)")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
+    q.add_argument("--fuzzy-prefix-length", type=int, default=0,
+                   help="ES fuzzy prefix_length: candidates must share "
+                        "the query term's first N chars exactly (also "
+                        "prunes the dictionary scan)")
     q.add_argument("--transpositions", action="store_true",
                    help="ES fuzzy_transpositions: Damerau distance "
                         "(a transposition = one edit); requires --fuzzy")

@@ -47,6 +47,7 @@ def expand_query_terms(
     term_df: DataFrame,
     queries_analyzed: list[tuple[int, list[str], int]],
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """Levenshtein-expand query terms against the term dictionary.
 
@@ -63,17 +64,21 @@ def expand_query_terms(
     from sparkfts.editdist import damerau_udf, fuzzy_join_cond
 
     spark = term_df.sparkSession
+    pl = max(0, int(prefix_length))
     rows = [
-        (qid, t, auto_fuzz(t), len(t))
+        (qid, t, auto_fuzz(t), len(t), t[:pl])
         for qid, terms, _ in queries_analyzed
         for t in terms
     ]
     qdf = spark.createDataFrame(
-        rows, "query_id int, q_term string, maxd int, qlen int"
+        rows,
+        "query_id int, q_term string, maxd int, qlen int, q_prefix string",
     )
-    joined = term_df.join(
-        F.broadcast(qdf), fuzzy_join_cond(transpositions=transpositions)
-    )
+    jcond = fuzzy_join_cond(transpositions=transpositions)
+    if pl > 0:
+        # ES fuzzy prefix_length: edits only beyond the first pl chars
+        jcond = jcond & F.col("term").startswith(F.col("q_prefix"))
+    joined = term_df.join(F.broadcast(qdf), jcond)
     if transpositions:
         dist = damerau_udf(F.col("term"), F.col("q_term")).cast("int")
         joined = joined.withColumn("dist", dist).where(
@@ -100,6 +105,7 @@ def bm25_fuzzy_scan_batch(
     avgdl: float,
     mode: str = "and",
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """Fuzzy BM25 top-k for a batch of queries in one Spark plan.
 
@@ -113,7 +119,9 @@ def bm25_fuzzy_scan_batch(
         return _empty(spark)
 
     term_df = tokens.groupBy("term").agg(F.count("*").alias("df"))
-    expansions = expand_query_terms(term_df, analyzed, transpositions)
+    expansions = expand_query_terms(
+        term_df, analyzed, transpositions, prefix_length=prefix_length
+    )
 
     meta = spark.createDataFrame(
         [(qid, len(terms), k) for qid, terms, k in analyzed],
@@ -184,6 +192,7 @@ def bm25_fuzzy_scan(
     avgdl: float,
     mode: str = "and",
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """Single-query wrapper -> DataFrame(rank, doc_id, score)."""
     return bm25_fuzzy_scan_batch(

@@ -829,6 +829,7 @@ def fuzzy_expand_index(
     n_tbuckets: int,
     max_expansions: int | None = None,
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> dict[tuple[int, str], list[tuple[str, float]]]:
     """Expand query terms against the index term dictionary (distributed).
 
@@ -846,31 +847,52 @@ def fuzzy_expand_index(
     JVM join keeps a sound ``lev <= 2*maxd`` pre-filter and the exact
     Damerau distance is refined on the collected survivor set (this path
     collects the expansion set anyway; see :mod:`sparkfts.editdist`).
+
+    ``prefix_length``: ES fuzzy ``prefix_length`` — candidates must
+    share the query term's first N characters EXACTLY (edits only
+    beyond them). Besides recall control, this is ES's fuzzy-cost
+    lever, and it becomes a scan win here: the distinct query-term
+    prefixes turn into literal ``startswith`` predicates on the sorted
+    dictionary scan (row-group pruned, like prefix queries) instead of
+    a full-dictionary Levenshtein join.
     """
     from sparkfts.analysis import auto_fuzz
     from sparkfts.editdist import fuzzy_join_cond
     from sparkfts.index import load_terms
 
+    pl = max(0, int(prefix_length))
     qrows = [
-        (qid, t, auto_fuzz(t), len(t))
+        (qid, t, auto_fuzz(t), len(t), t[:pl])
         for qid, terms, _ in analyzed
         for t in terms
     ]
     if not qrows:
         return {}
     qdf = spark.createDataFrame(
-        qrows, "query_id int, q_term string, maxd int, qlen int"
+        qrows,
+        "query_id int, q_term string, maxd int, qlen int, q_prefix string",
     )
-    lmin = min(ln - d for _, _, d, ln in qrows)
-    lmax = max(ln + d for _, _, d, ln in qrows)
+    lmin = min(ln - d for _, _, d, ln, _p in qrows)
+    lmax = max(ln + d for _, _, d, ln, _p in qrows)
     terms = load_terms(spark, index_dir).where(
         F.length("term").between(F.lit(lmin), F.lit(lmax))
     )
+    if pl > 0:
+        # pushable literal prefixes -> row-group-pruned range scan
+        prefixes = sorted({p for *_x, p in qrows})
+        pcond = None
+        for p in prefixes:
+            c = F.col("term").startswith(p)
+            pcond = c if pcond is None else (pcond | c)
+        terms = terms.where(pcond)
+    jcond = fuzzy_join_cond(transpositions=transpositions)
+    if pl > 0:
+        jcond = jcond & F.col("term").startswith(F.col("q_prefix"))
     dist = F.levenshtein(F.col("term"), F.col("q_term"))
     rows = (
         terms.join(
             F.broadcast(qdf),
-            fuzzy_join_cond(transpositions=transpositions),
+            jcond,
         )
         .select(
             "query_id",
@@ -925,6 +947,7 @@ def bm25_index_fuzzy_batch(
     offset: int = 0,
     filter_expr: str | None = None,
     transpositions: bool = False,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """Fuzzy (AUTO) BM25 top-k from a built index, one Spark action to score.
 
@@ -951,6 +974,7 @@ def bm25_index_fuzzy_batch(
     expansions = fuzzy_expand_index(
         spark, index_dir, analyzed, meta["n_docs"], meta["n_tbuckets"],
         max_expansions, transpositions=transpositions,
+        prefix_length=prefix_length,
     )
     return _grouped_expansion_topk(
         spark, index_dir, meta, analyzed, expansions, mode, offset,

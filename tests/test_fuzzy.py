@@ -301,3 +301,63 @@ def test_term_suggester_pinned_order(spark, tmp_path):
     for r in rows:
         assert r["dist"] <= maxd
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---- ES fuzzy prefix_length (exact first-N-chars anchor) ----
+
+
+def test_expand_prefix_length_oracle():
+    d = ["spark", "spork", "stark", "shark", "park"]
+    # AUTO fuzz for 'spark' = 1; 'park' is one deletion away
+    assert [t for t, _ in expand("spark", d)] == [
+        "park", "shark", "spark", "spork", "stark",
+    ]
+    assert [t for t, _ in expand("spark", d, prefix_length=1)] == [
+        "shark", "spark", "spork", "stark",
+    ]
+    assert [t for t, _ in expand("spark", d, prefix_length=2)] == [
+        "spark", "spork",
+    ]
+    assert [t for t, _ in expand("spark", d, prefix_length=3)] == ["spark"]
+
+
+def test_index_fuzzy_prefix_length_rank_identical(spark, fuzzy_index,
+                                                  oracle, queries):
+    from sparkfts.query import bm25_index_fuzzy_batch
+
+    typo_q = queries[0]["query"]
+    for pl in (0, 1, 2):
+        got = bm25_index_fuzzy_batch(
+            spark, fuzzy_index, [(0, typo_q, 10)], mode="or",
+            prefix_length=pl,
+        ).collect()
+        exp = fuzzy_search(oracle, typo_q, k=10, mode="or",
+                           prefix_length=pl)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], pl
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+    # pl=0 is exactly the pre-existing default path
+    base = bm25_index_fuzzy_batch(
+        spark, fuzzy_index, [(0, typo_q, 10)], mode="or"
+    ).collect()
+    pl0 = bm25_index_fuzzy_batch(
+        spark, fuzzy_index, [(0, typo_q, 10)], mode="or", prefix_length=0
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in pl0]
+
+
+def test_expand_index_prefix_length_prunes(spark, fuzzy_index, oracle):
+    from sparkfts.analysis import tokenize_query
+    from sparkfts.query import fuzzy_expand_index
+
+    term = max(oracle.postings, key=lambda t: (len(t) >= 6, oracle.df(t)))
+    typo = term[0] + ("x" if term[1] != "x" else "y") + term[2:]
+    analyzed = [(0, tokenize_query(typo), 10)]
+    exps = fuzzy_expand_index(
+        spark, fuzzy_index, analyzed, oracle.n_docs, 8, prefix_length=1
+    )
+    got = {t for t, _ in exps.get((0, typo), [])}
+    dictionary = list(oracle.postings.keys())
+    exp = {t for t, _ in expand(typo, dictionary, prefix_length=1)}
+    assert got == exp
+    assert all(t.startswith(typo[0]) for t in got)
