@@ -2217,6 +2217,89 @@ def q_dup_ngram_coverage(spark, sf_dir):
     )
 
 
+def q_has_child_topk(spark, sf_dir):
+    """ES has_child (join field): top-10 orders by SUMMED score of
+    their matching lineitem children (l_returnflag='R', quantity>=30),
+    min_children=2. Child side folds to one row per parent key BEFORE
+    the join exchange (sparkfts/parentjoin.py). Per-child score is
+    pre-quantized to e2 integers so the double sum is exact
+    cross-engine."""
+    from sparkfts.parentjoin import has_child
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    res = has_child(
+        o, li, "o_orderkey", "l_orderkey",
+        "l_returnflag = 'R' AND l_quantity >= 30",
+        score_mode="sum",
+        score_expr="floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)",
+        min_children=2,
+    )
+    return (
+        res.select(
+            "o_orderkey",
+            F.col("child_count").cast("long").alias("child_count"),
+            F.col("score").cast("long").alias("score_e2"),
+        )
+        .orderBy(F.desc("score_e2"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_has_parent_topk(spark, sf_dir):
+    """ES has_parent with score=true: lineitems of URGENT high-value
+    orders, each child carrying its PARENT's score (o_totalprice).
+    Parent side is filtered + projected to (key, score) before the
+    join — broadcastable."""
+    from sparkfts.parentjoin import has_parent
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    res = has_parent(
+        o, li, "o_orderkey", "l_orderkey",
+        "o_orderpriority = '1-URGENT' AND o_totalprice >= 150000",
+        score=True, score_expr="o_totalprice",
+    )
+    return (
+        res.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.floor(F.col("score") * 100 + 0.5).cast("long").alias(
+                "score_e2"
+            ),
+        )
+        .orderBy(
+            F.desc("score_e2"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(20)
+    )
+
+
+def q_has_child_inner_hits(spark, sf_dir):
+    """ES inner_hits: top-5 parents by summed child score, each with
+    its top-2 matching children. Child ranks use a window PARTITIONED
+    by parent key; the parent top-k is a distributed TakeOrdered, so
+    no unbounded single-task sort anywhere."""
+    from sparkfts.parentjoin import has_child_inner_hits
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    res = has_child_inner_hits(
+        o, li, "o_orderkey", "l_orderkey",
+        "l_returnflag = 'R'",
+        score_expr="floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)",
+        n_parents=5, n_hits=2, child_tiebreak="l_linenumber",
+    )
+    return res.select(
+        F.col("parent_rank").cast("int").alias("parent_rank"),
+        F.col("o_orderkey"),
+        F.col("parent_score").cast("long").alias("pscore_e2"),
+        F.col("hit_rank").cast("int").alias("hit_rank"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("o_orderpriority"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2342,6 +2425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_funnel": q_curate_funnel,
         "pack_manifest": q_pack_manifest,
         "bpe_token_counts": q_bpe_token_counts,
+        "has_child_topk": q_has_child_topk,
+        "has_parent_topk": q_has_parent_topk,
+        "has_child_inner_hits": q_has_child_inner_hits,
     }
 
 
@@ -4734,5 +4820,52 @@ SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
 UNION ALL SELECT CAST(1 AS INT), 'quality', n0.c, n1.c FROM n0, n1
 UNION ALL SELECT CAST(2 AS INT), 'exact_dedup', n1.c, n2.c FROM n1, n2
 UNION ALL SELECT CAST(3 AS INT), 'sample', n2.c, n3.c FROM n2, n3
+"""
+
+    # --- ES parent-child joins (has_child / has_parent / inner_hits) ----
+    sqls["has_child_topk"] = """
+WITH folded AS (
+  SELECT l_orderkey AS k, count(*) AS child_count,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS score_e2
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 30
+  GROUP BY 1 HAVING count(*) >= 2)
+SELECT o_orderkey, CAST(child_count AS BIGINT) AS child_count, score_e2
+FROM orders JOIN folded ON o_orderkey = k
+ORDER BY score_e2 DESC, o_orderkey LIMIT 10
+"""
+    sqls["has_parent_topk"] = """
+SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score_e2
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+ORDER BY score_e2 DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+    sqls["has_child_inner_hits"] = """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cscore
+  FROM lineitem WHERE l_returnflag = 'R'),
+tops AS (
+  SELECT l_orderkey AS k, CAST(sum(cscore) AS BIGINT) AS pscore_e2
+  FROM m GROUP BY 1 ORDER BY pscore_e2 DESC, k LIMIT 5),
+ranked AS (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY cscore DESC, l_linenumber) AS hit_rank
+  FROM m),
+ptab AS (
+  SELECT k, pscore_e2,
+         CAST(row_number() OVER (ORDER BY pscore_e2 DESC, k) AS INT)
+           AS parent_rank
+  FROM tops)
+SELECT p.parent_rank, r.l_orderkey AS o_orderkey, p.pscore_e2,
+       CAST(r.hit_rank AS INT) AS hit_rank,
+       CAST(r.l_linenumber AS INT) AS l_linenumber, o.o_orderpriority
+FROM ranked r JOIN ptab p ON r.l_orderkey = p.k
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+WHERE r.hit_rank <= 2
 """
     return sqls
