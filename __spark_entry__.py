@@ -2300,6 +2300,94 @@ def q_has_child_inner_hits(spark, sf_dir):
     )
 
 
+# --- geo family -------------------------------------------------------
+# Deterministic geo_point per doc: pure int64 LCG + one IEEE division,
+# bit-identical cross-engine (the repo's integer-kernel convention for
+# anything pseudo-random). lat in [-80, 80], lon in [-180, 180].
+def _geo_lat_col() -> F.Column:
+    return (
+        (F.col("doc_id") * 1103515245 + 12345) % 160000001 - 80000000
+    ) / 1000000.0
+
+
+def _geo_lon_col() -> F.Column:
+    return ((F.col("doc_id") * 2654435761 + 98765) % 360000001 - 180000000) / 1000000.0
+
+
+_GEO_LAT_SQL = (
+    "((doc_id * 1103515245 + 12345) % 160000001 - 80000000) / 1000000.0"
+)
+_GEO_LON_SQL = "((doc_id * 2654435761 + 98765) % 360000001 - 180000000) / 1000000.0"
+
+
+def _geo_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", _geo_lat_col().alias("lat"), _geo_lon_col().alias("lon")
+    )
+
+
+def q_geo_distance_topk(spark, sf_dir):
+    """ES geo_distance query + _geo_distance sort: the 15 docs nearest
+    (48.85, 2.35) within 3000 km, haversine metres on the ES mean-radius
+    sphere, distance quantized to decimetres (cross-engine 1-ulp trig
+    slack; sparkfts/geo.py docstring)."""
+    from sparkfts.geo import geo_distance, geo_distance_sort
+
+    pts = _geo_docs(spark, sf_dir)
+    hits = geo_distance(pts, "lat", "lon", 48.85, 2.35, 3_000_000.0)
+    res = geo_distance_sort(
+        hits, "lat", "lon", 48.85, 2.35, k=15, tiebreak="doc_id",
+        distance_alias="d2",
+    )
+    return res.select(
+        "doc_id",
+        F.floor(F.col("distance_m") * 10 + 0.5).cast("long").alias(
+            "dist_e1"
+        ),
+    )
+
+
+def q_geo_bbox(spark, sf_dir):
+    """ES geo_bounding_box (inclusive edges) over an antimeridian-
+    crossing box — pure comparisons, exact cross-engine."""
+    from sparkfts.geo import geo_bounding_box
+
+    pts = _geo_docs(spark, sf_dir)
+    res = geo_bounding_box(
+        pts, "lat", "lon", top=70.0, left=150.0, bottom=-20.0,
+        right=-120.0,
+    )
+    return res.select(
+        "doc_id",
+        F.floor(F.col("lat") * 1000000 + 0.5).cast("long").alias("lat_e6"),
+        F.floor(F.col("lon") * 1000000 + 0.5).cast("long").alias("lon_e6"),
+    )
+
+
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid agg at zoom 4: web-mercator slippy-tile doc
+    counts, count desc then key asc — one partially-aggregated groupBy
+    keyed on <= 256 tiles."""
+    from sparkfts.geo import geotile_grid
+
+    pts = _geo_docs(spark, sf_dir)
+    return geotile_grid(pts, "lat", "lon", zoom=4)
+
+
+def q_geo_distance_rings(spark, sf_dir):
+    """ES geo_distance agg: half-open [from, to) metre rings around
+    (0, 0); N conditional sums in ONE pass, a scalar row per ring
+    crosses the exchange."""
+    from sparkfts.geo import geo_distance_agg
+
+    pts = _geo_docs(spark, sf_dir)
+    res = geo_distance_agg(
+        pts, "lat", "lon", 0.0, 0.0,
+        [(None, 3e6), (3e6, 8e6), (8e6, 14e6), (14e6, None)],
+    )
+    return res.select("ring_idx", "doc_count")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2428,6 +2516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": q_has_child_topk,
         "has_parent_topk": q_has_parent_topk,
         "has_child_inner_hits": q_has_child_inner_hits,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_bbox": q_geo_bbox,
+        "geotile_grid": q_geotile_grid,
+        "geo_distance_rings": q_geo_distance_rings,
     }
 
 
@@ -4867,5 +4959,68 @@ SELECT p.parent_rank, r.l_orderkey AS o_orderkey, p.pscore_e2,
 FROM ranked r JOIN ptab p ON r.l_orderkey = p.k
 JOIN orders o ON o.o_orderkey = r.l_orderkey
 WHERE r.hit_rank <= 2
+"""
+
+    # --- geo family ------------------------------------------------------
+    # haversine on the ES mean-radius sphere; same double-precision
+    # formula shape as sparkfts/geo.py (radians -> sin/cos -> asin).
+    def _hav_sql(olat, olon):
+        return (
+            "2 * 6371008.7714 * asin(sqrt("
+            f"pow(sin((radians(lat) - radians({olat})) / 2), 2)"
+            f" + cos(radians({olat})) * cos(radians(lat))"
+            f" * pow(sin((radians(lon) - radians({olon})) / 2), 2)))"
+        )
+
+    geo_pts = f"""
+pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+  FROM documents)
+"""
+    sqls["geo_distance_topk"] = f"""
+WITH {geo_pts},
+d AS (SELECT doc_id, {_hav_sql(48.85, 2.35)} AS dist FROM pts)
+SELECT doc_id, CAST(floor(dist * 10 + 0.5) AS BIGINT) AS dist_e1
+FROM d WHERE dist <= 3000000.0
+ORDER BY dist, doc_id LIMIT 15
+"""
+    sqls["geo_bbox"] = f"""
+WITH {geo_pts}
+SELECT doc_id,
+       CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS lat_e6,
+       CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS lon_e6
+FROM pts
+WHERE lat BETWEEN -20.0 AND 70.0 AND (lon >= 150.0 OR lon <= -120.0)
+"""
+    sqls["geotile_grid"] = f"""
+WITH {geo_pts},
+t AS (
+  SELECT greatest(least(CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT),
+                        15), 0) AS x,
+         greatest(least(CAST(floor(
+           (1.0 - ln(tan(radians(greatest(least(lat, 85.0511287798066),
+                                          -85.0511287798066)))
+                     + 1.0 / cos(radians(greatest(least(lat,
+                         85.0511287798066), -85.0511287798066)))) / pi())
+           / 2.0 * 16) AS BIGINT), 15), 0) AS y
+  FROM pts)
+SELECT '4/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM t GROUP BY 1 ORDER BY doc_count DESC, key
+"""
+    sqls["geo_distance_rings"] = f"""
+WITH {geo_pts},
+d AS (SELECT {_hav_sql(0.0, 0.0)} AS dist FROM pts)
+SELECT CAST(0 AS INT) AS ring_idx,
+       CAST(count(*) FILTER (dist < 3000000.0) AS BIGINT) AS doc_count
+  FROM d
+UNION ALL SELECT CAST(1 AS INT),
+       CAST(count(*) FILTER (dist >= 3000000.0 AND dist < 8000000.0)
+            AS BIGINT) FROM d
+UNION ALL SELECT CAST(2 AS INT),
+       CAST(count(*) FILTER (dist >= 8000000.0 AND dist < 14000000.0)
+            AS BIGINT) FROM d
+UNION ALL SELECT CAST(3 AS INT),
+       CAST(count(*) FILTER (dist >= 14000000.0) AS BIGINT) FROM d
 """
     return sqls

@@ -1,0 +1,238 @@
+"""Geo queries and aggregations: ES ``geo_distance`` / ``geo_bounding_box``
+queries, distance sort, ``geotile_grid`` and ``geo_distance`` aggs.
+
+The ES backend the reference delegates to (reference
+ElasticsearchHandler.py:69) supports ``geo_point`` fields; web corpora
+routinely carry page/host coordinates (geo-IP, sitemap metadata), and
+"pages near X" / density-grid dashboards are the standard geo uses.
+
+Semantics pinned to ES:
+
+- Distances are haversine great-circle metres on the mean-radius
+  sphere ``R = 6371008.7714`` m (Lucene ``GeoUtils.EARTH_MEAN_RADIUS``,
+  what ES ``arc`` distance uses).
+- ``geo_distance`` query: ``distance(doc, origin) <= radius``.
+- ``geo_bounding_box``: inclusive edges; a box whose ``left > right``
+  crosses the antimeridian and matches ``lon >= left OR lon <= right``
+  (ES behavior).
+- ``geotile_grid``: map-tile buckets ``"z/x/y"`` (web-mercator slippy
+  tiles — the integer-math grid ES recommends over geohash for
+  aggregations). Latitude is clamped to the mercator domain
+  ±85.0511287798066; ``x = floor((lon+180)/360 * 2^z)``,
+  ``y = floor((1 - asinh(tan(lat))/pi) / 2 * 2^z)``, both clamped to
+  ``[0, 2^z - 1]``. Buckets ordered count desc, key asc.
+- ``geo_distance`` agg: half-open ``[from, to)`` metre rings around an
+  origin, ES key format ``"from-to"`` with ``*`` for open ends.
+
+Scale shape: everything here is a rowwise JVM expression over the scan
+(whole-stage codegen; lat/lon column pruning + any combined predicates
+push down) followed by, at most, one partially-aggregated ``groupBy``
+whose key cardinality is the tile/ring count — never a doc-sized
+shuffle. Distance sort is a distributed TakeOrdered (per-partition
+heaps, no global sort).
+
+Float caveat (documented contract): trig is IEEE-754 double libm on
+both engines; results agree to ~1 ulp, so quantize emitted distances
+(>= e1) and avoid placing ring/filter edges within ~1e-6 m of a data
+point when exact cross-engine equality matters. Tile keys are integer
+floors of mercator projections — same 1-ulp caveat at tile borders.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_MEAN_RADIUS_M = 6371008.7714
+MAX_MERCATOR_LAT = 85.0511287798066
+
+
+def _c(x: str | Column) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def haversine_m(
+    lat1: str | Column,
+    lon1: str | Column,
+    lat2: str | Column | float,
+    lon2: str | Column | float,
+) -> Column:
+    """Great-circle distance in metres (ES ``arc`` distance formula)."""
+    la1, lo1 = F.radians(_c(lat1)), F.radians(_c(lon1))
+    la2 = F.radians(F.lit(lat2) if isinstance(lat2, (int, float)) else _c(lat2))
+    lo2 = F.radians(F.lit(lon2) if isinstance(lon2, (int, float)) else _c(lon2))
+    dphi = (la2 - la1) / 2.0
+    dlam = (lo2 - lo1) / 2.0
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(la1) * F.cos(la2) * F.sin(dlam) * F.sin(dlam)
+    )
+    return 2.0 * EARTH_MEAN_RADIUS_M * F.asin(F.sqrt(h))
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    radius_m: float,
+    distance_alias: str = "distance_m",
+) -> DataFrame:
+    """ES geo_distance query: rows within ``radius_m`` of the origin,
+    with the computed distance attached."""
+    d = haversine_m(lat_col, lon_col, origin_lat, origin_lon)
+    return df.withColumn(distance_alias, d).where(
+        F.col(distance_alias) <= F.lit(float(radius_m))
+    )
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """ES geo_bounding_box query (inclusive edges, antimeridane-aware)."""
+    if not (-90.0 <= bottom <= top <= 90.0):
+        raise ValueError("need -90 <= bottom <= top <= 90")
+    lat_ok = _c(lat_col).between(F.lit(bottom), F.lit(top))
+    if left <= right:
+        lon_ok = _c(lon_col).between(F.lit(left), F.lit(right))
+    else:  # crosses the antimeridian
+        lon_ok = (_c(lon_col) >= F.lit(left)) | (_c(lon_col) <= F.lit(right))
+    return df.where(lat_ok & lon_ok)
+
+
+def geo_distance_sort(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    k: int,
+    tiebreak: str | None = None,
+    distance_alias: str = "distance_m",
+) -> DataFrame:
+    """ES ``sort: {_geo_distance: ...}``: k nearest rows (distance asc,
+    tie by ``tiebreak`` asc). Distributed TakeOrdered — per-partition
+    heaps of k, never a global sort."""
+    d = haversine_m(lat_col, lon_col, origin_lat, origin_lon)
+    out = df.withColumn(distance_alias, d)
+    order = [F.col(distance_alias).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return out.orderBy(*order).limit(int(k))
+
+
+def geotile_key(
+    lat_col: str | Column, lon_col: str | Column, zoom: int
+) -> Column:
+    """``"z/x/y"`` slippy-tile key column for ``geotile_grid``."""
+    if not (0 <= zoom <= 29):
+        raise ValueError("zoom must be in [0, 29] (ES precision range)")
+    n = F.lit(float(1 << zoom))
+    lat = _c(lat_col)
+    lat = F.greatest(
+        F.least(lat, F.lit(MAX_MERCATOR_LAT)), F.lit(-MAX_MERCATOR_LAT)
+    )
+    lon = _c(lon_col)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
+    latr = F.radians(lat)
+    # asinh(tan(lat)) written as ln(tan + sec): identical on both engines
+    merc = F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * n).cast(
+        "long"
+    )
+    top = F.lit((1 << zoom) - 1)
+    x = F.greatest(F.least(x, top), F.lit(0))
+    y = F.greatest(F.least(y, top), F.lit(0))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int,
+    size: int | None = None,
+) -> DataFrame:
+    """ES geotile_grid agg: ``(key, doc_count)`` per populated tile,
+    count desc then key asc; optional top-``size`` (ES default 10000).
+    One partially-aggregated groupBy keyed on <= 4^zoom tiles."""
+    keyed = df.select(geotile_key(lat_col, lon_col, zoom).alias("key"))
+    out = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+    out = out.orderBy(F.desc("doc_count"), F.asc("key"))
+    return out.limit(int(size)) if size is not None else out
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """ES geo_distance agg: doc counts in half-open ``[from, to)``
+    metre rings. Returns ``(key, from_m, to_m, doc_count)`` in request
+    order (ES keeps ranges as given); empty rings report 0.
+
+    One pass: the distance expression feeds N conditional sums that
+    partial-aggregate map-side — a single scalar row per ring crosses
+    the exchange.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    d = haversine_m(lat_col, lon_col, origin_lat, origin_lon)
+    aggs = []
+    meta = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d < F.lit(float(hi)))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__r{i}")
+        )
+        key = (
+            ("*" if lo is None else f"{float(lo):g}")
+            + "-"
+            + ("*" if hi is None else f"{float(hi):g}")
+        )
+        meta.append((key, lo, hi))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    kdf = spark.createDataFrame(
+        [
+            (i, key, float(lo) if lo is not None else None,
+             float(hi) if hi is not None else None)
+            for i, (key, lo, hi) in enumerate(meta)
+        ],
+        "ring_idx int, key string, from_m double, to_m double",
+    )
+    counts = row.select(
+        F.stack(
+            F.lit(len(meta)),
+            *[
+                x
+                for i in range(len(meta))
+                for x in (F.lit(i), F.col(f"__r{i}"))
+            ],
+        ).alias("ring_idx", "doc_count")
+    )
+    return (
+        kdf.join(counts, "ring_idx")
+        .orderBy("ring_idx")
+        .select(
+            "ring_idx", "key", "from_m", "to_m",
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
+    )
