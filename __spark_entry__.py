@@ -2388,6 +2388,47 @@ def q_geo_distance_rings(spark, sf_dir):
     return res.select("ring_idx", "doc_count")
 
 
+def q_runtime_field_topk(spark, sf_dir):
+    """ES runtime field (runtime_mappings) used as a sort key: script
+    ``log1p(n_chars) * 10 - doc_id / 1000`` compiled to a Catalyst
+    Column (sparkfts.scripting.compile_script_column) — filters/sorts
+    plan exactly like a stored field, zero Python in the row path."""
+    from sparkfts.scripting import runtime_field
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    rt = runtime_field(docs, "rt", "log1p(n_chars) * 10 - doc_id / 1000")
+    return (
+        rt.where("rt > 50")
+        .orderBy(F.desc("rt"), F.asc("doc_id"))
+        .limit(12)
+        .select(
+            "doc_id",
+            F.floor(F.col("rt") * 1000000 + 0.5).cast("long").alias(
+                "rt_e6"
+            ),
+        )
+    )
+
+
+def q_runtime_field_agg(spark, sf_dir):
+    """ES runtime field consumed by an aggregation: per-``source``
+    count + sum of the per-row-quantized runtime value (integer sum —
+    exact cross-engine)."""
+    from sparkfts.scripting import runtime_field
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    rt = runtime_field(docs, "rt", "sqrt(n_chars) + doc_id / 100000")
+    q = F.floor(F.col("rt") * 10000 + 0.5).cast("long")
+    return (
+        rt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum(q).cast("long").alias("rt_sum_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2520,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": q_geo_bbox,
         "geotile_grid": q_geotile_grid,
         "geo_distance_rings": q_geo_distance_rings,
+        "runtime_field_topk": q_runtime_field_topk,
+        "runtime_field_agg": q_runtime_field_agg,
     }
 
 
@@ -5022,5 +5065,23 @@ UNION ALL SELECT CAST(2 AS INT),
             AS BIGINT) FROM d
 UNION ALL SELECT CAST(3 AS INT),
        CAST(count(*) FILTER (dist >= 14000000.0) AS BIGINT) FROM d
+"""
+
+    # --- runtime fields ---------------------------------------------------
+    sqls["runtime_field_topk"] = """
+WITH rt AS (
+  SELECT doc_id, ln(1 + n_chars) * 10 - doc_id / 1000.0 AS rt
+  FROM documents)
+SELECT doc_id, CAST(floor(rt * 1000000 + 0.5) AS BIGINT) AS rt_e6
+FROM rt WHERE rt > 50 ORDER BY rt DESC, doc_id LIMIT 12
+"""
+    sqls["runtime_field_agg"] = """
+WITH rt AS (
+  SELECT source, sqrt(CAST(n_chars AS DOUBLE)) + doc_id / 100000.0 AS rt
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(CAST(floor(rt * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rt_sum_e4
+FROM rt GROUP BY 1 ORDER BY 1
 """
     return sqls

@@ -66,9 +66,10 @@ def _tokenize(src: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], variables=VARIABLES):
         self.toks = tokens
         self.i = 0
+        self.variables = tuple(variables)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -124,20 +125,21 @@ class _Parser:
             if len(args) != want:
                 raise ValueError(f"{t}() takes {want} argument(s)")
             return ("call", t, args)
-        if t in VARIABLES:
+        if t in self.variables:
             return ("var", t)
         raise ValueError(
-            f"unknown script name {t!r}; variables are {VARIABLES}, "
-            f"functions are {sorted(_FUNCS)}"
+            f"unknown script name {t!r}; variables are "
+            f"{sorted(self.variables)}, functions are {sorted(_FUNCS)}"
         )
 
 
-def parse_script(src: str):
+def parse_script(src: str, variables=VARIABLES):
     """-> AST; fail-loud on syntax errors / unknown names / trailing
-    tokens."""
+    tokens. ``variables`` is the allowed bare-name set (default: the
+    script_score pair ``_score`` / ``value``)."""
     if not src or not src.strip():
         raise ValueError("script must be non-empty")
-    p = _Parser(_tokenize(src))
+    p = _Parser(_tokenize(src), variables)
     node = p.expr()
     if p.peek() is not None:
         raise ValueError(
@@ -175,3 +177,64 @@ def compile_script(src: str):
         return np.asarray(ev(ast, env), dtype=np.float64)
 
     return fn
+
+
+def compile_script_column(src: str, cols: dict):
+    """Compile the script to a Catalyst ``Column`` over named columns —
+    the ES *runtime field* backend (``runtime_mappings``: script-derived
+    fields usable in filters, sorts and aggs without reindexing).
+
+    ``cols`` maps each allowed bare name to a ``pyspark.sql.Column``.
+    The expression stays entirely JVM-side (whole-stage codegen, no
+    Python in the row path); float64 source-order association matches
+    ``compile_script``'s numpy backend. Arithmetic, ``sqrt``, ``abs``,
+    ``min``/``max`` are bit-identical across backends (correctly
+    rounded IEEE ops); ``log``/``log1p``/``exp``/``pow`` are libm
+    transcendentals and may differ in the last ulp between the JVM and
+    numpy/DuckDB — quantize outputs accordingly (driver-contract float
+    convention).
+    """
+    from pyspark.sql import functions as F
+
+    ast = parse_script(src, variables=tuple(cols))
+    fmap = {
+        "log": F.log,
+        "log1p": F.log1p,
+        "sqrt": F.sqrt,
+        "abs": F.abs,
+        "exp": F.exp,
+        "min": F.least,
+        "max": F.greatest,
+        "pow": F.pow,
+    }
+
+    def ev(node):
+        kind = node[0]
+        if kind == "num":
+            return F.lit(node[1])
+        if kind == "var":
+            return cols[node[1]].cast("double")
+        if kind == "neg":
+            return -ev(node[1])
+        if kind == "call":
+            return fmap[node[1]](*[ev(a) for a in node[2]])
+        a, b = ev(node[1]), ev(node[2])
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[kind]
+
+    return ev(ast)
+
+
+def runtime_field(df, name: str, script: str, fields=None):
+    """Attach an ES runtime field: ``df`` plus column ``name`` computed
+    by ``script`` over ``fields`` (default: every existing column whose
+    name is a legal script identifier). Filters/sorts/aggs on the new
+    column plan exactly like a stored field — Catalyst folds the
+    expression into the scan stage."""
+    allowed = fields if fields is not None else [
+        c for c in df.columns
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)
+    ]
+    from pyspark.sql import functions as F
+
+    cols = {c: F.col(c) for c in allowed}
+    return df.withColumn(name, compile_script_column(script, cols))
