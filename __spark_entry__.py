@@ -2429,6 +2429,23 @@ def q_runtime_field_agg(spark, sf_dir):
     )
 
 
+def q_multi_terms_agg(spark, sf_dir):
+    """ES multi_terms aggregation: (lang, source) tuple buckets over
+    the full OR-match set, key_as_string = values joined by '|', count
+    desc then key asc — one partially-aggregated composite-key groupBy
+    (sparkfts/aggs.py multi_terms_agg)."""
+    from sparkfts.aggs import multi_terms_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = multi_terms_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "lang", "source"),
+        ["lang", "source"], mode="or", size=15,
+    )
+    return res.select("key", F.col("doc_count").cast("long").alias(
+        "doc_count"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2563,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_rings": q_geo_distance_rings,
         "runtime_field_topk": q_runtime_field_topk,
         "runtime_field_agg": q_runtime_field_agg,
+        "multi_terms_agg": q_multi_terms_agg,
     }
 
 
@@ -5083,5 +5101,15 @@ SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(CAST(floor(rt * 10000 + 0.5) AS BIGINT)) AS BIGINT)
          AS rt_sum_e4
 FROM rt GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["multi_terms_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT d.lang || '|' || d.source AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15
 """
     return sqls

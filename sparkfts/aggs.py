@@ -1194,3 +1194,70 @@ def terms_facet_from_index(
         )
     dv = load_docmap(spark, index_dir).select("doc_id", field)
     return terms_facet(spark, index_dir, query, dv, field, mode, size)
+
+
+def multi_terms_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    fields: list[str],
+    mode: str = "and",
+    size: int = 10,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of
+    fields -> one row per combination with ``key_as_string`` =
+    values joined by ``|`` (ES's format), count desc then key asc.
+
+    Same scale shape as :func:`terms_facet` — matched-id join + ONE
+    partially-aggregated groupBy on the composite key + TakeOrdered;
+    the shuffle is keyed on the combination cardinality, never doc
+    count. ES rejects missing values for multi_terms (docs lacking any
+    of the fields are skipped) — the inner join on non-null values
+    reproduces that.
+    """
+    if not fields or len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields (ES constraint)")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    vals = doc_values.select("doc_id", *fields)
+    for f in fields:
+        vals = vals.where(F.col(f).isNotNull())
+    key = F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
+    return (
+        matched.join(vals, "doc_id")
+        .groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def global_agg(
+    spark: SparkSession,
+    index_dir: str,
+    doc_values: DataFrame,
+    field: str,
+) -> DataFrame:
+    """ES ``global`` aggregation context: metrics over ALL live docs of
+    the index, ignoring the surrounding query (the Kibana "show the
+    total next to the filtered number" bucket).
+
+    Visibility matches every query path: tombstoned docs are excluded
+    by anti-joining the tombstone set (bounded; broadcast by AQE).
+    One partial-aggregated pass; a single scalar row crosses the
+    exchange.
+    """
+    from sparkfts.deletes import load_tombstones
+
+    live = doc_values.select("doc_id", field)
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        from sparkfts.index import in_list
+
+        live = live.where(~in_list("doc_id", [int(x) for x in tomb]))
+    return live.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(field).alias("min_v"),
+        F.max(field).alias("max_v"),
+        F.sum(field).cast("long").alias("sum_v"),
+    )

@@ -289,3 +289,77 @@ def test_count_matches(spark, agg_index, py_oracle, queries):
     assert [(r["query_id"], r["doc_count"]) for r in got] == [
         (0, exp["or"]), (1, 0), (2, 0)
     ]
+
+
+def test_multi_terms_agg(spark, agg_index, doc_values, py_oracle, queries):
+    from sparkfts.aggs import multi_terms_agg
+
+    q = queries[0]["query"]
+    rows = multi_terms_agg(
+        spark, agg_index, q, doc_values, ["lang", "wt"], mode="or",
+        size=100,
+    ).collect()
+    exp: dict[str, int] = {}
+    for r in _matched_values(py_oracle, doc_values, q):
+        k = f"{r['lang']}|{r['wt']}"
+        exp[k] = exp.get(k, 0) + 1
+    got = {r["key"]: r["doc_count"] for r in rows}
+    assert got == exp
+    # order: count desc, key asc; size bound
+    keys = [(r["key"], r["doc_count"]) for r in rows]
+    assert keys == sorted(keys, key=lambda kv: (-kv[1], kv[0]))
+    top2 = multi_terms_agg(
+        spark, agg_index, q, doc_values, ["lang", "wt"], mode="or", size=2
+    ).collect()
+    assert [(r["key"], r["doc_count"]) for r in top2] == keys[:2]
+    with pytest.raises(ValueError):
+        multi_terms_agg(spark, agg_index, q, doc_values, ["lang"])
+
+
+def test_multi_terms_skips_missing(spark, agg_index, py_oracle, queries,
+                                   doc_values):
+    """ES multi_terms drops docs missing ANY keyed field."""
+    from sparkfts.aggs import multi_terms_agg
+
+    dv = doc_values.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")),
+    )
+    q = queries[0]["query"]
+    rows = multi_terms_agg(
+        spark, agg_index, q, dv, ["lang", "wt"], mode="or", size=1000
+    ).collect()
+    exp: dict[str, int] = {}
+    for r in _matched_values(py_oracle, doc_values, q):
+        if r["doc_id"] % 3 == 0:
+            continue
+        k = f"{r['lang']}|{r['wt']}"
+        exp[k] = exp.get(k, 0) + 1
+    assert {r["key"]: r["doc_count"] for r in rows} == exp
+
+
+def test_global_agg(spark, agg_index, doc_values, py_oracle):
+    from sparkfts.aggs import global_agg
+
+    got = global_agg(spark, agg_index, doc_values, "n_chars").collect()[0]
+    xs = [r["n_chars"] for r in doc_values.collect()]
+    assert got["n"] == len(xs)
+    assert got["min_v"] == min(xs) and got["max_v"] == max(xs)
+    assert got["sum_v"] == sum(xs)
+
+
+def test_global_agg_respects_tombstones(spark, pages_df, doc_values,
+                                        tmp_path_factory):
+    from sparkfts.aggs import global_agg
+    from sparkfts.deletes import delete_docs
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("glob_del_idx"))
+    build_index(pages_df, d, n_shards=2, n_tbuckets=4)
+    vals = doc_values.collect()
+    victim = vals[0]["doc_id"]
+    delete_docs(spark, d, [int(victim)])
+    got = global_agg(spark, d, doc_values, "n_chars").collect()[0]
+    rest = [r["n_chars"] for r in vals if r["doc_id"] != victim]
+    assert got["n"] == len(rest)
+    assert got["sum_v"] == sum(rest)
