@@ -2446,6 +2446,18 @@ def q_multi_terms_agg(spark, sf_dir):
         "doc_count"))
 
 
+def q_ann_bbq_topk(spark, sf_dir):
+    """ES BBQ (binary-quantized) ANN: sign bits packed to int64 words,
+    phase-1 rank = popcount(xor) hamming (32x less memory traffic than
+    float32 — ES's default for large vector indexes), top-50 re-ranked
+    exactly to top-10 (rescore_vector)."""
+    from sparkfts.ops.similarity import ann_bbq_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_bbq_topk(emb, list(qvec), k=10, rescore=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2581,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_field_topk": q_runtime_field_topk,
         "runtime_field_agg": q_runtime_field_agg,
         "multi_terms_agg": q_multi_terms_agg,
+        "ann_bbq_topk": q_ann_bbq_topk,
     }
 
 
@@ -5111,5 +5124,35 @@ SELECT d.lang || '|' || d.source AS key,
 FROM matched m JOIN documents d USING (doc_id)
 WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
 GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15
+"""
+
+    # BBQ ANN: phase-1 hamming over sign bits == popcount(xor) of the
+    # packed words (the engine packs; the count-of-sign-mismatches form
+    # here is the same integer, dim by dim); exact e3 rescore tail as sq8.
+    sqls["ann_bbq_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT generate_subscripts(e, 1) AS pos,
+              CASE WHEN unnest(e) > 0 THEN 1 ELSE 0 END AS b FROM q),
+es AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CASE WHEN unnest(embedding) > 0 THEN 1 ELSE 0 END AS b
+       FROM embeddings),
+ham AS (SELECT e.vec_id,
+               sum(CASE WHEN e.b != q.b THEN 1 ELSE 0 END) AS h
+        FROM es e JOIN qs q USING (pos) GROUP BY 1),
+cand AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT 50),
+ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+cq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+nq AS (SELECT sum(v * v) AS nq FROM cq),
+d2 AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ce e JOIN cq q USING (pos) GROUP BY e.vec_id)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq.nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM d2, nq WHERE na > 0
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
     return sqls

@@ -733,3 +733,95 @@ def ann_pq_topk(
         "left_semi",
     )
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def bbq_pack_col(vec_col: str, dims: int):
+    """Pack a float vector's SIGN BITS into ``ceil(dims/64)`` int64
+    words (bit j of word w = 1 iff component ``64*w + j`` > 0) — the
+    storage layout behind ES BBQ (better-binary-quantization)
+    ``dense_vector`` indexing: 32x smaller than float32, and similarity
+    becomes XOR + popcount over machine words."""
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    words = []
+    for w in range((dims + 63) // 64):
+        n = min(64, dims - 64 * w)
+        weights = F.array(
+            *[F.shiftleft(F.lit(1).cast("long"), j) for j in range(n)]
+        )
+        bits = F.zip_with(
+            F.slice(F.col(vec_col), 64 * w + 1, n),
+            weights,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        )
+        words.append(
+            F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+        )
+    return F.array(*words)
+
+
+def bbq_pack_py(vec: list[float]) -> list[int]:
+    """Driver-side mirror of :func:`bbq_pack_col` for the query vector
+    (signed-int64 words, bit 63 wraps negative like the engine)."""
+    dims = len(vec)
+    out = []
+    for w in range((dims + 63) // 64):
+        word = 0
+        for j in range(min(64, dims - 64 * w)):
+            if vec[64 * w + j] > 0:
+                word |= 1 << j
+        if word >= 1 << 63:
+            word -= 1 << 64
+        out.append(word)
+    return out
+
+
+def ann_bbq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES BBQ (binary-quantized) ANN -> (vec_id, cos_e6): rank ALL
+    vectors by HAMMING distance between sign-bit packs (popcount of
+    XORed int64 words — each 64-dim block costs one xor + one popcount
+    instead of 64 float multiplies), keep the ``rescore`` nearest, then
+    re-rank those with the exact quantized-e3 cosine (ES
+    ``rescore_vector``, same two-phase as :func:`ann_sq8_topk`).
+
+    Deterministic: bit packing and popcount are pure integer ops,
+    identical cross-engine; ties pinned (hamming asc, vec_id asc).
+    Scale shape: phase 1 is a narrow map over ``ceil(dims/64)`` words
+    per row + distributed TakeOrdered; the exact pass touches only
+    ``rescore`` rows. Nothing is collected.
+    """
+    if rescore < k:
+        raise ValueError("rescore must be >= k")
+    dims = len(query_vec)
+    if dims == 0:
+        raise ValueError("query_vec must be non-empty")
+    qwords = F.array(*[F.lit(w).cast("long") for w in bbq_pack_py(query_vec)])
+    hamming = F.aggregate(
+        F.zip_with(
+            bbq_pack_col(vec_col, dims),
+            qwords,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__emb"),
+            hamming.alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(int(rescore))
+    )
+    return cosine_topk(
+        cand.select("vec_id", F.col("__emb").alias(vec_col)),
+        query_vec, k, id_col="vec_id", vec_col=vec_col,
+    )

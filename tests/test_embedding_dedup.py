@@ -301,3 +301,87 @@ def test_pq_validation(emb_df):
         pq_codebooks(emb_df, m=5, ks=8)  # dim 16 % 5 != 0
     with pytest.raises(ValueError, match="codewords"):
         pq_codebooks(emb_df.limit(3), m=4, ks=8)
+
+
+# ---- BBQ: binary (sign-bit) quantization + hamming + exact rescore ----
+
+
+def _py_bbq_pipeline(rows, qvec, k, rescore):
+    import math
+
+    qs = [1 if x > 0 else 0 for x in qvec]
+    ham = []
+    for vid, vec in rows:
+        h = sum(1 for a, b in zip(vec, qs) if (1 if a > 0 else 0) != b)
+        ham.append((h, vid))
+    cand = sorted(ham)[:rescore]
+    keep = {vid for _, vid in cand}
+    qq = [math.floor(x * 1000 + 0.5) for x in qvec]
+    nq = math.sqrt(sum(v * v for v in qq))
+    out = []
+    for vid, vec in rows:
+        if vid not in keep:
+            continue
+        ee = [math.floor(x * 1000 + 0.5) for x in vec]
+        na = math.sqrt(sum(v * v for v in ee))
+        if na == 0:
+            continue
+        dot = sum(a * b for a, b in zip(ee, qq))
+        cos_e6 = math.floor(dot / (na * nq) * 1000000 + 0.5)
+        out.append((int(cos_e6), vid))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return [(vid, c) for c, vid in out[:k]]
+
+
+def test_bbq_matches_python_mirror(emb_df):
+    from sparkfts.ops.similarity import ann_bbq_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[3]
+    got = ann_bbq_topk(emb_df, list(qvec), k=8, rescore=15).collect()
+    exp = _py_bbq_pipeline(rows, list(qvec), 8, 15)
+    assert [(r["vec_id"], r["cos_e6"]) for r in got] == exp
+
+
+def test_bbq_full_rescore_equals_exact(emb_df):
+    from sparkfts.ops.similarity import ann_bbq_topk, cosine_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[7]
+    a = ann_bbq_topk(emb_df, list(qvec), k=10, rescore=1000).collect()
+    b = cosine_topk(emb_df, list(qvec), k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bbq_packing_multiword(spark):
+    """dims > 64 packs into multiple words; bit 63 wraps negative."""
+    import numpy as np
+
+    from sparkfts.ops.similarity import ann_bbq_topk, bbq_pack_py
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    dims = 100
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dims)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvec = rows[0][1]
+    got = ann_bbq_topk(df, qvec, k=5, rescore=12).collect()
+    exp = _py_bbq_pipeline(rows, qvec, 5, 12)
+    assert [(r["vec_id"], r["cos_e6"]) for r in got] == exp
+    # the query itself (hamming 0) must win
+    assert got[0]["vec_id"] == 0
+    # sign-bit 63 set -> negative signed word, still one bit
+    v = [0.0] * 64
+    v[63] = 1.0
+    (w,) = bbq_pack_py(v)
+    assert w == -(1 << 63)
+
+
+def test_bbq_validation(emb_df):
+    from sparkfts.ops.similarity import ann_bbq_topk
+
+    with pytest.raises(ValueError):
+        ann_bbq_topk(emb_df, [1.0] * 16, k=10, rescore=5)
+    with pytest.raises(ValueError):
+        ann_bbq_topk(emb_df, [], k=1, rescore=1)
