@@ -2458,6 +2458,19 @@ def q_ann_bbq_topk(spark, sf_dir):
     return ann_bbq_topk(emb, list(qvec), k=10, rescore=50)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: new snapshot (doc_id %% 3 != 0) LSH-matched
+    against the reference corpus (doc_id %% 3 == 0) — join is strictly
+    NEW x REF on (band, band_key); adding a snapshot never re-pairs the
+    reference with itself (sparkfts/ops/dedup.py dedup_against)."""
+    from sparkfts.ops.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup_against(new, ref)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2594,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_field_agg": q_runtime_field_agg,
         "multi_terms_agg": q_multi_terms_agg,
         "ann_bbq_topk": q_ann_bbq_topk,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -5154,5 +5168,18 @@ SELECT vec_id,
          AS cos_e6
 FROM d2, nq WHERE na > 0
 ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+    sqls["dedup_incremental"] = f"""
+{_MINHASH}
+, keys AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 2)
+SELECT n.doc_id, CAST(min(r.doc_id) AS BIGINT) AS ref_doc_id
+FROM keys n JOIN keys r
+  ON n.band = r.band AND n.band_key = r.band_key
+WHERE n.doc_id % 3 != 0 AND r.doc_id % 3 = 0
+GROUP BY 1 ORDER BY 1
 """
     return sqls

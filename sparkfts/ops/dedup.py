@@ -177,23 +177,7 @@ def lsh_buckets(
     band_key = ordered concatenation of the band's minhash values; docs
     sharing a bucket are near-dup candidates (join within bucket next).
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, text_col, n_hashes)
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    keys = (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("minhash")))
-                    ),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
-    )
+    keys = _band_keys(docs, text_col, n_hashes, bands)
     return (
         keys.groupBy("band", "band_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -206,20 +190,7 @@ def lsh_candidate_pairs(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Distinct candidate pairs from shared LSH buckets -> (a_id, b_id)."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, text_col, n_hashes)
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("minhash")))
-                ),
-                lambda x: x["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_key")
-    )
+    keys = _band_keys(docs, text_col, n_hashes, bands)
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -366,3 +337,76 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select(
         "doc_id", simhash.alias("simhash")
     ).orderBy("doc_id")
+
+
+def _band_keys(
+    docs: DataFrame, text_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH banding frame shared by
+    within-corpus and cross-corpus candidate generation."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, n_hashes)
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("minhash")))
+                ),
+                lambda x: x["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+
+
+def exact_dedup_against(
+    new_docs: DataFrame, ref_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental EXACT dedup: the rows of ``new_docs`` whose content
+    hash does NOT appear in ``ref_docs`` (the already-kept corpus).
+
+    The shape every multi-snapshot crawl pipeline needs: dedup snapshot
+    N+1 against the union of snapshots 1..N without re-deduping the
+    reference. One left_anti join keyed on md5 — the ref side reduces
+    to its DISTINCT hash set before the join, so the exchange is
+    bounded by ref's unique-content count (broadcast when small, AQE
+    decides)."""
+    ref_hashes = ref_docs.select(
+        F.md5(F.col(text_col)).alias("content_md5")
+    ).distinct()
+    return new_docs.withColumn(
+        "content_md5", F.md5(F.col(text_col))
+    ).join(ref_hashes, "content_md5", "left_anti").drop("content_md5")
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: ``(doc_id, ref_doc_id)`` — each
+    new doc sharing at least one MinHash-LSH band bucket with the
+    reference corpus, paired with its smallest matching ref doc_id.
+
+    Same hash family and banding as :func:`lsh_candidate_pairs`
+    (candidate semantics — band collision, not verified Jaccard), but
+    the join is strictly NEW x REF keyed on ``(band, band_key)``:
+    never new x new or ref x ref, so adding a snapshot costs
+    |new| x selectivity, not (|ref| + |new|)^2. Ref-side band keys can
+    be precomputed once and reused across snapshots.
+    """
+    new_keys = _band_keys(new_docs, text_col, n_hashes, bands)
+    ref_keys = _band_keys(ref_docs, text_col, n_hashes, bands)
+    hits = new_keys.alias("n").join(
+        ref_keys.alias("r"),
+        (F.col("n.band") == F.col("r.band"))
+        & (F.col("n.band_key") == F.col("r.band_key")),
+    )
+    return (
+        hits.groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("r.doc_id")).alias("ref_doc_id"))
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,80 @@ def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
 
     # the durable run actually wrote checkpoint data
     assert any(os.scandir(ck))
+
+
+# ---- incremental dedup against a reference corpus ----
+
+
+def _split_docs(spark):
+    import pandas as pd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely unrelated text about spark query engines and joins",
+        "a third document with its own distinctive shingle stream here",
+    ]
+    rows = []
+    # ref corpus: ids 0-2; new corpus: 10 = exact copy of 0,
+    # 11 = near-dup of 1 (one word changed), 12 = fresh content
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows.append((10, base[0]))
+    rows.append((11, base[1].replace("joins", "aggregations")))
+    rows.append((12, "entirely novel content never seen in the reference"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    return df.where("doc_id < 10"), df.where("doc_id >= 10")
+
+
+def test_exact_dedup_against(spark):
+    from sparkfts.ops.dedup import exact_dedup_against
+
+    ref, new = _split_docs(spark)
+    kept = sorted(
+        r["doc_id"] for r in exact_dedup_against(new, ref).collect()
+    )
+    assert kept == [11, 12]  # 10 is an exact copy of ref doc 0
+
+
+def test_dedup_against_minhash(spark):
+    from sparkfts.ops.dedup import dedup_against, lsh_candidate_pairs
+
+    ref, new = _split_docs(spark)
+    rows = dedup_against(new, ref).collect()
+    got = {r["doc_id"]: r["ref_doc_id"] for r in rows}
+    assert got[10] == 0            # exact copy always collides
+    assert 11 in got and got[11] == 1  # near-dup shares >= 1 band
+    assert 12 not in got           # fresh content matches nothing
+    # cross-corpus candidates == within-union candidates restricted to
+    # (new, ref) pairs — same hash family by construction
+    union = ref.unionByName(new)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(union).collect()
+    }
+    for new_id, ref_id in got.items():
+        assert any(
+            (a, b) in pairs
+            for a, b in [(ref_id, new_id), (new_id, ref_id)]
+        )
+
+
+def test_dedup_against_never_pairs_new_with_new(spark):
+    from sparkfts.ops.dedup import dedup_against
+
+    ref, new = _split_docs(spark)
+    # two identical NEW docs with no ref counterpart must NOT flag
+    import pandas as pd
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [20, 21],
+                "text": ["twin new-only content shared by two docs"] * 2,
+            }
+        )
+    )
+    new2 = new.unionByName(extra)
+    got = {r["doc_id"] for r in dedup_against(new2, ref).collect()}
+    assert 20 not in got and 21 not in got
