@@ -2471,6 +2471,34 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_against(new, ref)
 
 
+def q_ingest_pipeline(spark, sf_dir):
+    """ES ingest pipeline (set/rename/lowercase/gsub/convert chain)
+    compiled to ONE Catalyst projection (sparkfts/ingest.py) — vowels
+    stripped via gsub, source renamed, constant field set."""
+    from sparkfts.ingest import apply_pipeline
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = apply_pipeline(
+        docs,
+        [
+            {"set": {"field": "stripped", "copy_from": "text"}},
+            {"gsub": {"field": "stripped", "pattern": "[aeiou]",
+                      "replacement": ""}},
+            {"rename": {"field": "source", "target_field": "origin"}},
+            {"lowercase": {"field": "lang"}},
+            {"set": {"field": "corpus", "value": "web"}},
+        ],
+    )
+    return out.select(
+        "doc_id", "lang", "origin", "corpus",
+        (F.length("text") - F.length("stripped")).cast("long").alias(
+            "n_vowels"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2608,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_terms_agg": q_multi_terms_agg,
         "ann_bbq_topk": q_ann_bbq_topk,
         "dedup_incremental": q_dedup_incremental,
+        "ingest_pipeline": q_ingest_pipeline,
     }
 
 
@@ -5181,5 +5210,12 @@ FROM keys n JOIN keys r
   ON n.band = r.band AND n.band_key = r.band_key
 WHERE n.doc_id % 3 != 0 AND r.doc_id % 3 = 0
 GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["ingest_pipeline"] = """
+SELECT doc_id, lower(lang) AS lang, source AS origin, 'web' AS corpus,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+            AS BIGINT) AS n_vowels
+FROM documents
 """
     return sqls
