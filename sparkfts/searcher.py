@@ -621,5 +621,68 @@ class Searcher:
         """Materialize the postings cache; returns cached row count."""
         return self._postings.count()
 
+    def scroll(
+        self, query: str, size: int = 100, mode: str = "and"
+    ) -> "Scroll":
+        """ES ``_search?scroll`` / point-in-time pagination: iterate the
+        FULL match set in ``size``-row pages at O(size) per page (each
+        page is a ``search_after`` cursor hop — never deep ``offset``).
+
+        Point-in-time semantics at the Searcher level: the postings
+        cache, dictionary and tombstone snapshot were fixed when this
+        Searcher opened, so documents ingested (or deleted without
+        :meth:`refresh_deletes`) after open do not affect an in-flight
+        scroll — ES's scroll-context contract."""
+        return Scroll(self, query, size, mode)
+
     def close(self) -> None:
         self._postings.unpersist()
+
+
+class Scroll:
+    """In-flight scroll cursor (see :meth:`Searcher.scroll`).
+
+    ``next_page()`` -> list of ``(rank, doc_id, score)`` with ranks
+    continuing across pages; empty list = exhausted. Iterable:
+    ``for page in searcher.scroll(q): ...``.
+    """
+
+    def __init__(self, searcher: Searcher, query: str, size: int,
+                 mode: str) -> None:
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        self._s = searcher
+        self._query = query
+        self._size = int(size)
+        self._mode = mode
+        self._after: tuple[float, int] | None = None
+        self._rank = 0
+        self._done = False
+
+    def next_page(self) -> list[tuple[int, int, float]]:
+        if self._done:
+            return []
+        rows = self._s.search_rows(
+            [(0, self._query, self._size)],
+            mode=self._mode,
+            search_after={0: self._after} if self._after else None,
+        )
+        if not rows:
+            self._done = True
+            return []
+        last = rows[-1]
+        self._after = (last[3], last[2])  # (score, doc_id) cursor
+        if len(rows) < self._size:
+            self._done = True
+        out = []
+        for _, _, doc_id, score in rows:
+            self._rank += 1
+            out.append((self._rank, doc_id, score))
+        return out
+
+    def __iter__(self):
+        while True:
+            page = self.next_page()
+            if not page:
+                return
+            yield page

@@ -189,3 +189,69 @@ def test_search_after_offset_mutually_exclusive(spark, index_dir):
             spark, index_dir, [(0, "x", 5)], offset=5,
             search_after={0: (1.0, 2)},
         )
+
+
+# ---- scroll / point-in-time pagination ----
+
+
+def test_scroll_pages_equal_one_shot(spark, index_dir, queries):
+    s = Searcher(spark, index_dir)
+    q = queries[0]["query"]
+    full = s.search_rows([(0, q, 10_000)], mode="or")
+    sc = s.scroll(q, size=7, mode="or")
+    paged = []
+    for page in sc:
+        assert len(page) <= 7
+        paged.extend(page)
+    assert [(r[0], r[1], r[2]) for r in paged] == [
+        (rank, doc_id, score) for _, rank, doc_id, score in full
+    ]
+    # exhausted cursor stays exhausted
+    assert sc.next_page() == []
+    s.close()
+
+
+def test_scroll_ranks_continue_and_pages_disjoint(spark, index_dir,
+                                                  queries):
+    s = Searcher(spark, index_dir)
+    sc = s.scroll(queries[1]["query"], size=5, mode="or")
+    p1, p2 = sc.next_page(), sc.next_page()
+    if p2:
+        assert p1[-1][0] + 1 == p2[0][0]  # ranks continue
+        assert {d for _, d, _ in p1}.isdisjoint({d for _, d, _ in p2})
+    with pytest.raises(ValueError):
+        s.scroll("x", size=0)
+    s.close()
+
+
+def test_scroll_is_point_in_time(spark, pages_df, queries,
+                                 tmp_path_factory):
+    """Docs ingested after the Searcher opened don't enter an in-flight
+    scroll (ES scroll-context semantics)."""
+    import pandas as pd
+
+    from sparkfts.streaming import ingest_batch
+
+    d = str(tmp_path_factory.mktemp("scroll_pit_idx"))
+    pdf = pages_df.toPandas()
+    ingest_batch(spark.createDataFrame(pdf), 0, d, n_shards=2,
+                 n_tbuckets=4)
+    s = Searcher(spark, d)
+    s.warmup()
+    q = queries[0]["query"]
+    sc = s.scroll(q, size=4, mode="or")
+    first = sc.next_page()
+    # ingest a new segment that WOULD match
+    extra = pdf.iloc[:3].copy()
+    extra["url"] = extra["url"] + "?v=2"
+    ingest_batch(spark.createDataFrame(extra), 1, d, n_shards=2,
+                 n_tbuckets=4)
+    rest = [r for page in sc for r in page]
+    all_ids = {doc for _, doc, _ in first} | {doc for _, doc, _ in rest}
+    # a FRESH searcher sees more matches than the scroll did
+    s2 = Searcher(spark, d)
+    fresh = {r[2] for r in s2.search_rows([(0, q, 10_000)], mode="or")}
+    assert all_ids <= fresh
+    assert len(fresh) > len(all_ids)
+    s.close()
+    s2.close()
