@@ -2499,6 +2499,29 @@ def q_ingest_pipeline(spark, sf_dir):
     )
 
 
+def q_sorted_index_topk(spark, sf_dir):
+    """ES index.sort + early termination (track_total_hits=false):
+    top-15 'en' docs by n_chars desc from the sort sidecar — each scan
+    split stops consuming Arrow batches after k surviving rows, so I/O
+    is O(k) per split regardless of corpus size
+    (sparkfts/sortedindex.py; bounded-read proof in
+    tests/test_sortedindex.py)."""
+    from sparkfts.sortedindex import sorted_topk, write_sorted_docvalues
+
+    idx = _index_dir_for(spark, sf_dir)
+    from sparkfts.sortedindex import SORT_META, _sidecar_dir
+
+    if not os.path.isfile(os.path.join(_sidecar_dir(idx, "n_chars"),
+                                       SORT_META)):
+        write_sorted_docvalues(spark, idx, "n_chars", ascending=False)
+    res = sorted_topk(spark, idx, "n_chars", k=15,
+                      filter_expr="lang = 'en'")
+    return res.select(
+        "rank", "doc_id",
+        F.col("sort_value").cast("long").alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2637,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bbq_topk": q_ann_bbq_topk,
         "dedup_incremental": q_dedup_incremental,
         "ingest_pipeline": q_ingest_pipeline,
+        "sorted_index_topk": q_sorted_index_topk,
     }
 
 
@@ -5217,5 +5241,13 @@ SELECT doc_id, lower(lang) AS lang, source AS origin, 'web' AS corpus,
        CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
             AS BIGINT) AS n_vowels
 FROM documents
+"""
+
+    sqls["sorted_index_topk"] = """
+SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE lang = 'en'
+ORDER BY n_chars DESC, doc_id LIMIT 15
 """
     return sqls
