@@ -2522,6 +2522,62 @@ def q_sorted_index_topk(spark, sf_dir):
     )
 
 
+def _orders_items(spark, sf_dir):
+    """orders with a nested items array<struct> (the ES nested field)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    items = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("items")
+    )
+    return o.join(items, "o_orderkey").withColumnRenamed(
+        "o_orderkey", "doc_id"
+    )
+
+
+def q_nested_query_topk(spark, sf_dir):
+    """ES nested query + score_mode=sum: orders where ONE item has
+    qty>=45 AND flag='R' (per-element independence — no cross-matching),
+    scored by the sum of matching items' integer-quantized qty*price.
+    Pure Catalyst higher-order functions; no explode, no Python
+    (sparkfts/nested.py)."""
+    from sparkfts.nested import nested_match_count, nested_score
+
+    df = _orders_items(spark, sf_dir)
+    pred = "_n.qty >= 45 AND _n.flag = 'R'"
+    res = nested_score(
+        df, "items", pred,
+        "floor(_n.price * _n.qty * 100 + 0.5)", score_mode="sum",
+    )
+    return (
+        res.select(
+            F.col("doc_id").alias("o_orderkey"),
+            nested_match_count("items", pred).cast("int").alias(
+                "n_matched"
+            ),
+            F.col("score").cast("long").alias("score_e2"),
+        )
+        .orderBy(F.desc("score_e2"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nested_reverse_agg(spark, sf_dir):
+    """ES nested agg + reverse_nested: flag buckets counting PARENT
+    orders (distinct-parent partial agg after one explode)."""
+    from sparkfts.nested import nested_terms_agg
+
+    df = _orders_items(spark, sf_dir)
+    return nested_terms_agg(
+        df, "items", "flag", reverse_nested=True, size=10
+    ).select("value", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2661,6 +2717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "ingest_pipeline": q_ingest_pipeline,
         "sorted_index_topk": q_sorted_index_topk,
+        "nested_query_topk": q_nested_query_topk,
+        "nested_reverse_agg": q_nested_reverse_agg,
     }
 
 
@@ -5249,5 +5307,20 @@ SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT)
        doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents WHERE lang = 'en'
 ORDER BY n_chars DESC, doc_id LIMIT 15
+"""
+
+    # --- ES nested field type --------------------------------------------
+    sqls["nested_query_topk"] = """
+SELECT l_orderkey AS o_orderkey, CAST(count(*) AS INT) AS n_matched,
+       CAST(sum(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS score_e2
+FROM lineitem
+WHERE l_quantity >= 45 AND l_returnflag = 'R'
+GROUP BY 1 ORDER BY score_e2 DESC, o_orderkey LIMIT 10
+"""
+    sqls["nested_reverse_agg"] = """
+SELECT l_returnflag AS value,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS doc_count
+FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, value LIMIT 10
 """
     return sqls
