@@ -2578,6 +2578,38 @@ def q_nested_reverse_agg(spark, sf_dir):
     ).select("value", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Pretraining domain mixing: per-lang keep rates hitting a target
+    token mix (plan = ONE bounded groupBy + driver-free arithmetic),
+    applied via the engine-reproducible integer-LCG hash; output = per
+    group plan + achieved counts (sparkfts/ops/mixing.py)."""
+    from sparkfts.ops.mixing import apply_mixture, mixture_plan
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    weights = {"en": 0.4, "de": 0.3, "fr": 0.3}
+    plan = mixture_plan(
+        docs, weights, token_budget=30000, group_col="lang",
+        token_col="n_chars",
+    )
+    kept = apply_mixture(docs, plan, group_col="lang")
+    achieved = kept.groupBy(F.col("lang").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        plan.join(achieved, "group", "left")
+        .na.fill({"kept_docs": 0, "kept_chars": 0})
+        .select(
+            "group",
+            F.col("tokens_available").cast("long").alias("avail"),
+            F.col("keep_permille").cast("long").alias("keep_permille"),
+            F.col("kept_docs").cast("long").alias("kept_docs"),
+            F.col("kept_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("group")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2719,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_index_topk": q_sorted_index_topk,
         "nested_query_topk": q_nested_query_topk,
         "nested_reverse_agg": q_nested_reverse_agg,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -5322,5 +5355,35 @@ GROUP BY 1 ORDER BY score_e2 DESC, o_orderkey LIMIT 10
 SELECT l_returnflag AS value,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS doc_count
 FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, value LIMIT 10
+"""
+
+    sqls["mixture_sample"] = """
+WITH avail AS (
+  SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS avail
+  FROM documents GROUP BY 1),
+w AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3))
+      AS t(grp, weight)),
+plan AS (
+  SELECT a.grp, a.avail,
+         CAST(floor(30000 * coalesce(w.weight, 0.0)) AS BIGINT) AS target
+  FROM avail a LEFT JOIN w USING (grp)),
+rates AS (
+  SELECT grp, avail,
+         least(CAST(1000 AS BIGINT),
+               CAST(floor(target * 1000.0 / greatest(avail, 1))
+                    AS BIGINT)) AS keep_permille
+  FROM plan),
+kept AS (
+  SELECT d.lang AS grp, d.doc_id, d.n_chars
+  FROM documents d JOIN rates r ON d.lang = r.grp
+  WHERE ((d.doc_id % 2147483647 + 2147483647) % 2147483647
+         * 1103515245 + 12345) % 2147483647 % 1000 < r.keep_permille)
+SELECT r.grp AS "group", r.avail, r.keep_permille,
+       CAST(coalesce(k.n, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.s, 0) AS BIGINT) AS kept_chars
+FROM rates r LEFT JOIN (
+  SELECT grp, count(*) AS n, sum(n_chars) AS s FROM kept GROUP BY 1
+) k USING (grp)
+ORDER BY 1
 """
     return sqls
