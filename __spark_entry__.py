@@ -2610,6 +2610,32 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+INTERVALS_PHRASE_2 = "merge group"  # df=45 at sf0.01 (second branch)
+
+
+def q_fts_intervals(spark, sf_dir):
+    """ES intervals query: any_of of two ordered matches (max_gaps=0)
+    — the grammar layer lowers onto the pinned phrase kernel; any_of =
+    best-alternative (dis_max containment argument keeps per-branch
+    top-k sound; sparkfts/intervals.py)."""
+    from sparkfts.intervals import intervals_topk_batch
+    from sparkfts.phrase import build_positions
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    body = {"any_of": {"intervals": [
+        {"match": {"query": PHRASE_QUERY, "ordered": True,
+                   "max_gaps": 0}},
+        {"match": {"query": INTERVALS_PHRASE_2, "ordered": True,
+                   "max_gaps": 0}},
+    ]}}
+    res = intervals_topk_batch(spark, idx, [(0, body, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2752,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query_topk": q_nested_query_topk,
         "nested_reverse_agg": q_nested_reverse_agg,
         "mixture_sample": q_mixture_sample,
+        "fts_intervals": q_fts_intervals,
     }
 
 
@@ -5385,5 +5412,48 @@ FROM rates r LEFT JOIN (
   SELECT grp, count(*) AS n, sum(n_chars) AS s FROM kept GROUP BY 1
 ) k USING (grp)
 ORDER BY 1
+"""
+
+
+    def _phrase_scored_cte(terms, sfx):
+        vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+        inl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""
+pterms{sfx}(term, i) AS (VALUES {vals}),
+dfs{sfx} AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ({inl}) GROUP BY 1),
+idfsum{sfx} AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms{sfx} p JOIN dfs{sfx} d USING (term) CROSS JOIN stats s),
+hits{sfx} AS (
+  SELECT tk.doc_id, tk.pos - p.i AS st
+  FROM toks tk JOIN pterms{sfx} p ON tk.tok = p.term
+  WHERE tk.pos - p.i >= 0
+  GROUP BY 1, 2 HAVING count(*) = {len(terms)}),
+freq{sfx} AS (SELECT doc_id, count(*) AS tfp FROM hits{sfx} GROUP BY 1),
+scored{sfx} AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq{sfx} f JOIN dl USING (doc_id) CROSS JOIN idfsum{sfx} i
+  CROSS JOIN stats s)"""
+
+    sqls["fts_intervals"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),{_phrase_scored_cte(PHRASE_QUERY.split(), "_a")},
+{_phrase_scored_cte(INTERVALS_PHRASE_2.split(), "_b")},
+u AS (SELECT doc_id, score FROM scored_a
+      UNION ALL SELECT doc_id, score FROM scored_b),
+best AS (SELECT doc_id, max(score) AS score FROM u GROUP BY 1)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM best ORDER BY score DESC, doc_id LIMIT 10
 """
     return sqls
