@@ -2636,6 +2636,29 @@ def q_fts_intervals(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_sparse_vector_topk(spark, sf_dir):
+    """ES sparse_vector (ELSER-style learned-sparse) retrieval: exact
+    integer dot product between the query's term-weight map and stored
+    per-doc sparse vectors (deterministic tf top-16 stand-in); one
+    term-pruned join + partial-agg sum + TakeOrdered
+    (sparkfts/sparsevec.py)."""
+    from sparkfts.sparsevec import (
+        sparse_vector_topk,
+        tf_sparse_vectors,
+        write_sparse_index,
+    )
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "sparse")):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        write_sparse_index(tf_sparse_vectors(docs, top_m=16), idx,
+                           n_tbuckets=8)
+    return sparse_vector_topk(
+        spark, idx, {"spark": 2.0, "join": 1.0, "vector": 0.5}, k=10,
+        n_tbuckets=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2779,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_reverse_agg": q_nested_reverse_agg,
         "mixture_sample": q_mixture_sample,
         "fts_intervals": q_fts_intervals,
+        "sparse_vector_topk": q_sparse_vector_topk,
     }
 
 
@@ -5455,5 +5479,24 @@ u AS (SELECT doc_id, score FROM scored_a
 best AS (SELECT doc_id, max(score) AS score FROM u GROUP BY 1)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM best ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["sparse_vector_topk"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+topm AS (
+  SELECT doc_id, term, tf * 1000 AS w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, term) AS rn
+  FROM tf),
+q(term, qw) AS (VALUES ('spark', 2000), ('join', 1000), ('vector', 500)),
+dots AS (
+  SELECT m.doc_id, CAST(sum(m.w * q.qw) AS BIGINT) AS dot
+  FROM topm m JOIN q USING (term) WHERE m.rn <= 16 GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS INT) AS rank,
+       doc_id, dot
+FROM dots ORDER BY dot DESC, doc_id LIMIT 10
 """
     return sqls
