@@ -159,6 +159,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--no-blockmax", args.no_blockmax),
                 ("--routing", args.routing is not None),
                 ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
+                ("--scroll", bool(args.scroll)),
             )
             if on
         ]
@@ -227,6 +228,7 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--slop", args.slop and flag != "--span-near"),
                 ("--routing", args.routing is not None),
                 ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
+                ("--scroll", bool(args.scroll)),
             )
             if on
         ]
@@ -351,7 +353,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
     if n_expq and (
         args.search_after or args.min_should_match != 1
-        or args.must_not or args.slop
+        or args.must_not or args.slop or args.scroll
     ):
         raise SystemExit(
             "--prefix/--wildcard/--regexp support only "
@@ -377,6 +379,8 @@ def cmd_query(args: argparse.Namespace) -> None:
             unsupported.append("--transpositions")
         if args.synonyms:
             unsupported.append("--synonyms")
+        if args.scroll:
+            unsupported.append("--scroll")
         if unsupported:
             mode_flag = (
                 "--phrase" if args.phrase
@@ -518,7 +522,8 @@ def cmd_query(args: argparse.Namespace) -> None:
         from sparkfts.index import load_docmap
         from sparkfts.query import bm25_index_synonym_batch
 
-        if args.search_after or args.min_should_match != 1 or args.must_not:
+        if (args.search_after or args.min_should_match != 1
+                or args.must_not or args.scroll):
             raise SystemExit(
                 "--synonyms supports only --k/--offset/--filter/--mode"
             )
@@ -546,6 +551,41 @@ def cmd_query(args: argparse.Namespace) -> None:
             .orderBy("rank")
             .collect()
         )
+    elif args.scroll:
+        # ES _search?scroll: stream the FULL match set in O(size) pages
+        bad = [
+            flag
+            for flag, on in (
+                ("--offset", args.offset),
+                ("--search-after", args.search_after),
+                ("--min-should-match", args.min_should_match != 1),
+                ("--must-not", args.must_not),
+                ("--filter", args.filter),
+                ("--routing", args.routing is not None),
+            )
+            if on
+        ]
+        if bad:
+            raise SystemExit(
+                f"{' / '.join(bad)} not supported with --scroll "
+                "(a scroll IS the cursor)"
+            )
+        from sparkfts.searcher import Searcher
+
+        s = Searcher(spark, args.index)
+        n = 0
+        for page in s.scroll(args.query, size=args.scroll,
+                             mode=args.mode):
+            for rank, doc_id, score in page:
+                print(json.dumps(
+                    {"rank": rank, "doc_id": doc_id, "score": score}
+                ))
+                n += 1
+        print(
+            json.dumps({"hits": n, "sec": round(time.time() - t0, 3)}),
+            file=sys.stderr,
+        )
+        return
     else:
         search_after = None
         if args.search_after:
@@ -594,6 +634,93 @@ def cmd_positions(args: argparse.Namespace) -> None:
     pages = spark.read.parquet(args.input)
     build_positions(pages, args.index)
     print(json.dumps({"sec": round(time.time() - t0, 2), "index": args.index}))
+
+
+def cmd_sorted(args: argparse.Namespace) -> None:
+    """ES index.sort: build the sort sidecar and/or query it with
+    early termination (O(k) reads per scan split)."""
+    spark = _spark(args.cores, "sparkfts-sorted")
+    from sparkfts.sortedindex import sorted_topk, write_sorted_docvalues
+
+    t0 = time.time()
+    if args.build:
+        out = write_sorted_docvalues(
+            spark, args.index, args.field, ascending=args.asc
+        )
+        print(json.dumps(
+            {"sidecar": out, "sec": round(time.time() - t0, 2)}
+        ))
+        if not args.k:
+            return
+        t0 = time.time()
+    if args.k:
+        rows = sorted_topk(
+            spark, args.index, args.field, k=args.k,
+            ascending=args.asc, filter_expr=args.filter,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"rank": r["rank"], "doc_id": r["doc_id"],
+                 "sort_value": r["sort_value"]}
+            ))
+        print(
+            json.dumps(
+                {"hits": len(rows), "sec": round(time.time() - t0, 3)}
+            ),
+            file=sys.stderr,
+        )
+    elif not args.build:
+        raise SystemExit("nothing to do: pass --build and/or --k")
+
+
+def cmd_sparse(args: argparse.Namespace) -> None:
+    """ES sparse_vector query over a built sparse index."""
+    spark = _spark(args.cores, "sparkfts-sparse")
+    from sparkfts.sparsevec import (
+        sparse_vector_topk,
+        tf_sparse_vectors,
+        write_sparse_index,
+    )
+
+    t0 = time.time()
+    if args.build_from:
+        pages = spark.read.parquet(args.build_from)
+        if "doc_id" not in pages.columns:
+            # webtext corpus: sha1 doc ids from url (the build contract)
+            from sparkfts.tokens import prepare_pages
+
+            pages = prepare_pages(pages)
+        docs = pages.select("doc_id", "text")
+        out = write_sparse_index(
+            tf_sparse_vectors(docs, top_m=args.top_m), args.index,
+            n_tbuckets=args.tbuckets,
+        )
+        print(json.dumps(
+            {"sparse_index": out, "sec": round(time.time() - t0, 2)}
+        ))
+        if not args.weights:
+            return
+        t0 = time.time()
+    if not args.weights:
+        raise SystemExit("nothing to do: pass --build-from and/or "
+                         "--weights 'term:w,term:w'")
+    qw: dict[str, float] = {}
+    for part in args.weights.split(","):
+        term, _, w = part.partition(":")
+        if not term or not w:
+            raise SystemExit("--weights format: 'term:w,term2:w2'")
+        qw[term.strip()] = float(w)
+    rows = sparse_vector_topk(
+        spark, args.index, qw, k=args.k, n_tbuckets=args.tbuckets
+    ).collect()
+    for r in rows:
+        print(json.dumps(
+            {"rank": r["rank"], "doc_id": r["doc_id"], "dot": r["dot"]}
+        ))
+    print(
+        json.dumps({"hits": len(rows), "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
 
 
 def cmd_stats(args: argparse.Namespace) -> None:
@@ -1020,6 +1147,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="cap prefix expansions (sorted term order)")
     q.add_argument("--fuzzy", action="store_true",
                    help="fuzziness:AUTO term expansion (oracle.fuzzy semantics)")
+    q.add_argument("--scroll", type=int, default=0, metavar="SIZE",
+                   help="ES _search?scroll: stream the FULL match set "
+                        "in SIZE-row pages (O(SIZE) per page); plain "
+                        "query path only")
     q.add_argument("--fuzzy-prefix-length", type=int, default=0,
                    help="ES fuzzy prefix_length: candidates must share "
                         "the query term's first N chars exactly (also "
@@ -1106,6 +1237,37 @@ def main(argv: list[str] | None = None) -> None:
     fa.add_argument("--size", type=int, default=10)
     fa.add_argument("--cores", default="*")
     fa.set_defaults(fn=cmd_facet)
+
+    so = sub.add_parser("sorted", help="ES index.sort: sort sidecar "
+                                       "build + early-terminated top-k")
+    so.add_argument("--index", required=True)
+    so.add_argument("--field", required=True,
+                    help="docvalue column to sort by")
+    so.add_argument("--build", action="store_true",
+                    help="(re)build the sort sidecar first")
+    so.add_argument("--k", type=int, default=0,
+                    help="query the top-k (0 = build only)")
+    so.add_argument("--asc", action="store_true",
+                    help="ascending order (default: descending)")
+    so.add_argument("--filter", default=None,
+                    help="doc-value predicate pushed into the scan")
+    so.add_argument("--cores", default="*")
+    so.set_defaults(fn=cmd_sorted)
+
+    sv = sub.add_parser("sparse", help="ES sparse_vector: learned-"
+                                       "sparse dot-product retrieval")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--build-from", default=None,
+                    help="pages parquet to derive tf sparse vectors "
+                         "from (stand-in for a model export)")
+    sv.add_argument("--weights", default=None,
+                    help="query term weights: 'term:w,term2:w2'")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--top-m", type=int, default=32,
+                    help="terms kept per doc at build")
+    sv.add_argument("--tbuckets", type=int, default=16)
+    sv.add_argument("--cores", default="*")
+    sv.set_defaults(fn=cmd_sparse)
 
     st = sub.add_parser("stats", help="index introspection (_stats)")
     st.add_argument("--index", required=True)
