@@ -2659,6 +2659,27 @@ def q_sparse_vector_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_linear_topk(spark, sf_dir):
+    """ES linear retriever: BM25 + cosine legs, per-leg MIN-MAX
+    normalization over the retrieved depth-100 candidates, weighted
+    sum (lex 1.0, vec 2.0) — the fuse touches only leg outputs
+    (sparkfts/hybrid.py linear_fuse)."""
+    from sparkfts.hybrid import hybrid_linear_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    res = hybrid_linear_topk(
+        spark, idx, emb, [(0, BM25_QUERY_OR, list(qvec))], k=10,
+        depth=100, weights=(1.0, 2.0),
+    )
+    return res.select(
+        "rank", "doc_id",
+        F.floor(F.col("score") * 1_000_000_000 + 0.5).cast("long")
+        .alias("score_e9"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2803,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "fts_intervals": q_fts_intervals,
         "sparse_vector_topk": q_sparse_vector_topk,
+        "hybrid_linear_topk": q_hybrid_linear_topk,
     }
 
 
@@ -5498,5 +5520,60 @@ dots AS (
 SELECT CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS INT) AS rank,
        doc_id, dot
 FROM dots ORDER BY dot DESC, doc_id LIMIT 10
+"""
+
+    sqls["hybrid_linear_topk"] = f"""
+{_bm25_scored_cte(hybrid_terms, conjunctive=False)},
+br AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scored
+  ) WHERE r <= 100
+),
+bmm AS (SELECT min(score) AS mn, max(score) AS mx FROM br),
+bn AS (
+  SELECT doc_id,
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS n
+  FROM br, bmm),
+qq AS (
+  SELECT generate_subscripts(e, 1) AS pos,
+         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+),
+ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
+  FROM ee e JOIN qq q USING (pos) GROUP BY e.vec_id),
+nq AS (SELECT sum(v * v) AS nq FROM qq),
+coss AS (
+  SELECT vec_id,
+         CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+           AS cos_e6
+  FROM dots, nq WHERE na > 0
+),
+ar AS (
+  SELECT vec_id AS doc_id, CAST(cos_e6 AS DOUBLE) AS score FROM (
+    SELECT vec_id, cos_e6,
+           row_number() OVER (ORDER BY cos_e6 DESC, vec_id) AS r
+    FROM coss
+  ) WHERE r <= 100
+),
+amm AS (SELECT min(score) AS mn, max(score) AS mx FROM ar),
+an AS (
+  SELECT doc_id,
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS n
+  FROM ar, amm),
+fused AS (
+  SELECT COALESCE(bn.doc_id, an.doc_id) AS doc_id,
+         COALESCE(bn.n, 0) + 2.0 * COALESCE(an.n, 0) AS s
+  FROM bn FULL OUTER JOIN an ON bn.doc_id = an.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank,
+       doc_id,
+       CAST(floor(s * 1000000000 + 0.5) AS BIGINT) AS score_e9
+FROM fused ORDER BY s DESC, doc_id LIMIT 10
 """
     return sqls

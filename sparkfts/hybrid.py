@@ -129,3 +129,113 @@ def hybrid_rrf_topk(
     ]
     ann = reduce(lambda a, b: a.unionByName(b), ann_parts)
     return rrf_fuse([bm25, ann], k=k, rrf_k=rrf_k)
+
+
+def linear_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """ES ``linear`` retriever: weighted sum of per-system MIN-MAX
+    normalized scores -> (query_id, rank, doc_id, score).
+
+    Each input needs ``query_id``, ``doc_id``, ``score``. Normalization
+    is per (query, system) over that system's RETRIEVED candidates
+    (ES ``normalizer: minmax``): ``(s - min) / (max - min)``, pinned to
+    0.0 when ``max == min`` (degenerate one-value leg). Docs missing
+    from a system contribute 0 for it. Same scale shape as
+    :func:`rrf_fuse` — operates on per-query top-N leg outputs only;
+    the min/max frame is one row per (query, system) and broadcasts.
+    Deterministic: sorted fold by system index, ties (-score, doc_id).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("weights must align with rankings")
+    parts = []
+    for i, (df, w) in enumerate(zip(rankings, weights)):
+        scores = df.select(
+            F.col("query_id").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        mm = scores.groupBy("query_id").agg(
+            F.min("score").alias("__mn"), F.max("score").alias("__mx")
+        )
+        norm = F.when(
+            F.col("__mx") > F.col("__mn"),
+            (F.col("score") - F.col("__mn"))
+            / (F.col("__mx") - F.col("__mn")),
+        ).otherwise(F.lit(0.0))
+        parts.append(
+            scores.join(F.broadcast(mm), "query_id").select(
+                "query_id",
+                "doc_id",
+                F.lit(i).alias("system"),
+                (F.lit(float(w)) * norm).alias("contrib"),
+            )
+        )
+    from functools import reduce
+
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("system"), F.col("contrib"))
+                    )
+                ),
+                lambda x: x["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def hybrid_linear_topk(
+    spark,
+    index_dir: str,
+    emb: DataFrame,
+    queries: list[tuple[int, str, list[float]]],
+    k: int = 10,
+    depth: int = 100,
+    weights: tuple[float, float] = (1.0, 1.0),
+    mode: str = "or",
+) -> DataFrame:
+    """End-to-end ES ``linear`` retriever: BM25 leg + exact-cosine leg,
+    per-leg min-max normalization over the retrieved ``depth``
+    candidates, weighted sum (see :func:`linear_fuse`). Leg scores:
+    BM25 float64 (pinned kernel association) and the exact cos_e6
+    integer — both engine-reproducible."""
+    from functools import reduce
+
+    from sparkfts.ops.similarity import cosine_topk
+    from sparkfts.query import bm25_index_batch
+
+    bm25 = bm25_index_batch(
+        spark, index_dir,
+        [(qid, text, depth) for qid, text, _ in queries], mode=mode,
+    ).select("query_id", "doc_id", "score")
+    ann_parts = [
+        cosine_topk(emb, list(qvec), k=depth).select(
+            F.lit(int(qid)).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("cos_e6").cast("double").alias("score"),
+        )
+        for qid, _, qvec in queries
+    ]
+    ann = reduce(lambda a, b: a.unionByName(b), ann_parts)
+    return linear_fuse([bm25, ann], k=k, weights=list(weights))

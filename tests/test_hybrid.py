@@ -118,3 +118,59 @@ def test_hybrid_matches_bruteforce(spark, tmp_path):
     assert [r["doc_id"] for r in got_sorted] == [d for d, _ in exp]
     for r, (_, s) in zip(got_sorted, exp):
         assert r["rrf_score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_linear_fuse_minmax(spark):
+    from sparkfts.hybrid import linear_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 2.0), (0, 11, 6.0), (0, 12, 4.0)],
+        "query_id int, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 0.9), (0, 13, 0.5), (0, 10, 0.1)],
+        "query_id int, doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in linear_fuse([lex, vec], k=10,
+                             weights=[1.0, 2.0]).collect()
+    }
+    # lex minmax over {2,4,6}: 10->0, 11->1, 12->0.5
+    # vec minmax over {0.1,0.5,0.9}: 11->1, 13->0.5, 10->0
+    assert got[11] == pytest.approx(1.0 + 2.0 * 1.0)
+    assert got[12] == pytest.approx(0.5)
+    assert got[13] == pytest.approx(2.0 * 0.5)
+    assert got[10] == pytest.approx(0.0)
+
+
+def test_linear_fuse_degenerate_and_validation(spark):
+    from sparkfts.hybrid import linear_fuse
+
+    one = spark.createDataFrame(
+        [(0, 5, 3.0)], "query_id int, doc_id long, score double"
+    )
+    rows = linear_fuse([one], k=5).collect()
+    # max == min -> pinned 0.0, doc still retrieved
+    assert [(r["doc_id"], r["score"]) for r in rows] == [(5, 0.0)]
+    with pytest.raises(ValueError):
+        linear_fuse([], k=5)
+    with pytest.raises(ValueError):
+        linear_fuse([one], k=5, weights=[1.0, 2.0])
+
+
+def test_linear_fuse_per_query_normalization(spark):
+    """min/max are per (query, system), never global."""
+    from sparkfts.hybrid import linear_fuse
+
+    leg = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 20.0), (1, 1, 100.0), (1, 2, 400.0)],
+        "query_id int, doc_id long, score double",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in linear_fuse([leg], k=5).collect()
+    }
+    assert got[(0, 2)] == pytest.approx(1.0)
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(0, 1)] == got[(1, 1)] == 0.0
