@@ -2680,6 +2680,30 @@ def q_hybrid_linear_topk(spark, sf_dir):
     )
 
 
+DATEMATH_NOW = "2024-01-20 12:00:00"  # pinned 'now' (engine never
+                                       # reads the wall clock)
+
+
+def q_date_math_range(spark, sf_dir):
+    """ES range query with date-math bounds (now-7d/d .. now/d, upper
+    bound rounded UP): bounds resolve driver-side to literal
+    timestamps, so the parquet scan min/max-prunes
+    (sparkfts/datemath.py)."""
+    from datetime import datetime
+
+    from sparkfts.datemath import date_range_filter
+
+    ev = _events(spark, sf_dir)
+    now = datetime.fromisoformat(DATEMATH_NOW)
+    out = date_range_filter(ev, "ts", "now-7d/d", "now/d", now=now)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias(
+            "value_sum_e2"
+        ),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2825,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_intervals": q_fts_intervals,
         "sparse_vector_topk": q_sparse_vector_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
+        "date_math_range": q_date_math_range,
     }
 
 
@@ -5575,5 +5600,23 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank,
        doc_id,
        CAST(floor(s * 1000000000 + 0.5) AS BIGINT) AS score_e9
 FROM fused ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # date-math bounds resolve DRIVER-side (by design — replayable
+    # jobs); the oracle embeds the resolved literals and checks the
+    # half-open filter + agg
+    from datetime import datetime as _dt
+
+    from sparkfts.datemath import resolve_date_math as _rdm
+
+    _dm_now = _dt.fromisoformat(DATEMATH_NOW)
+    _dm_lo = _rdm("now-7d/d", _dm_now, False).isoformat(sep=" ")
+    _dm_hi = _rdm("now/d", _dm_now, True).isoformat(sep=" ")
+    sqls["date_math_range"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_sum_e2
+FROM events
+WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
+GROUP BY 1 ORDER BY 1
 """
     return sqls
