@@ -2704,6 +2704,24 @@ def q_date_math_range(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_quality_quantile_filter(spark, sf_dir):
+    """Adaptive per-language quality gate: keep docs at or above their
+    language's exact 30th-percentile n_chars (fixed global cutoffs
+    over-filter low-resource languages; per-group percentile is the
+    published recipe). One bounded percentile agg + broadcast join
+    (sparkfts/ops/textstats.py quality_quantile_filter)."""
+    from sparkfts.ops.textstats import quality_quantile_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = quality_quantile_filter(docs, "n_chars", "lang", q=0.3)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("q_threshold") * 10000 + 0.5).cast("long").alias(
+            "thr_e4"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2850,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_topk": q_sparse_vector_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "date_math_range": q_date_math_range,
+        "quality_quantile_filter": q_quality_quantile_filter,
     }
 
 
@@ -5618,5 +5637,16 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
 FROM events
 WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
 GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["quality_quantile_filter"] = """
+WITH thr AS (
+  SELECT lang, percentile_cont(0.3) WITHIN GROUP (ORDER BY n_chars)
+           AS q_threshold
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(floor(t.q_threshold * 10000 + 0.5) AS BIGINT) AS thr_e4
+FROM documents d JOIN thr t USING (lang)
+WHERE d.n_chars >= t.q_threshold
 """
     return sqls

@@ -150,3 +150,40 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.expr("bit_xor(rh)").alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    q: float = 0.2,
+    keep: str = "above",
+) -> DataFrame:
+    """Adaptive per-group quality gating: keep each group's docs whose
+    ``score_col`` is >= (``keep='above'``) or <= (``'below'``) the
+    group's exact ``q``-quantile — the per-language threshold move
+    (fixed global cutoffs over/under-filter low-resource languages;
+    published pipelines cut per-language percentiles instead).
+
+    Plan: ONE partially-aggregated exact ``percentile`` per group
+    (rows = group cardinality — tiny, broadcasts), one join, one
+    pushable comparison. Exact percentile = linear interpolation
+    (SQL ``percentile``/``percentile_cont``); the threshold column
+    ``q_threshold`` rides along for auditability.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    thr = docs.groupBy(F.col(group_col).alias("__g")).agg(
+        F.expr(f"percentile({score_col}, {q!r})").alias("q_threshold")
+    )
+    joined = docs.join(
+        F.broadcast(thr), docs[group_col] == thr["__g"]
+    ).drop("__g")
+    cond = (
+        F.col(score_col) >= F.col("q_threshold")
+        if keep == "above"
+        else F.col(score_col) <= F.col("q_threshold")
+    )
+    return joined.where(cond)

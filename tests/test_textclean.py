@@ -127,3 +127,44 @@ def test_repetition_stats_matches_bruteforce_on_corpus(spark):
                 assert r["dup_bigram_frac_e6"] == int(
                     math.floor((1 - len(set(bg)) / len(bg)) * 1e6 + 0.5)
                 )
+
+
+# ---- adaptive per-group quality-quantile gating ----
+
+
+def test_quality_quantile_filter(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparkfts.ops.textstats import quality_quantile_filter
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", float(i)))          # en scores 0..19
+    for i in range(5):
+        rows.append((100 + i, "de", float(100 + i * 10)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "score"])
+    )
+    out = quality_quantile_filter(df, "score", "lang", q=0.25).collect()
+    thr_en = np.percentile(np.arange(20.0), 25)      # linear interp
+    thr_de = np.percentile(
+        np.array([100.0, 110, 120, 130, 140]), 25
+    )
+    exp = {i for i in range(20) if i >= thr_en} | {
+        100 + i for i in range(5) if 100 + i * 10 >= thr_de
+    }
+    assert {r["doc_id"] for r in out} == exp
+    # threshold rides along per group
+    got_thr = {r["lang"]: r["q_threshold"] for r in out}
+    assert got_thr["en"] == pytest.approx(thr_en)
+    assert got_thr["de"] == pytest.approx(thr_de)
+    # keep='below' is the complement boundary-inclusive
+    low = quality_quantile_filter(
+        df, "score", "lang", q=0.25, keep="below"
+    ).collect()
+    assert all(r["score"] <= r["q_threshold"] for r in low)
+    with pytest.raises(ValueError):
+        quality_quantile_filter(df, "score", "lang", q=1.5)
+    with pytest.raises(ValueError):
+        quality_quantile_filter(df, "score", "lang", keep="between")
