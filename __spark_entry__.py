@@ -2722,6 +2722,39 @@ def q_quality_quantile_filter(spark, sf_dir):
     )
 
 
+def q_fts_distance_feature(spark, sf_dir):
+    """ES distance_feature (numeric form): final = _score + boost *
+    pivot/(pivot + |value - origin|) — recency/proximity boost that
+    ADDS to relevance (unlike decay, which multiplies); lowered onto
+    the pinned script kernel (sparkfts/docvalues.py)."""
+    from sparkfts.docvalues import distance_feature_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = distance_feature_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], "n_chars",
+        origin=500.0, pivot=200.0, boost=0.8, mode="or",
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_random_score(spark, sf_dir):
+    """ES function_score random_score with a seed: deterministic
+    pseudo-random order over the match set (integer-LCG on doc_id —
+    pure int64 JVM arithmetic; the standard unbiased-sampling /
+    A-B-bucketing query)."""
+    from sparkfts.docvalues import random_score_batch
+
+    res = random_score_batch(
+        spark, _index_dir_for(spark, sf_dir),
+        [(0, BM25_QUERY_OR, 10)], seed=7, mode="or",
+    )
+    return res.select(
+        "rank", "doc_id",
+        F.floor(F.col("score") * 1_000_000_000 + 0.5).cast("long")
+        .alias("score_e9"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2869,6 +2902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "date_math_range": q_date_math_range,
         "quality_quantile_filter": q_quality_quantile_filter,
+        "fts_distance_feature": q_fts_distance_feature,
+        "fts_random_score": q_fts_random_score,
     }
 
 
@@ -5648,5 +5683,33 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
        CAST(floor(t.q_threshold * 10000 + 0.5) AS BIGINT) AS thr_e4
 FROM documents d JOIN thr t USING (lang)
 WHERE d.n_chars >= t.q_threshold
+"""
+
+    df_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_OR.split())), False)
+    sqls["fts_distance_feature"] = f"""
+{df_cte}
+SELECT s.doc_id,
+       CAST(floor((s.score + 0.8 * (200.0 / (200.0
+                   + abs(d.n_chars - 500.0)))) * 10000 + 0.5) AS BIGINT)
+         AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score + 0.8 * (200.0 / (200.0 + abs(d.n_chars - 500.0)))
+         DESC, s.doc_id
+LIMIT 10
+"""
+    sqls["fts_random_score"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+h AS (
+  SELECT doc_id,
+         (((doc_id % 2147483647 + 2147483647) % 2147483647
+           * 1103515245 + 12345 + (7 * 12345)) % 2147483647
+          * 1103515245 + 12345) % 2147483647 AS hv
+  FROM matched)
+SELECT CAST(row_number() OVER (ORDER BY hv DESC, doc_id) AS INT) AS rank,
+       doc_id,
+       CAST(floor(hv / 2147483647.0 * 1000000000 + 0.5) AS BIGINT)
+         AS score_e9
+FROM h ORDER BY hv DESC, doc_id LIMIT 10
 """
     return sqls

@@ -643,3 +643,76 @@ def terms_top_hits(
             F.desc("doc_count"), F.asc("value"), F.asc("hit_rank")
         )
     )
+
+
+def distance_feature_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``distance_feature`` (numeric/date form): final score =
+    ``_score + boost * pivot / (pivot + |value - origin|)`` — recency
+    /proximity boosting that, unlike function_score decay, ADDS to the
+    relevance score (ES's distinction). Date fields: pass the origin
+    as epoch seconds and store the doc value likewise.
+
+    Lowered onto the script_score kernel — the formula is inside the
+    pinned arithmetic DSL, so no new kernel and no new oracle
+    semantics: ``_score + boost * (pivot / (pivot + abs(value - origin)))``.
+    """
+    if pivot <= 0:
+        raise ValueError("pivot must be positive (ES requires it)")
+    script = (
+        f"_score + {float(boost)!r} * ({float(pivot)!r} / "
+        f"({float(pivot)!r} + abs(value - {float(origin)!r})))"
+    )
+    return script_score_batch(
+        spark, index_dir, queries, field, script, mode=mode
+    )
+
+
+def random_score_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    seed: int,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``function_score`` + ``random_score`` with a seed and field
+    (deterministic shuffle of the MATCH SET — ES pins the sequence to
+    (seed, field value); the engine pins it to (seed, doc_id) via the
+    integer-LCG family): score = hash(seed, doc_id) scaled to [0, 1).
+
+    Use: unbiased corpus sampling per query, A/B bucket assignment.
+    Plan: the per-shard MATCH kernel (no scoring) + a pure int64 JVM
+    hash column — exact arithmetic end to end (never routed through
+    the float64 script env, which would mangle 63-bit doc ids) — and
+    a per-query top-k window over the hash order.
+    """
+    from sparkfts.aggs import match_docs_batch
+
+    P, A, B = 2_147_483_647, 1_103_515_245, 12_345
+    s = int(seed) % P
+    matched = match_docs_batch(
+        spark, index_dir, [(qid, text) for qid, text, _k in queries],
+        mode=mode,
+    )
+    h = F.pmod(F.col("doc_id").cast("long"), F.lit(P))
+    h = F.pmod(h * F.lit(A) + F.lit(B) + F.lit(s * 12_345), F.lit(P))
+    h = F.pmod(h * F.lit(A) + F.lit(B), F.lit(P))
+    scored = matched.withColumn("score", h / F.lit(float(P)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    km = _k_map([(qid, k) for qid, _t, k in queries])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(km, F.col("query_id")))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )

@@ -312,3 +312,53 @@ def test_terms_set_required_zero_never_matches(spark, dvidx, dvcorpus):
     q = " ".join(t for t, _ in c.most_common(2))
     got = terms_set_batch(spark, dvidx, [(0, q, 100)], "0").collect()
     assert got == []
+
+
+# ---- distance_feature + random_score ----
+
+
+def test_distance_feature_matches_script(spark, dvidx, dvcorpus):
+    from sparkfts.docvalues import (
+        distance_feature_batch,
+        script_score_batch,
+    )
+
+    q = " ".join(tokenize(dvcorpus.column("text").to_pylist()[0])[:2])
+    a = distance_feature_batch(
+        spark, dvidx, [(0, q, 10)], "nch",
+        origin=500.0, pivot=200.0, boost=0.8, mode="or",
+    ).collect()
+    b = script_score_batch(
+        spark, dvidx, [(0, q, 10)], "nch",
+        "_score + 0.8 * (200.0 / (200.0 + abs(value - 500.0)))",
+        mode="or",
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a, "fixture must match"
+    with pytest.raises(ValueError):
+        distance_feature_batch(
+            spark, dvidx, [(0, q, 10)], "nch",
+            origin=0.0, pivot=0.0,
+        )
+
+
+def test_random_score_deterministic(spark, dvidx, dvcorpus):
+    from sparkfts.docvalues import random_score_batch
+
+    q = " ".join(tokenize(dvcorpus.column("text").to_pylist()[0])[:2])
+    a = random_score_batch(spark, dvidx, [(0, q, 10)], seed=7,
+                           mode="or").collect()
+    b = random_score_batch(spark, dvidx, [(0, q, 10)], seed=7,
+                           mode="or").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = random_score_batch(spark, dvidx, [(0, q, 10)], seed=8,
+                           mode="or").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+    # python mirror of the pinned LCG
+    P, A, B = 2_147_483_647, 1_103_515_245, 12_345
+    s = 7 % P
+    for r in a:
+        h = ((r["doc_id"] % P) * A + B + s * 12_345) % P
+        h = (h * A + B) % P
+        assert r["score"] == pytest.approx(h / P, abs=0)
+    assert all(0.0 <= r["score"] < 1.0 for r in a)
