@@ -2755,6 +2755,25 @@ def q_fts_random_score(spark, sf_dir):
     )
 
 
+def q_fts_pinned(spark, sf_dir):
+    """ES pinned query (promoted results): doc ids 7 and 3 rank first
+    in given order (synthetic descending scores above every organic
+    score), organic BM25 minus the pins fills the page
+    (sparkfts/query.py pinned_topk_batch)."""
+    from sparkfts.query import pinned_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = pinned_topk_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], {0: [7, 3]}, mode="or"
+    )
+    return res.select(
+        "rank", "doc_id",
+        F.floor(F.col("score") * 10000 + 0.5).cast("long").alias(
+            "score_e4"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2904,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_filter": q_quality_quantile_filter,
         "fts_distance_feature": q_fts_distance_feature,
         "fts_random_score": q_fts_random_score,
+        "fts_pinned": q_fts_pinned,
     }
 
 
@@ -5711,5 +5731,21 @@ SELECT CAST(row_number() OVER (ORDER BY hv DESC, doc_id) AS INT) AS rank,
        CAST(floor(hv / 2147483647.0 * 1000000000 + 0.5) AS BIGINT)
          AS score_e9
 FROM h ORDER BY hv DESC, doc_id LIMIT 10
+"""
+
+    pin_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_OR.split())), False)
+    sqls["fts_pinned"] = f"""
+{pin_cte},
+pins(doc_id, score) AS (VALUES (CAST(7 AS BIGINT), 1000000000000.0),
+                               (CAST(3 AS BIGINT), 999999999999.0)),
+organic AS (
+  SELECT doc_id, score FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)),
+u AS (SELECT * FROM pins UNION ALL SELECT * FROM organic)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank,
+       doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM u ORDER BY score DESC, doc_id LIMIT 10
 """
     return sqls

@@ -1117,3 +1117,67 @@ def _grouped_expansion_topk(
         .coalesce(1)
         .sortWithinPartitions("query_id", "rank")
     )
+
+
+def pinned_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    pinned_ids: dict[int, list[int]],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``pinned`` query: per query, the listed doc ids rank FIRST in
+    their given order (whether or not they match the organic query),
+    then the organic BM25 ranking minus any pinned docs fills the rest
+    of the page. Scores follow ES: pinned hits get a descending
+    synthetic score above every organic score (pinned here to
+    ``1e12 - position`` — far above any BM25 score yet fine-grained
+    enough that float64 keeps consecutive positions distinct, which a
+    1.7e308-style ceiling would not), organic hits keep their BM25
+    score.
+
+    Plan: the organic leg is the standard per-shard top-k batch
+    (fetched at ``k`` — the union with pins then trims, so the page is
+    always full when enough organic matches exist); pins are a literal
+    broadcast frame of ``sum(len(pinned))`` rows. One bounded union +
+    per-query window; nothing new scans.
+    """
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    for qid, ids in pinned_ids.items():
+        if len(ids) != len(set(ids)):
+            raise ValueError(f"duplicate pinned ids for query {qid}")
+    organic = bm25_index_batch(
+        spark, index_dir, queries, mode=mode
+    ).select("query_id", "doc_id", "score")
+    pin_rows = [
+        (int(qid), int(doc), float(1.0e12 - pos))
+        for qid, ids in sorted(pinned_ids.items())
+        for pos, doc in enumerate(ids)
+    ]
+    if pin_rows:
+        pins = spark.createDataFrame(
+            pin_rows, "query_id int, doc_id long, score double"
+        )
+        # organic minus pinned (a pinned doc never appears twice)
+        organic = organic.join(
+            pins.select("query_id", "doc_id"), ["query_id", "doc_id"],
+            "left_anti",
+        )
+        allrows = organic.unionByName(pins)
+    else:
+        allrows = organic
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    from sparkfts.index import lit_map
+
+    km = lit_map([(qid, k) for qid, _t, k in queries])
+    return (
+        allrows.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.element_at(km, F.col("query_id")))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )

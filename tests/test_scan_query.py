@@ -207,3 +207,44 @@ def test_explain_score_sums_to_result(spark, tmp_path, corpus):
         if not set(tokenize(q)) <= set(tokenize(t))
     )
     assert explain_score(spark, idx, q, missing, mode="and").collect() == []
+
+
+# ---- ES pinned query ----
+
+
+def test_pinned_query(spark, pages_df, queries, tmp_path_factory):
+    from sparkfts.index import build_index
+    from sparkfts.query import bm25_index_batch, pinned_topk_batch
+
+    index_dir = str(tmp_path_factory.mktemp("pinned_idx"))
+    build_index(pages_df, index_dir, n_shards=2, n_tbuckets=4)
+    q = queries[0]["query"]
+    organic = bm25_index_batch(
+        spark, index_dir, [(0, q, 10)], mode="or"
+    ).collect()
+    organic_ids = [r["doc_id"] for r in organic]
+    assert len(organic_ids) >= 4
+    # pin: one non-matching id (fabricated) + one deep organic doc
+    pin = [999_999_999_999, organic_ids[3]]
+    got = pinned_topk_batch(
+        spark, index_dir, [(0, q, 10)], {0: pin}, mode="or"
+    ).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[:2] == pin  # pinned order, incl. the non-matching doc
+    # organic tail = original ranking minus pinned docs
+    rest = [d for d in organic_ids if d not in pin]
+    assert ids[2:] == rest[: len(ids) - 2]
+    # pinned scores strictly above any organic score and descending
+    assert got[0]["score"] > got[1]["score"] > got[2]["score"]
+    ranks = [r["rank"] for r in got]
+    assert ranks == list(range(1, len(got) + 1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pinned_topk_batch(spark, index_dir, [(0, q, 10)],
+                          {0: [1, 1]})
+    # no pins for a query -> plain organic ranking
+    plain = pinned_topk_batch(
+        spark, index_dir, [(0, q, 10)], {}, mode="or"
+    ).collect()
+    assert [r["doc_id"] for r in plain] == organic_ids
