@@ -2774,6 +2774,56 @@ def q_fts_pinned(spark, sf_dir):
     )
 
 
+def q_boxplot_agg(spark, sf_dir):
+    """ES boxplot aggregation (exact pin): quartiles via exact
+    linear-interpolated percentiles + ES whiskers (nearest actual
+    values inside 1.5*IQR fences) over the OR match set."""
+    from sparkfts.aggs import boxplot_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = boxplot_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", mode="or",
+    )
+    e4 = lambda c: F.floor(F.col(c) * 10000 + 0.5).cast("long").alias(
+        c + "_e4"
+    )
+    return res.select(
+        F.col("min_v").cast("long").alias("min_v"),
+        e4("q1"), e4("q2"), e4("q3"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("lower").cast("long").alias("lower"),
+        F.col("upper").cast("long").alias("upper"),
+    )
+
+
+def q_t_test_agg(spark, sf_dir):
+    """ES t_test aggregation (Welch's, ES default): even vs odd doc_id
+    halves of the match set on n_chars — six conditional EXACT-int64
+    sums in one pass, t derived from identical integers cross-engine."""
+    from sparkfts.aggs import t_test_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = t_test_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", "doc_id % 2 = 0", mode="or",
+    )
+    return res.select(
+        "n_a", "n_b",
+        F.floor(F.col("mean_a") * 10000 + 0.5).cast("long").alias(
+            "mean_a_e4"
+        ),
+        F.floor(F.col("mean_b") * 10000 + 0.5).cast("long").alias(
+            "mean_b_e4"
+        ),
+        F.floor(F.col("t_value") * 1000000 + 0.5).cast("long").alias(
+            "t_e6"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2924,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_distance_feature": q_fts_distance_feature,
         "fts_random_score": q_fts_random_score,
         "fts_pinned": q_fts_pinned,
+        "boxplot_agg": q_boxplot_agg,
+        "t_test_agg": q_t_test_agg,
     }
 
 
@@ -5747,5 +5799,55 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
        doc_id,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_e4
 FROM u ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["boxplot_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+      FROM matched m JOIN documents d USING (doc_id)),
+qs AS (
+  SELECT min(v) AS min_v, max(v) AS max_v,
+         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3
+  FROM v)
+SELECT CAST(min_v AS BIGINT) AS min_v,
+       CAST(floor(q1 * 10000 + 0.5) AS BIGINT) AS q1_e4,
+       CAST(floor(q2 * 10000 + 0.5) AS BIGINT) AS q2_e4,
+       CAST(floor(q3 * 10000 + 0.5) AS BIGINT) AS q3_e4,
+       CAST(max_v AS BIGINT) AS max_v,
+       CAST((SELECT min(v) FROM v, qs
+             WHERE v >= q1 - 1.5 * (q3 - q1)) AS BIGINT) AS lower,
+       CAST((SELECT max(v) FROM v, qs
+             WHERE v <= q3 + 1.5 * (q3 - q1)) AS BIGINT) AS upper
+FROM qs
+"""
+    sqls["t_test_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS v
+      FROM matched m JOIN documents d USING (doc_id)),
+s AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN v ELSE 0 END) AS BIGINT)
+           AS sa,
+         CAST(sum(CASE WHEN doc_id % 2 != 0 THEN v ELSE 0 END) AS BIGINT)
+           AS sb,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN v * v ELSE 0 END)
+              AS BIGINT) AS qa,
+         CAST(sum(CASE WHEN doc_id % 2 != 0 THEN v * v ELSE 0 END)
+              AS BIGINT) AS qb
+  FROM v)
+SELECT na AS n_a, nb AS n_b,
+       CAST(floor(sa / na * 10000 + 0.5) AS BIGINT) AS mean_a_e4,
+       CAST(floor(sb / nb * 10000 + 0.5) AS BIGINT) AS mean_b_e4,
+       CAST(floor((sa / na - sb / nb)
+                  / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+                         + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+                  * 1000000 + 0.5) AS BIGINT) AS t_e6
+FROM s
 """
     return sqls

@@ -1261,3 +1261,100 @@ def global_agg(
         F.max(field).alias("max_v"),
         F.sum(field).cast("long").alias("sum_v"),
     )
+
+
+def boxplot_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``boxplot`` aggregation, exact pin -> one row
+    ``(min, q1, q2, q3, max, lower, upper)``. Quartiles are exact
+    linear-interpolated percentiles (the :func:`percentiles_agg` pin;
+    ES approximates with t-digest); whiskers follow ES: the nearest
+    actual values inside ``[q1 - 1.5*IQR, q3 + 1.5*IQR]``."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(
+        doc_values.select("doc_id", field), "doc_id"
+    ).select(F.col(field).cast("double").alias("v"))
+    qs = joined.agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.percentile(F.col("v"), F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75)
+        )).alias("q"),
+    )
+    qs = qs.select(
+        "min_v", "max_v",
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"),
+        F.col("q")[2].alias("q3"),
+    )
+    row = qs.collect()[0]  # one scalar row
+    lo_fence = row["q1"] - 1.5 * (row["q3"] - row["q1"])
+    hi_fence = row["q3"] + 1.5 * (row["q3"] - row["q1"])
+    w = joined.agg(
+        F.min(F.when(F.col("v") >= lo_fence, F.col("v"))).alias("lower"),
+        F.max(F.when(F.col("v") <= hi_fence, F.col("v"))).alias("upper"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(row["min_v"], row["q1"], row["q2"], row["q3"], row["max_v"],
+          w["lower"], w["upper"])],
+        "min_v double, q1 double, q2 double, q3 double, max_v double, "
+        "lower double, upper double",
+    )
+
+
+def t_test_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    split_expr: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch's, ES's
+    default): the t statistic between the matched docs satisfying
+    ``split_expr`` (group A) and the rest (group B) on ``field``.
+
+    One pass of SIX conditional sums (n, sum, sum-of-squares per
+    group) with map-side partial aggregation; for integer fields all
+    six are exact int64, so the t value derives from identical
+    integers cross-engine. Returns
+    ``(n_a, n_b, mean_a, mean_b, t_value)``; fails loud when a group
+    has < 2 values (variance undefined — ES returns null, the engine
+    refuses to guess)."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values, "doc_id").select(
+        F.col(field).cast("long").alias("v"),
+        F.expr(split_expr).cast("boolean").alias("a"),
+    )
+    r = joined.agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("a"), F.col("v")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~F.col("a"), F.col("v")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("a"), F.col("v") * F.col("v")).otherwise(0))
+        .alias("qa"),
+        F.sum(F.when(~F.col("a"), F.col("v") * F.col("v")).otherwise(0))
+        .alias("qb"),
+    ).collect()[0]
+    na, nb = int(r["na"] or 0), int(r["nb"] or 0)
+    if na < 2 or nb < 2:
+        raise ValueError(
+            f"t_test needs >= 2 values per group (got {na}, {nb})"
+        )
+    import math as _math
+
+    ma, mb = r["sa"] / na, r["sb"] / nb
+    va = (r["qa"] - r["sa"] * r["sa"] / na) / (na - 1)
+    vb = (r["qb"] - r["sb"] * r["sb"] / nb) / (nb - 1)
+    t = (ma - mb) / _math.sqrt(va / na + vb / nb)
+    return spark.createDataFrame(
+        [(na, nb, float(ma), float(mb), float(t))],
+        "n_a long, n_b long, mean_a double, mean_b double, "
+        "t_value double",
+    )

@@ -363,3 +363,51 @@ def test_global_agg_respects_tombstones(spark, pages_df, doc_values,
     rest = [r["n_chars"] for r in vals if r["doc_id"] != victim]
     assert got["n"] == len(rest)
     assert got["sum_v"] == sum(rest)
+
+
+def test_boxplot_agg(spark, agg_index, doc_values, py_oracle, queries):
+    import numpy as np
+
+    from sparkfts.aggs import boxplot_agg
+
+    q = queries[0]["query"]
+    got = boxplot_agg(
+        spark, agg_index, q, doc_values, "n_chars", mode="or"
+    ).collect()[0]
+    xs = np.array(sorted(
+        r["n_chars"] for r in _matched_values(py_oracle, doc_values, q)
+    ), dtype=float)
+    q1, q2, q3 = np.percentile(xs, [25, 50, 75])
+    assert got["min_v"] == xs.min() and got["max_v"] == xs.max()
+    assert got["q1"] == pytest.approx(q1)
+    assert got["q2"] == pytest.approx(q2)
+    assert got["q3"] == pytest.approx(q3)
+    iqr = q3 - q1
+    assert got["lower"] == xs[xs >= q1 - 1.5 * iqr].min()
+    assert got["upper"] == xs[xs <= q3 + 1.5 * iqr].max()
+    assert got["lower"] >= got["min_v"] and got["upper"] <= got["max_v"]
+
+
+def test_t_test_agg(spark, agg_index, doc_values, py_oracle, queries):
+    import math
+
+    from sparkfts.aggs import t_test_agg
+
+    q = queries[0]["query"]
+    got = t_test_agg(
+        spark, agg_index, q, doc_values, "n_chars",
+        "doc_id % 2 = 0", mode="or",
+    ).collect()[0]
+    a = [r["n_chars"] for r in _matched_values(py_oracle, doc_values, q)
+         if r["doc_id"] % 2 == 0]
+    b = [r["n_chars"] for r in _matched_values(py_oracle, doc_values, q)
+         if r["doc_id"] % 2 != 0]
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert got["t_value"] == pytest.approx(t, rel=1e-12)
+    with pytest.raises(ValueError):
+        t_test_agg(spark, agg_index, q, doc_values, "n_chars",
+                   "doc_id < 0", mode="or")
