@@ -723,6 +723,57 @@ def cmd_sparse(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_field_caps(args: argparse.Namespace) -> None:
+    """ES _field_caps: per-field capabilities across indexes."""
+    spark = _spark(args.cores, "sparkfts-field-caps")
+    from sparkfts.lifecycle import field_caps
+
+    print(json.dumps(field_caps(spark, args.index.split(","))))
+
+
+def cmd_msearch(args: argparse.Namespace) -> None:
+    """ES _msearch: a JSONL file of queries -> ONE batched Spark plan
+    (the serving shape: per-shard kernels score every query in one
+    postings pass; one action for the whole file)."""
+    spark = _spark(args.cores, "sparkfts-msearch")
+    from sparkfts.query import bm25_index_batch
+
+    reqs = []
+    with open(args.file) as f:
+        for i, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                body = json.loads(line)
+                q = body["query"]
+            except (json.JSONDecodeError, KeyError, TypeError) as e:
+                raise SystemExit(
+                    f"{args.file}:{i + 1}: each line needs "
+                    f'{{"query": ..., "k"?: ...}} ({e})'
+                )
+            reqs.append((i, str(q), int(body.get("k", args.k))))
+    if not reqs:
+        raise SystemExit(f"{args.file}: no queries")
+    t0 = time.time()
+    rows = bm25_index_batch(
+        spark, args.index, reqs, mode=args.mode, resolve_urls=True
+    ).collect()
+    for r in rows:
+        print(json.dumps(
+            {"query_id": r["query_id"], "rank": r["rank"],
+             "doc_id": r["doc_id"], "url": r["url"],
+             "score": r["score"]}
+        ))
+    print(
+        json.dumps(
+            {"queries": len(reqs), "hits": len(rows),
+             "sec": round(time.time() - t0, 3)}
+        ),
+        file=sys.stderr,
+    )
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-stats")
     from sparkfts.index import index_stats
@@ -1268,6 +1319,24 @@ def main(argv: list[str] | None = None) -> None:
     sv.add_argument("--tbuckets", type=int, default=16)
     sv.add_argument("--cores", default="*")
     sv.set_defaults(fn=cmd_sparse)
+
+    fc = sub.add_parser("field-caps", help="ES _field_caps: per-field "
+                                           "capabilities across indexes")
+    fc.add_argument("--index", required=True,
+                    help="comma-separated index dirs")
+    fc.add_argument("--cores", default="*")
+    fc.set_defaults(fn=cmd_field_caps)
+
+    ms = sub.add_parser("msearch", help="ES _msearch: JSONL query file "
+                                        "-> one batched plan")
+    ms.add_argument("--index", required=True)
+    ms.add_argument("--file", required=True,
+                    help='JSONL: {"query": ..., "k"?: ...} per line')
+    ms.add_argument("--k", type=int, default=10,
+                    help="default k for lines without one")
+    ms.add_argument("--mode", choices=["and", "or"], default="and")
+    ms.add_argument("--cores", default="*")
+    ms.set_defaults(fn=cmd_msearch)
 
     st = sub.add_parser("stats", help="index introspection (_stats)")
     st.add_argument("--index", required=True)

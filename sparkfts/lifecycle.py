@@ -393,3 +393,64 @@ def restore_snapshot(
         "target": target_dir,
         "n_files": manifest["n_files"],
     }
+
+
+def field_caps(spark, index_dirs: list[str] | str) -> dict:
+    """ES ``_field_caps``: per-field capabilities across one or more
+    indexes — Spark type, searchable (the indexed text field),
+    aggregatable (doc-value columns + doc_id), and which indexes carry
+    the field. Metadata-only: reads each index's meta.json and the
+    docmap SCHEMA (no data scan — parquet footers only).
+
+    Shape: ``{field: {"type": ..., "searchable": bool,
+    "aggregatable": bool, "indices": [...]}}``. Cross-index type
+    conflicts are reported ES-style: ``type`` becomes ``"conflict"``
+    and ``types`` maps each index to its type.
+    """
+    from sparkfts.index import load_docmap, read_meta
+
+    if isinstance(index_dirs, str):
+        index_dirs = [index_dirs]
+    if not index_dirs:
+        raise ValueError("need at least one index")
+    out: dict = {}
+    for idx in index_dirs:
+        meta = read_meta(idx)
+        dv = set(meta.get("docvalue_cols") or [])
+        schema = load_docmap(spark, idx).schema
+        for f in schema.fields:
+            name, typ = f.name, f.dataType.simpleString()
+            if name == "shard":
+                continue
+            rec = out.setdefault(
+                name,
+                {
+                    "type": typ,
+                    "searchable": False,
+                    "aggregatable": name == "doc_id" or name in dv,
+                    "indices": [],
+                    "types": {},
+                },
+            )
+            rec["indices"].append(idx)
+            rec["types"][idx] = typ
+            if typ != rec["type"]:
+                rec["type"] = "conflict"
+            rec["aggregatable"] = rec["aggregatable"] or name in dv
+        # the analyzed full-text field itself (not a docmap column)
+        rec = out.setdefault(
+            "text",
+            {
+                "type": "text",
+                "searchable": True,
+                "aggregatable": False,
+                "indices": [],
+                "types": {},
+            },
+        )
+        rec["indices"].append(idx)
+        rec["types"][idx] = "text"
+    for rec in out.values():
+        if len(set(rec["types"].values())) == 1:
+            rec.pop("types")
+    return out

@@ -127,3 +127,44 @@ def test_cli_fuzzy_prefix_length(cli_env, corpus, capsys):
     with pytest.raises(SystemExit):
         main(["query", "--index", idx, "--query", typo,
               "--fuzzy-prefix-length", "1", "--cores", "4"])
+
+
+def test_cli_msearch_and_field_caps(cli_env, corpus, capsys, tmp_path):
+    import os
+
+    from sparkfts.cli import main
+
+    _pages, idx = cli_env
+    q = _common_query(corpus, 1)
+    f = os.path.join(str(tmp_path), "q.jsonl")
+    with open(f, "w") as fh:
+        fh.write(json.dumps({"query": q}) + "\n")
+        fh.write(json.dumps({"query": q + " zzz", "k": 3}) + "\n")
+        fh.write("\n")  # blank lines skipped
+    main(["msearch", "--index", idx, "--file", f, "--mode", "or",
+          "--cores", "4"])
+    rows = _out_lines(capsys)
+    assert {r["query_id"] for r in rows} == {0, 1}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert [r["rank"] for r in by_q[0]] == list(
+        range(1, len(by_q[0]) + 1)
+    )
+    assert len(by_q[1]) <= 3
+    # malformed / empty files fail loud
+    bad = os.path.join(str(tmp_path), "bad.jsonl")
+    with open(bad, "w") as fh:
+        fh.write('{"no_query": 1}\n')
+    with pytest.raises(SystemExit):
+        main(["msearch", "--index", idx, "--file", bad, "--cores", "4"])
+    empty = os.path.join(str(tmp_path), "empty.jsonl")
+    open(empty, "w").close()
+    with pytest.raises(SystemExit):
+        main(["msearch", "--index", idx, "--file", empty,
+              "--cores", "4"])
+
+    main(["field-caps", "--index", idx, "--cores", "4"])
+    caps = _out_lines(capsys)[0]
+    assert caps["text"]["searchable"]
+    assert caps["n_chars"]["aggregatable"]

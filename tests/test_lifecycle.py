@@ -301,3 +301,34 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
         f.write(data[: max(0, len(data) - 7)] + b"corrupt")
     with _pytest.raises(ValueError, match="corrupt"):
         restore_snapshot(repo, "s2", str(tmp_path / "x"))
+
+
+def test_field_caps(spark, pages_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from sparkfts.index import build_index
+    from sparkfts.lifecycle import field_caps
+
+    base = tmp_path_factory.mktemp("fcaps")
+    a, b = str(base / "a"), str(base / "b")
+    build_index(
+        pages_df.withColumn("n_chars", F.length("text")), a,
+        n_shards=2, n_tbuckets=4, docvalue_cols=["lang", "n_chars"],
+    )
+    # index b: same field name, DIFFERENT type -> conflict
+    build_index(
+        pages_df.withColumn("n_chars", F.length("text").cast("string")),
+        b, n_shards=2, n_tbuckets=4, docvalue_cols=["n_chars"],
+    )
+    caps = field_caps(spark, [a, b])
+    assert caps["text"]["searchable"] and not caps["text"]["aggregatable"]
+    assert caps["doc_id"]["aggregatable"]
+    assert caps["lang"]["aggregatable"]
+    assert caps["lang"]["indices"] == [a]
+    assert caps["n_chars"]["type"] == "conflict"
+    assert set(caps["n_chars"]["types"].values()) == {"int", "string"}
+    assert "types" not in caps["doc_id"]  # uniform types collapse
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        field_caps(spark, [])
