@@ -46,6 +46,8 @@ CROSS_WHITELIST = {
     "term_suggest",
     # 1-row totals scalar crossJoin(broadcast(...)) — bounded by design
     "unigram_logppl",
+    # cosine leg: query-vector literal vs corpus (the ann_cosine shape)
+    "hybrid_linear_topk",
 }
 
 
