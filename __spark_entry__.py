@@ -2824,6 +2824,17 @@ def q_t_test_agg(spark, sf_dir):
     )
 
 
+def q_knn_join_lsh(spark, sf_dir):
+    """kNN JOIN (SemDeDup / embedding-decontamination shape): each
+    vector's top-2 nearest among LSH-bucket candidates (3 planes,
+    self-pairs excluded) — per-bucket joins only, per-left-key window
+    (sparkfts/ops/knnjoin.py)."""
+    from sparkfts.ops.knnjoin import knn_join
+
+    emb = _emb(spark, sf_dir)
+    return knn_join(emb, emb, k=2, method="lsh", n_planes=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2976,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_pinned": q_fts_pinned,
         "boxplot_agg": q_boxplot_agg,
         "t_test_agg": q_t_test_agg,
+        "knn_join_lsh": q_knn_join_lsh,
     }
 
 
@@ -5849,5 +5861,47 @@ SELECT na AS n_a, nb AS n_b,
                          + ((qb - sb * sb / nb) / (nb - 1)) / nb)
                   * 1000000 + 0.5) AS BIGINT) AS t_e6
 FROM s
+"""
+
+    sqls["knn_join_lsh"] = f"""
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p,
+         sum(x * ((1103515245 * ((p * 1024 + d + 1) % {HASH_P}) + 12345)
+                  % {HASH_P} - {(HASH_P - 1) // 2})) AS dot
+  FROM ee CROSS JOIN (SELECT unnest(range(0, 3)) AS p)
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY 1),
+q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+      FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na,
+         sum(b.v * b.v) AS nb
+  FROM q a JOIN q b USING (pos)
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  WHERE a.vec_id != b.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5)
+              AS BIGINT) AS cos_e6
+  FROM pairs WHERE na > 0 AND nb > 0),
+ranked AS (
+  SELECT a_id, b_id, cos_e6,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos_e6 DESC, b_id) AS rank
+  FROM scored)
+SELECT a_id, CAST(rank AS INT) AS rank, b_id, cos_e6
+FROM ranked WHERE rank <= 2 ORDER BY a_id, rank
 """
     return sqls

@@ -1,0 +1,113 @@
+"""kNN JOIN: for every vector of table A, its k nearest in table B.
+
+Single-query ANN (ops/similarity) answers "neighbors of THIS vector";
+dataset curation needs the batch form — semantic dedup (SemDeDup-style:
+each doc's nearest kept-set neighbor), embedding-level test-set
+decontamination (each eval item's nearest training doc), label
+propagation — i.e. a JOIN where every left row retrieves from the
+right table.
+
+Two paths, one contract (``(a_id, rank, b_id, cos_e6)``, cosine via
+the quantized-e3 integer arithmetic shared with ``cosine_topk``, ties
+``b_id`` asc):
+
+- ``method='exact'``: the all-pairs join — |A| x |B| comparisons.
+  Correct at any recall, quadratic cost; the oracle/baseline path.
+- ``method='lsh'``: both sides bucket with the SAME integer-LCG
+  random-hyperplane family (ops/similarity.lsh_bucket — reproducible
+  in any engine), the join runs per bucket, and each left row keeps
+  its top-k within colliding candidates. Recall < 1 by construction
+  (LSH candidate semantics, like dedup's band join) but the cost is
+  sum over buckets of |A_b| x |B_b| — the 10^9 x 10^9 shape. Raise
+  recall by lowering ``n_planes`` (bigger buckets) exactly like the
+  dedup family.
+
+The per-left-key top-k is a window PARTITIONED by ``a_id`` (per-key
+state only); no global funnel anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkfts.ops.similarity import lsh_bucket, quantize_vec
+
+
+def _paired_cos_e6(av: str, bv: str) -> F.Column:
+    """Exact quantized-e3 cosine between two vector columns -> cos_e6
+    (BIGINT), the engine-wide embedding arithmetic pin."""
+    a, b = quantize_vec(F.col(av)), quantize_vec(F.col(bv))
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        a, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    nb = F.aggregate(
+        b, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.floor(
+            dot
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+            * 1_000_000
+            + 0.5
+        ).cast("long"),
+    )
+
+
+def knn_join(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 3,
+    method: str = "lsh",
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """-> ``(a_id, rank, b_id, cos_e6)``: each A row's k nearest B rows
+    (among LSH candidates when ``method='lsh'``). ``exclude_self``
+    drops identical-id pairs (the self-join case A is B)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if method not in ("exact", "lsh"):
+        raise ValueError("method must be 'exact' or 'lsh'")
+    left = a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
+    )
+    right = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+    )
+    if method == "exact":
+        pairs = left.crossJoin(right)  # documented quadratic baseline
+    else:
+        ab = lsh_bucket(a, n_planes, id_col, vec_col).withColumnRenamed(
+            "vec_id", "a_id"
+        )
+        bb = lsh_bucket(b, n_planes, id_col, vec_col).withColumnRenamed(
+            "vec_id", "b_id"
+        )
+        pairs = (
+            left.join(ab, "a_id")
+            .join(bb.join(right, "b_id"), "bucket")
+            .select("a_id", "__av", "b_id", "__bv")
+        )
+    if exclude_self:
+        pairs = pairs.where(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", _paired_cos_e6("__av", "__bv").alias("cos_e6")
+    ).where(F.col("cos_e6").isNotNull())
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("cos_e6"), F.asc("b_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("a_id", "rank", "b_id", "cos_e6")
+        .orderBy("a_id", "rank")
+    )
