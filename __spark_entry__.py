@@ -2835,6 +2835,16 @@ def q_knn_join_lsh(spark, sf_dir):
     return knn_join(emb, emb, k=2, method="lsh", n_planes=3)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: embedding-level semantic dedup — LSH-bucketed pairs at
+    cos >= 0.99 -> path-doubled connected components -> canonical
+    keep-set; singletons restored (sparkfts/ops/knnjoin.py)."""
+    from sparkfts.ops.knnjoin import semdedup
+
+    emb = _emb(spark, sf_dir)
+    return semdedup(emb, threshold_e6=990_000, n_planes=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2988,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_agg": q_boxplot_agg,
         "t_test_agg": q_t_test_agg,
         "knn_join_lsh": q_knn_join_lsh,
+        "semdedup": q_semdedup,
     }
 
 
@@ -5903,5 +5914,52 @@ ranked AS (
   FROM scored)
 SELECT a_id, CAST(rank AS INT) AS rank, b_id, cos_e6
 FROM ranked WHERE rank <= 2 ORDER BY a_id, rank
+"""
+
+    sqls["semdedup"] = f"""
+WITH RECURSIVE ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p,
+         sum(x * ((1103515245 * ((p * 1024 + d + 1) % {HASH_P}) + 12345)
+                  % {HASH_P} - {(HASH_P - 1) // 2})) AS dot
+  FROM ee CROSS JOIN (SELECT unnest(range(0, 3)) AS p)
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY 1),
+q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+      FROM embeddings),
+cpairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM q a JOIN q b USING (pos)
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+  HAVING sum(a.v * a.v) > 0 AND sum(b.v * b.v) > 0
+     AND CAST(floor(sum(a.v * b.v)
+              / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v)))
+              * 1000000 + 0.5) AS BIGINT) >= 990000),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM cpairs
+  UNION SELECT b_id, a_id FROM cpairs),
+reach(vec_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id),
+clustered AS (
+  SELECT vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY 1)
+SELECT m.vec_id,
+       CAST(coalesce(c.cluster_id, m.vec_id) AS BIGINT) AS cluster_id,
+       coalesce(m.vec_id = c.cluster_id, TRUE) AS is_canonical
+FROM embeddings m LEFT JOIN clustered c USING (vec_id)
+ORDER BY m.vec_id
 """
     return sqls

@@ -111,3 +111,49 @@ def knn_join(
         .select("a_id", "rank", "b_id", "cos_e6")
         .orderBy("a_id", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold_e6: int = 950_000,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): semantic dedup by embedding
+    — near-identical vectors cluster, one representative per cluster
+    survives. -> ``(vec_id, cluster_id, is_canonical)``; downstream
+    keeps ``is_canonical`` rows.
+
+    Composition of the engine's existing scale-safe pieces, no new
+    kernels: LSH-bucketed near-dup pairs at ``threshold_e6``
+    (ops/similarity.embedding_dup_pairs, never all-pairs) -> connected
+    components via path-doubled min-label propagation
+    (ops/dedup.duplicate_clusters, O(log diameter) rounds). Singletons
+    (no near neighbor) are canonical by definition and are restored by
+    a left join — every input id appears exactly once in the output.
+    """
+    from sparkfts.ops.dedup import duplicate_clusters
+    from sparkfts.ops.similarity import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        emb, threshold_e6=threshold_e6, id_col=id_col, vec_col=vec_col,
+        bucketed=True, n_planes=n_planes,
+    ).select("id_a", "id_b")
+    clustered = duplicate_clusters(
+        pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
+    )
+    ids = emb.select(F.col(id_col).alias("vec_id"))
+    out = ids.join(
+        clustered.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    )
+    return out.select(
+        "vec_id",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias(
+            "cluster_id"
+        ),
+        F.coalesce(F.col("is_canonical"), F.lit(True)).alias(
+            "is_canonical"
+        ),
+    ).orderBy("vec_id")

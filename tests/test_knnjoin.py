@@ -104,3 +104,33 @@ def test_knn_join_cross_tables_and_self(emb, spark):
         knn_join(a, b, k=0)
     with pytest.raises(ValueError):
         knn_join(a, b, method="hnsw")
+
+
+def test_semdedup(spark):
+    import numpy as np
+
+    from sparkfts.ops.knnjoin import semdedup
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    base = rng.normal(size=(10, 12))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # near-identical copies of vectors 0 and 1 (tiny perturbation)
+    for j, src in ((100, 0), (101, 0), (102, 1)):
+        pert = base[src] + rng.normal(scale=1e-4, size=12)
+        rows.append((j, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in semdedup(df, threshold_e6=999_000,
+                             n_planes=2).collect()}
+    assert set(got) == {r[0] for r in rows}  # every id exactly once
+    # copies of 0 cluster under min id 0; only 0 is canonical there
+    assert got[0] == (0, True)
+    assert got[100] == (0, False) and got[101] == (0, False)
+    assert got[102] == (1, False) and got[1] == (1, True)
+    # unrelated vectors are canonical singletons
+    for i in range(2, 10):
+        assert got[i] == (i, True), i
+    kept = [v for v, (_c, can) in got.items() if can]
+    assert sorted(kept) == list(range(10))
