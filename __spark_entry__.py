@@ -2845,6 +2845,27 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold_e6=990_000, n_planes=3)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc tf-idf keyword extraction: top-3 terms per document by
+    tf * pinned idf (doc tagging / topic seeds; one tf groupBy + df
+    lookup + per-doc window — sparkfts/ops/keywords.py). Restricted to
+    the first 50 docs for a bounded entry."""
+    from sparkfts.ops.keywords import tfidf_keywords
+
+    docs = _docs(spark, sf_dir)
+    res = tfidf_keywords(docs, k=3)
+    return res.where(F.col("doc_id") < 50)
+
+
+def q_collocations(spark, sf_dir):
+    """Corpus bigram collocations: top-25 adjacent bigrams by exact
+    count (min_count=5) with PMI reported — ordering never touches a
+    float (sparkfts/ops/keywords.py)."""
+    from sparkfts.ops.keywords import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, size=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -2999,6 +3020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test_agg": q_t_test_agg,
         "knn_join_lsh": q_knn_join_lsh,
         "semdedup": q_semdedup,
+        "tfidf_keywords": q_tfidf_keywords,
+        "collocations": q_collocations,
     }
 
 
@@ -5961,5 +5984,52 @@ SELECT m.vec_id,
        coalesce(m.vec_id = c.cluster_id, TRUE) AS is_canonical
 FROM embeddings m LEFT JOIN clustered c USING (vec_id)
 ORDER BY m.vec_id
+"""
+
+    sqls["tfidf_keywords"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) AS score
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rank <= 3 AND doc_id < 50
+ORDER BY doc_id, rank
+"""
+
+    sqls["collocations"] = f"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+bi AS (
+  SELECT unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in range(1, len(tk))]) AS bigram
+  FROM t WHERE len(tk) >= 2),
+cab AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY 1),
+nbi AS (SELECT count(*) AS n FROM bi),
+uni AS (
+  SELECT unnest(tk) AS term FROM t),
+cu AS (SELECT term, count(*) AS cu FROM uni GROUP BY 1)
+SELECT c.bigram, CAST(c.cnt AS BIGINT) AS count,
+       CAST(floor(ln(nbi.n * c.cnt
+                     / (CAST(c1.cu AS DOUBLE) * c2.cu)) * 1000000 + 0.5)
+            AS BIGINT) AS pmi_e6
+FROM cab c
+JOIN cu c1 ON c1.term = split_part(c.bigram, ' ', 1)
+JOIN cu c2 ON c2.term = split_part(c.bigram, ' ', 2)
+CROSS JOIN nbi
+WHERE c.cnt >= 5
+ORDER BY count DESC, bigram LIMIT 25
 """
     return sqls
