@@ -454,3 +454,44 @@ def field_caps(spark, index_dirs: list[str] | str) -> dict:
         if len(set(rec["types"].values())) == 1:
             rec.pop("types")
     return out
+
+
+def shrink(
+    spark,
+    src_index: str,
+    dst_index: str,
+    n_shards: int,
+) -> dict:
+    """ES ``_shrink`` / ``_split``: change an index's shard count.
+
+    ES shrinks by hard-linking segment files into fewer shards
+    (possible because Lucene shards are independent files); the Spark
+    engine's shard is a doc-space hash partition, so resharding is a
+    :func:`reindex` from stored ``_source`` into the new layout —
+    one distributed rebuild, doc ids preserved, analyzer options
+    inherited from the source meta (a reshard must NOT silently change
+    analysis). ES's divisibility rule is enforced for parity: the new
+    count must divide (shrink) or be a multiple of (split) the old.
+    """
+    from sparkfts.index import read_meta
+
+    src_meta = read_meta(src_index)
+    old = int(src_meta["n_shards"])
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if n_shards == old:
+        raise ValueError(f"index already has {old} shards")
+    if n_shards < old and old % n_shards != 0:
+        raise ValueError(
+            f"shrink target must divide the source count ({old})"
+        )
+    if n_shards > old and n_shards % old != 0:
+        raise ValueError(
+            f"split target must be a multiple of the source count ({old})"
+        )
+    return reindex(
+        spark, src_index, dst_index,
+        n_shards=n_shards,
+        stopwords=(src_meta.get("stopwords") or None),
+        stemmer=src_meta.get("stemmer"),
+    )

@@ -332,3 +332,32 @@ def test_field_caps(spark, pages_df, tmp_path_factory):
 
     with _p.raises(ValueError):
         field_caps(spark, [])
+
+
+def test_shrink_and_split(spark, pages_df, queries, tmp_path_factory):
+    from sparkfts.index import read_meta
+    from sparkfts.lifecycle import shrink
+    from sparkfts.query import bm25_index_batch
+
+    base = tmp_path_factory.mktemp("shrink")
+    src = str(base / "src")
+    from sparkfts.index import build_index
+
+    build_index(pages_df, src, n_shards=4, n_tbuckets=4,
+                store_source=True)
+    small = str(base / "small")
+    meta = shrink(spark, src, small, n_shards=2)
+    assert meta["n_shards"] == 2
+    assert read_meta(small)["n_docs"] == read_meta(src)["n_docs"]
+    q = queries[0]["query"]
+    a = bm25_index_batch(spark, src, [(0, q, 10)], mode="or").collect()
+    b = bm25_index_batch(spark, small, [(0, q, 10)], mode="or").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    big = str(base / "big")
+    meta = shrink(spark, src, big, n_shards=8)
+    assert meta["n_shards"] == 8
+    c = bm25_index_batch(spark, big, [(0, q, 10)], mode="or").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+    for bad in (3, 4, 0):
+        with pytest.raises(ValueError):
+            shrink(spark, src, str(base / f"bad{bad}"), n_shards=bad)
