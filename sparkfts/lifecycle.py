@@ -495,3 +495,73 @@ def shrink(
         stopwords=(src_meta.get("stopwords") or None),
         stemmer=src_meta.get("stemmer"),
     )
+
+
+def update_by_query(
+    spark,
+    index_dir: str,
+    query: str,
+    processors: list[dict],
+    mode: str = "and",
+) -> dict:
+    """ES ``_update_by_query`` (+ pipeline): apply an ingest pipeline
+    to every doc matching ``query`` and reindex the results as a new
+    superseding segment — the existing re-crawl machinery does the
+    rest (newest segment wins at query time; the old copies reclaim
+    physically at merge).
+
+    Composition of owned pieces, no new kernels: score-free match
+    kernel -> stored ``_source`` reconstruction (newest-wins,
+    tombstone-aware) -> :func:`sparkfts.ingest.apply_pipeline` (ONE
+    Catalyst projection) -> :func:`sparkfts.streaming.ingest_batch`
+    with the root index's layout/analyzer (inherited there by
+    contract). Requires ``store_source=True`` and the default sha1
+    url->id mapping (the updated rows re-derive the SAME doc ids from
+    their urls — that identity is what makes the new segment
+    supersede; a pipeline must therefore not rewrite ``url``).
+    Returns ``{"matched": m, "updated": u, "segment": name}``.
+    """
+    from sparkfts.aggs import match_docs_batch
+    from sparkfts.index import read_meta
+    from sparkfts.ingest import apply_pipeline
+    from sparkfts.streaming import _read_running, ingest_batch
+
+    meta = read_meta(index_dir)
+    if not meta.get("store_source"):
+        raise ValueError(
+            "update_by_query needs store_source=True (no _source, "
+            "nothing to rewrite)"
+        )
+    matched = match_docs_batch(
+        spark, index_dir, [(0, query)], mode
+    ).select("doc_id").distinct()
+    pages = source_pages(spark, index_dir).join(matched, "doc_id").drop(
+        "doc_id"
+    )
+    n_matched = pages.count()
+    if n_matched == 0:
+        return {"matched": 0, "updated": 0, "segment": None}
+    updated = apply_pipeline(pages, processors)
+    for col in ("url", "text"):
+        if col not in updated.columns:
+            raise ValueError(
+                f"pipeline must preserve the {col!r} column (doc "
+                "identity / reindex input)"
+            )
+    used = {
+        int(b.split("_")[1])
+        for b in _read_running(index_dir)["batches"]
+        if b.startswith("stream_")
+    }
+    batch_id = (max(used) + 1) if used else 0
+    ingest_batch(
+        updated, batch_id, index_dir,
+        n_shards=int(meta["n_shards"]),
+        n_tbuckets=int(meta["n_tbuckets"]),
+        positions=os.path.isdir(os.path.join(index_dir, "positions")),
+    )
+    return {
+        "matched": int(n_matched),
+        "updated": int(n_matched),
+        "segment": f"stream_{batch_id:08d}",
+    }

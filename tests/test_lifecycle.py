@@ -361,3 +361,61 @@ def test_shrink_and_split(spark, pages_df, queries, tmp_path_factory):
     for bad in (3, 4, 0):
         with pytest.raises(ValueError):
             shrink(spark, src, str(base / f"bad{bad}"), n_shards=bad)
+
+
+def test_update_by_query(spark, pages_df, queries, tmp_path_factory):
+    from sparkfts.index import build_index
+    from sparkfts.lifecycle import update_by_query
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.searcher import Searcher
+
+    base = tmp_path_factory.mktemp("ubq")
+    idx = str(base / "idx")
+    build_index(pages_df, idx, n_shards=2, n_tbuckets=4,
+                store_source=True)
+    q = queries[0]["query"]
+    term = q.split()[0]
+    before = bm25_index_batch(spark, idx, [(0, term, 10_000)],
+                              mode="or").collect()
+    assert before, "premise: the term matches"
+    # rewrite matching docs: strip the term entirely from their text
+    res = update_by_query(
+        spark, idx, term,
+        [{"gsub": {"field": "text",
+                   "pattern": f"\\b{term}\\b", "replacement": "zzqx"}}],
+        mode="or",
+    )
+    assert res["matched"] == len({r["doc_id"] for r in before})
+    assert res["segment"].startswith("stream_")
+    # replacement text is visible immediately (new segment indexed)
+    repl0 = bm25_index_batch(spark, idx, [(0, "zzqx", 10_000)],
+                             mode="or").collect()
+    assert {r["doc_id"] for r in repl0} == {r["doc_id"] for r in before}
+    # old-only terms disappear at MERGE (the engine's documented
+    # supersede-at-merge contract, same as re-crawled docs)
+    from sparkfts.merge import merge_segments
+
+    merge_segments(spark, idx)
+    after = bm25_index_batch(spark, idx, [(0, term, 10_000)],
+                             mode="or").collect()
+    assert after == []
+    repl = bm25_index_batch(spark, idx, [(0, "zzqx", 10_000)],
+                            mode="or").collect()
+    assert {r["doc_id"] for r in repl} == {r["doc_id"] for r in before}
+    # warm serving still opens post-merge
+    s = Searcher(spark, idx)
+    s.close()
+    # guards
+    import pytest as _p
+
+    noop = update_by_query(spark, idx, "zzzznotaterm",
+                           [{"set": {"field": "x", "value": 1}}])
+    assert noop == {"matched": 0, "updated": 0, "segment": None}
+    with _p.raises(ValueError):
+        # 'zzqx' still matches post-update; dropping text must refuse
+        update_by_query(spark, idx, "zzqx",
+                        [{"remove": {"field": "text"}}])
+    idx2 = str(base / "nosource")
+    build_index(pages_df, idx2, n_shards=2, n_tbuckets=4)
+    with _p.raises(ValueError):
+        update_by_query(spark, idx2, term, [])
