@@ -723,6 +723,56 @@ def cmd_sparse(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_reindex(args: argparse.Namespace) -> None:
+    """ES _reindex: rebuild from stored _source with new options."""
+    spark = _spark(args.cores, "sparkfts-reindex")
+    from sparkfts.lifecycle import reindex
+
+    t0 = time.time()
+    meta = reindex(
+        spark, args.index, args.dest,
+        n_shards=args.shards, n_tbuckets=args.tbuckets,
+        stopwords=args.stopwords.split(",") if args.stopwords else None,
+        stemmer=args.stemmer,
+    )
+    print(json.dumps(
+        {"n_docs": meta["n_docs"], "n_shards": meta["n_shards"],
+         "sec": round(time.time() - t0, 2), "index": args.dest}
+    ))
+
+
+def cmd_shrink(args: argparse.Namespace) -> None:
+    """ES _shrink/_split: reshard (divisibility enforced)."""
+    spark = _spark(args.cores, "sparkfts-shrink")
+    from sparkfts.lifecycle import shrink
+
+    t0 = time.time()
+    meta = shrink(spark, args.index, args.dest, n_shards=args.shards)
+    print(json.dumps(
+        {"n_docs": meta["n_docs"], "n_shards": meta["n_shards"],
+         "sec": round(time.time() - t0, 2), "index": args.dest}
+    ))
+
+
+def cmd_update_by_query(args: argparse.Namespace) -> None:
+    """ES _update_by_query: pipeline rewrite of matching docs."""
+    spark = _spark(args.cores, "sparkfts-ubq")
+    from sparkfts.lifecycle import update_by_query
+
+    try:
+        processors = json.loads(args.pipeline)
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"--pipeline must be a JSON processor list: {e}")
+    if not isinstance(processors, list):
+        raise SystemExit("--pipeline must be a JSON LIST of processors")
+    t0 = time.time()
+    res = update_by_query(
+        spark, args.index, args.query, processors, mode=args.mode
+    )
+    res["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+
+
 def cmd_field_caps(args: argparse.Namespace) -> None:
     """ES _field_caps: per-field capabilities across indexes."""
     spark = _spark(args.cores, "sparkfts-field-caps")
@@ -1319,6 +1369,36 @@ def main(argv: list[str] | None = None) -> None:
     sv.add_argument("--tbuckets", type=int, default=16)
     sv.add_argument("--cores", default="*")
     sv.set_defaults(fn=cmd_sparse)
+
+    ri = sub.add_parser("reindex", help="ES _reindex: rebuild from "
+                                        "stored _source with new options")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--dest", required=True)
+    ri.add_argument("--shards", type=int, default=None)
+    ri.add_argument("--tbuckets", type=int, default=None)
+    ri.add_argument("--stopwords", default=None)
+    ri.add_argument("--stemmer", default=None)
+    ri.add_argument("--cores", default="*")
+    ri.set_defaults(fn=cmd_reindex)
+
+    sh = sub.add_parser("shrink", help="ES _shrink/_split: reshard")
+    sh.add_argument("--index", required=True)
+    sh.add_argument("--dest", required=True)
+    sh.add_argument("--shards", type=int, required=True)
+    sh.add_argument("--cores", default="*")
+    sh.set_defaults(fn=cmd_shrink)
+
+    ub = sub.add_parser("update-by-query", help="ES _update_by_query: "
+                                                "pipeline rewrite of "
+                                                "matching docs")
+    ub.add_argument("--index", required=True)
+    ub.add_argument("--query", required=True)
+    ub.add_argument("--pipeline", required=True,
+                    help='JSON processor list, e.g. '
+                         '\'[{"lowercase": {"field": "text"}}]\'')
+    ub.add_argument("--mode", choices=["and", "or"], default="and")
+    ub.add_argument("--cores", default="*")
+    ub.set_defaults(fn=cmd_update_by_query)
 
     fc = sub.add_parser("field-caps", help="ES _field_caps: per-field "
                                            "capabilities across indexes")
