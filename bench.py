@@ -432,7 +432,23 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=16,
                     help="index shard count (scaling legs pass 32 so "
                          "both legs run >= 4 kernel task waves)")
+    ap.add_argument("--extended", action="store_true",
+                    help="time the wave-4/5 operator families "
+                         "(driver entries) instead of the headline "
+                         "build+query benchmark")
     args = ap.parse_args()
+
+    if args.extended:
+        ops = run_extended(args.cores)
+        print(json.dumps({
+            "metric": "sparkfts_extended_ops",
+            "value": round(sum(ops.values()), 3),
+            "unit": "sec",
+            "queries": ops,
+            "sf": _sf_of(SF_DIR),
+            "cores": args.cores,
+        }))
+        return
 
     sf = _sf_of(SF_DIR)
     corpus_path, n_docs = _ensure_corpus(sf, args.docs)
@@ -526,6 +542,41 @@ def _append_baseline_md(sf, n_docs, lo, hi, eff_build, eff_batch) -> None:
     ]
     with open(path, "a") as f:
         f.write("\n".join(lines) + "\n")
+
+
+EXTENDED_OPS = [
+    # wave-4/5 operator families measured over the driver tables
+    "has_child_topk", "has_child_inner_hits", "nested_query_topk",
+    "geo_distance_topk", "geotile_grid", "geo_distance_rings",
+    "runtime_field_agg", "multi_terms_agg", "ingest_pipeline",
+    "sorted_index_topk", "sparse_vector_topk", "hybrid_linear_topk",
+    "fts_intervals", "fts_pinned", "fts_random_score",
+    "date_math_range", "quality_quantile_filter", "mixture_sample",
+    "dedup_incremental", "knn_join_lsh", "semdedup", "ann_bbq_topk",
+    "tfidf_keywords", "collocations", "boxplot_agg", "t_test_agg",
+]
+
+
+def run_extended(cores: int) -> dict:
+    """Time each wave-4/5 entry end-to-end (plan + execute + collect)
+    at SF_DIR. First call per index-dependent family pays the shared
+    entry-index build; a warmup pass absorbs it so the numbers are the
+    steady-state per-op costs."""
+    import __spark_entry__ as entry
+    from sparkfts.session import get_spark
+
+    spark = get_spark(cores=cores, app_name="sparkfts-bench-ext")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    ops: dict[str, float] = {}
+    for name in EXTENDED_OPS:
+        fn = qs[name]
+        fn(spark, SF_DIR).collect()  # warmup: index/sidecar builds, JIT
+        t0 = time.time()
+        rows = fn(spark, SF_DIR).collect()
+        ops[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    return ops
 
 
 if __name__ == "__main__":

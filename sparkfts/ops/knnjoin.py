@@ -34,26 +34,38 @@ from pyspark.sql import functions as F
 from sparkfts.ops.similarity import lsh_bucket, quantize_vec
 
 
-def _paired_cos_e6(av: str, bv: str) -> F.Column:
-    """Exact quantized-e3 cosine between two vector columns -> cos_e6
-    (BIGINT), the engine-wide embedding arithmetic pin."""
-    a, b = quantize_vec(F.col(av)), quantize_vec(F.col(bv))
+def _quantized_side(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
+    out_norm: str
+) -> DataFrame:
+    """Quantize + norm ONCE per row (columnar), so the per-pair work
+    below is a single dot product — norms/quantization must never be
+    recomputed per pair (pairs >> rows by construction)."""
+    q = quantize_vec(F.col(vec_col))
+    nsq = F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        q.alias(out_vec),
+        nsq.alias(out_norm),
+    )
+
+
+def _paired_cos_e6(qa: str, qb: str, na: str, nb: str) -> F.Column:
+    """Exact quantized-e3 cosine from PRE-quantized vectors + norms ->
+    cos_e6 (BIGINT), the engine-wide embedding arithmetic pin."""
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(F.col(qa), F.col(qb), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(
-        a, F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
-    nb = F.aggregate(
-        b, F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
     return F.when(
-        (na > 0) & (nb > 0),
+        (F.col(na) > 0) & (F.col(nb) > 0),
         F.floor(
             dot
-            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+            / (
+                F.sqrt(F.col(na).cast("double"))
+                * F.sqrt(F.col(nb).cast("double"))
+            )
             * 1_000_000
             + 0.5
         ).cast("long"),
@@ -77,12 +89,8 @@ def knn_join(
         raise ValueError("k must be >= 1")
     if method not in ("exact", "lsh"):
         raise ValueError("method must be 'exact' or 'lsh'")
-    left = a.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
-    )
-    right = b.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
-    )
+    left = _quantized_side(a, id_col, vec_col, "a_id", "__qa", "__na")
+    right = _quantized_side(b, id_col, vec_col, "b_id", "__qb", "__nb")
     if method == "exact":
         pairs = left.crossJoin(right)  # documented quadratic baseline
     else:
@@ -95,12 +103,13 @@ def knn_join(
         pairs = (
             left.join(ab, "a_id")
             .join(bb.join(right, "b_id"), "bucket")
-            .select("a_id", "__av", "b_id", "__bv")
+            .select("a_id", "__qa", "__na", "b_id", "__qb", "__nb")
         )
     if exclude_self:
         pairs = pairs.where(F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
-        "a_id", "b_id", _paired_cos_e6("__av", "__bv").alias("cos_e6")
+        "a_id", "b_id",
+        _paired_cos_e6("__qa", "__qb", "__na", "__nb").alias("cos_e6"),
     ).where(F.col("cos_e6").isNotNull())
     w = Window.partitionBy("a_id").orderBy(
         F.desc("cos_e6"), F.asc("b_id")

@@ -438,8 +438,17 @@ def embedding_dup_pairs(
     output is a subset of the exact pairs (tested), with recall rising in
     ``n_planes`` disagreement tolerance and threshold.
     """
+    # quantize AND norm once per row — pairs >> rows, so per-pair work
+    # must be the dot product only (same hoist as ops/knnjoin)
+    qn = F.aggregate(
+        quantize_vec(F.col(vec_col)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
     q = emb.select(
-        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+        qn.alias("nsq"),
     )
     if bucketed:
         b = lsh_bucket(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
@@ -447,17 +456,25 @@ def embedding_dup_pairs(
         a = q.select(
             F.col("vec_id").alias("id_a"),
             F.col("qv").alias("qa"),
+            F.col("nsq").alias("na"),
             "bucket",
         )
         bb = q.select(
             F.col("vec_id").alias("id_b"),
             F.col("qv").alias("qb"),
+            F.col("nsq").alias("nb"),
             "bucket",
         )
         pairs = a.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
     else:
-        a = q.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
-        bb = q.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+        a = q.select(
+            F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"),
+            F.col("nsq").alias("na"),
+        )
+        bb = q.select(
+            F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"),
+            F.col("nsq").alias("nb"),
+        )
         pairs = a.crossJoin(bb).where(F.col("id_a") < F.col("id_b"))
 
     dot = F.aggregate(
@@ -465,21 +482,15 @@ def embedding_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(
-        F.col("qa"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
-    nb = F.aggregate(
-        F.col("qb"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
     cos_e6 = F.floor(
-        dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        dot
+        / (F.sqrt(F.col("na").cast("double"))
+           * F.sqrt(F.col("nb").cast("double")))
         * 1_000_000
         + 0.5
     ).cast("long")
     return (
-        pairs.withColumn("na", na)
-        .withColumn("nb", nb)
-        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        pairs.where((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn("cos_e6", cos_e6)
         .where(F.col("cos_e6") >= F.lit(int(threshold_e6)))
         .select("id_a", "id_b", "cos_e6")
