@@ -247,17 +247,56 @@ def porter_stem(word: str) -> str:
 
 _STEMMERS = {"porter": porter_stem}
 
+# ES asciifolding's non-decomposable Latin mappings (NFKD handles the
+# accent-stripping cases; these have no combining-mark decomposition)
+_FOLD_MAP = str.maketrans(
+    {
+        "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O",
+        "ß": "ss", "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+        "đ": "d", "Đ": "D", "ł": "l", "Ł": "L", "ı": "i",
+    }
+)
+
+
+def ascii_fold(text: str) -> str:
+    """ES ``asciifolding``: fold Latin-script letters to their ASCII
+    equivalents (café -> cafe, Müller -> Muller, øre -> ore). Pinned as
+    the special-case map above + NFKD decomposition with combining
+    marks dropped; characters with no ASCII equivalent pass through
+    (the tokenizer's ``[a-z0-9]+`` then treats them as separators,
+    unchanged from the unfolded behavior)."""
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", text.translate(_FOLD_MAP))
+    return "".join(c for c in folded if not unicodedata.combining(c))
+
+
+def _parse_chain(stemmer: str | None) -> tuple[bool, str | None]:
+    """The ``stemmer`` meta slot carries the whole optional analysis
+    chain: ``"porter"``, ``"asciifold"`` or ``"asciifold+porter"``.
+    -> (fold?, stemmer-name-or-None); unknown parts fail loudly."""
+    if not stemmer:
+        return False, None
+    parts = stemmer.split("+")
+    fold = "asciifold" in parts
+    rest = [p for p in parts if p != "asciifold"]
+    if len(rest) > 1 or (rest and rest[0] not in _STEMMERS):
+        raise ValueError(
+            f"unknown analysis chain {stemmer!r}; options: "
+            f"{sorted(_STEMMERS)}, 'asciifold', 'asciifold+<stemmer>'"
+        )
+    return fold, (rest[0] if rest else None)
+
 
 def stem_fn(stemmer: str | None):
-    """Resolve a pinned stemmer option (``None`` -> identity/None)."""
-    if not stemmer:
-        return None
-    try:
-        return _STEMMERS[stemmer]
-    except KeyError:
-        raise ValueError(
-            f"unknown stemmer {stemmer!r}; options: {sorted(_STEMMERS)}"
-        ) from None
+    """Resolve the token-level step of the chain (``None``/fold-only ->
+    None). Folding itself is a CHAR filter applied before tokenization
+    (see :func:`tokenize`) — ES's asciifolding is a token filter, but
+    this engine's ASCII tokenizer would split accented words before a
+    token filter could fold them, so the pre-tokenize placement is
+    what makes the two analyzers equivalent (pinned)."""
+    _fold, name = _parse_chain(stemmer)
+    return _STEMMERS[name] if name else None
 
 
 # -- Tokenization ------------------------------------------------------------
@@ -285,6 +324,9 @@ def tokenize(text: str, stopwords=None, stemmer: str | None = None) -> list[str]
     :func:`porter_stem`. The SAME option must apply at query analysis
     (read back from the index meta, like stopwords).
     """
+    fold, _stem_name = _parse_chain(stemmer)
+    if fold:
+        text = ascii_fold(text)
     toks = TOKEN_RE.findall(text.lower())
     if stopwords:
         sw = stopwords if isinstance(stopwords, (set, frozenset)) else set(

@@ -312,7 +312,8 @@ def build_index(
     # tokenize+shuffle pipeline below runs exactly ONCE per build
     if routing_col is None:
         docmap = build_docmap(
-            prepared, docvalue_cols=docvalue_cols, stopwords=stopwords
+            prepared, docvalue_cols=docvalue_cols, stopwords=stopwords,
+            stemmer=stemmer,
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
         )
@@ -321,6 +322,7 @@ def build_index(
             prepared,
             docvalue_cols=list(docvalue_cols or []) + ["shard"],
             stopwords=stopwords,
+            stemmer=stemmer,
         )
     docmap = docmap.cache()
     if fixed_stats is not None:

@@ -64,9 +64,12 @@ def _positions_batch(
     surface forms stemming alike merge into one row whose position list
     stays ascending (flat-stream order is preserved by the groupby).
     """
-    from sparkfts.analysis import TOKEN_RE, stem_fn
+    from sparkfts.analysis import TOKEN_RE, _parse_chain, ascii_fold, stem_fn
 
-    toks = pdf["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+    texts = pdf["text"].fillna("")
+    if _parse_chain(stemmer)[0]:  # asciifold char filter: PRE-tokenize
+        texts = texts.map(ascii_fold)
+    toks = texts.str.lower().str.findall(TOKEN_RE)
     if stopwords:
         toks = toks.map(lambda lst: [t for t in lst if t not in stopwords])
     fn = stem_fn(stemmer)

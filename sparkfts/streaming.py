@@ -164,7 +164,8 @@ def ingest_batch(
     if keep is not None:
         keep = [c for c in keep if c]
     prepared = prepare_pages(batch_df, keep_cols=keep).cache()
-    row = build_docmap(prepared, stopwords=stopwords).agg(
+    row = build_docmap(prepared, stopwords=stopwords,
+                   stemmer=stemmer).agg(
         F.count("*").alias("n"),
         F.sum(F.col("doclen").cast("long")).alias("t"),
     ).collect()[0]

@@ -117,7 +117,12 @@ def _tokenize_batch(
             }
         )
 
-    toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+    from sparkfts.analysis import _parse_chain, ascii_fold
+
+    texts = pdf[text_col].fillna("")
+    if _parse_chain(stemmer)[0]:  # asciifold char filter: PRE-tokenize
+        texts = texts.map(ascii_fold)
+    toks = texts.str.lower().str.findall(TOKEN_RE)
     doclen = toks.str.len().astype("int32")
     n_per_doc = doclen.to_numpy()
     if n_per_doc.sum() == 0:
@@ -256,25 +261,36 @@ def build_docmap(
     text_col: str = "text",
     docvalue_cols: list[str] | None = None,
     stopwords: list[str] | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """``(doc_id, url, doclen[, docvalues...])`` — per-doc metadata.
 
     ``docvalue_cols``: extra page columns stored alongside (the ES
     doc-values equivalent — aggregations/facets then need no side table).
     ``stopwords``: doclen counts SURVIVING tokens only (must match the
-    tokenize pass's list for avgdl/doclen consistency).
+    tokenize pass's list for avgdl/doclen consistency). ``stemmer``
+    matters here ONLY for its asciifold char-filter component — folding
+    can merge split tokens ("naïve" is two ASCII runs unfolded, one
+    folded), so doclen must count the FOLDED stream; stemming itself is
+    1:1 and never changes doclen.
     """
+    from sparkfts.analysis import _parse_chain, ascii_fold
+
     sw = frozenset(stopwords) if stopwords else None
+    fold = _parse_chain(stemmer)[0]
 
     @F.pandas_udf(T.IntegerType())
     def doclen_udf(text: pd.Series) -> pd.Series:
+        text = text.fillna("")
+        if fold:
+            text = text.map(ascii_fold)
         if sw:
-            toks = text.fillna("").str.lower().str.findall(TOKEN_RE)
+            toks = text.str.lower().str.findall(TOKEN_RE)
             return toks.map(
                 lambda lst: sum(1 for t in lst if t not in sw)
             ).astype("int32")
         return (
-            text.fillna("").str.lower().str.count(TOKEN_RE.pattern).astype("int32")
+            text.str.lower().str.count(TOKEN_RE.pattern).astype("int32")
         )
 
     extra = [c for c in (docvalue_cols or []) if c not in ("doc_id", "url")]

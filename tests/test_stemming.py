@@ -71,7 +71,7 @@ def test_tokenize_chain_order():
 
 
 def test_unknown_stemmer_fails_loud(spark, tmp_path):
-    with pytest.raises(ValueError, match="unknown stemmer"):
+    with pytest.raises(ValueError, match="unknown analysis chain"):
         build_index(
             spark.createDataFrame([("u", "t")], "url string, text string"),
             str(tmp_path / "x"),
