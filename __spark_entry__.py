@@ -2866,6 +2866,24 @@ def q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), min_count=5, size=25)
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction (ColBERT / ES rank_vectors) MaxSim: docs as 4
+    token vectors (64-dim embedding sliced 4x16), query = doc 0's token
+    vectors; score = sum over query tokens of the best doc-token dot —
+    exact e3 integer arithmetic, rowwise Catalyst HOFs, no explode
+    (sparkfts/ops/lateinteraction.py)."""
+    from sparkfts.ops.lateinteraction import (
+        maxsim_topk,
+        split_token_vectors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    docs = split_token_vectors(emb, n_tokens=4)
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qvecs = [list(q[i * 16:(i + 1) * 16]) for i in range(4)]
+    return maxsim_topk(docs, qvecs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
@@ -3022,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "tfidf_keywords": q_tfidf_keywords,
         "collocations": q_collocations,
+        "maxsim_topk": q_maxsim_topk,
     }
 
 
@@ -6031,5 +6050,25 @@ JOIN cu c2 ON c2.term = split_part(c.bigram, ' ', 2)
 CROSS JOIN nbi
 WHERE c.cnt >= 5
 ORDER BY count DESC, bigram LIMIT 25
+"""
+
+    sqls["maxsim_topk"] = """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS p,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+dtok AS (SELECT vec_id, p // 16 AS dt, p % 16 AS d, v FROM ev),
+qtok AS (SELECT p // 16 AS qt, p % 16 AS d, v AS qv
+         FROM ev WHERE vec_id = 0),
+dots AS (
+  SELECT x.vec_id, x.dt, q.qt, sum(x.v * q.qv) AS dot
+  FROM dtok x JOIN qtok q USING (d) GROUP BY 1, 2, 3),
+best AS (SELECT vec_id, qt, max(dot) AS m FROM dots GROUP BY 1, 2),
+tot AS (SELECT vec_id, CAST(sum(m) AS BIGINT) AS maxsim
+        FROM best GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY maxsim DESC, vec_id) AS INT)
+         AS rank,
+       vec_id, maxsim
+FROM tot ORDER BY maxsim DESC, vec_id LIMIT 10
 """
     return sqls
