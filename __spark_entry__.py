@@ -4100,7 +4100,7 @@ FROM reach GROUP BY doc_id
     sqls["dedup_embedding_lsh"] = f"""
 WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings),
 dots AS (
   SELECT vec_id, p,
@@ -4114,7 +4114,7 @@ buckets AS (
               AS BIGINT) AS bucket
   FROM dots GROUP BY 1),
 q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-             CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
       FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na,
@@ -4388,11 +4388,11 @@ br AS (
 ),
 qq AS (
   SELECT generate_subscripts(e, 1) AS pos,
-         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 ),
 ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings),
 dots AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -4494,7 +4494,7 @@ SELECT doc_id, bit_xor(rh) AS fingerprint FROM r GROUP BY doc_id
 
     sqls["dedup_embedding_cosine"] = """
 WITH ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-                   CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
             FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
@@ -4511,9 +4511,9 @@ FROM p WHERE na > 0 AND nb > 0
     sqls["ann_cosine_topk"] = """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings),
 dots AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -4529,7 +4529,7 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
     sqls["ann_lsh_topk"] = f"""
 WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings),
 dots AS (
   SELECT vec_id, p,
@@ -4547,9 +4547,9 @@ cand AS (
   WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
 q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
 d2 AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -4565,7 +4565,7 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
     sqls["ann_ivf_topk"] = """
 WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM embeddings),
 cent AS (
   SELECT vec_id AS src_id, row_number() OVER (ORDER BY vec_id) - 1
@@ -4604,7 +4604,7 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
     sqls["ann_lsh_buckets"] = f"""
 WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings),
 dots AS (
   SELECT vec_id, p,
@@ -5248,9 +5248,9 @@ FROM m ORDER BY weight DESC, entry LIMIT 5
     sqls["ann_filtered_topk"] = """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings WHERE label = 2),
 dots AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -5267,9 +5267,9 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
     sqls["ann_range_search"] = """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings),
 dots AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -5332,10 +5332,10 @@ cand AS (
   FROM adots, nqq WHERE naq > 0
   ORDER BY a DESC, vec_id LIMIT 50),
 ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
 cq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 nq AS (SELECT sum(v * v) AS nq FROM cq),
 d2 AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -5353,18 +5353,18 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qe AS (SELECT pos // 16 AS s, pos % 16 AS p, v FROM (
   SELECT generate_subscripts(e, 1) - 1 AS pos,
-         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q)),
+         CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q)),
 nq AS (SELECT sum(v * v) AS nq FROM qe),
 cbrows AS (SELECT embedding,
                   row_number() OVER (ORDER BY vec_id) - 1 AS j
            FROM embeddings ORDER BY vec_id LIMIT 8),
 cbe AS (SELECT j, pos // 16 AS s, pos % 16 AS p, v FROM (
   SELECT j, generate_subscripts(embedding, 1) - 1 AS pos,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM cbrows)),
 ve AS (SELECT vec_id, pos // 16 AS s, pos % 16 AS p, v FROM (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM embeddings)),
 d2 AS (SELECT ve.vec_id, cbe.s, cbe.j,
               sum((ve.v - cbe.v) * (ve.v - cbe.v)) AS d2
@@ -5386,10 +5386,10 @@ cand AS (SELECT vec_id,
          FROM ap, nq WHERE anorm > 0
          ORDER BY a DESC, vec_id LIMIT 50),
 ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
 cq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 nq2 AS (SELECT sum(v * v) AS nq FROM cq),
 dx AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
        FROM ce e JOIN cq q USING (pos) GROUP BY e.vec_id)
@@ -5588,10 +5588,10 @@ ham AS (SELECT e.vec_id,
         FROM es e JOIN qs q USING (pos) GROUP BY 1),
 cand AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT 50),
 ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
 cq AS (SELECT generate_subscripts(e, 1) AS pos,
-              CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
 nq AS (SELECT sum(v * v) AS nq FROM cq),
 d2 AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -5754,11 +5754,11 @@ bn AS (
   FROM br, bmm),
 qq AS (
   SELECT generate_subscripts(e, 1) AS pos,
-         CAST(floor(unnest(e) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 ),
 ee AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
        FROM embeddings),
 dots AS (
   SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS na
@@ -5919,7 +5919,7 @@ FROM s
     sqls["knn_join_lsh"] = f"""
 WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings),
 dots AS (
   SELECT vec_id, p,
@@ -5933,7 +5933,7 @@ buckets AS (
               AS BIGINT) AS bucket
   FROM dots GROUP BY 1),
 q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-             CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
       FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -5961,7 +5961,7 @@ FROM ranked WHERE rank <= 2 ORDER BY a_id, rank
     sqls["semdedup"] = f"""
 WITH RECURSIVE ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS x
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
   FROM embeddings),
 dots AS (
   SELECT vec_id, p,
@@ -5975,7 +5975,7 @@ buckets AS (
               AS BIGINT) AS bucket
   FROM dots GROUP BY 1),
 q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-             CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
       FROM embeddings),
 cpairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -6055,7 +6055,7 @@ ORDER BY count DESC, bigram LIMIT 25
     sqls["maxsim_topk"] = """
 WITH ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS p,
-         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
   FROM embeddings),
 dtok AS (SELECT vec_id, p // 16 AS dt, p % 16 AS d, v FROM ev),
 qtok AS (SELECT p // 16 AS qt, p % 16 AS d, v AS qv
