@@ -3877,7 +3877,7 @@ FROM matched m JOIN documents d USING (doc_id)
     sqls["percentiles_agg"] = f"""
 WITH matched AS (
   SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
-v AS (SELECT d.n_chars * 1.0 AS x
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS x
       FROM matched m JOIN documents d USING (doc_id))
 SELECT CAST(p AS BIGINT) AS pct,
        CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS value_e6
