@@ -2884,7 +2884,78 @@ def q_maxsim_topk(spark, sf_dir):
     return maxsim_topk(docs, qvecs, k=10)
 
 
+# Driver-attestation rotation (see ROTATION.md): the driver's CORRECTNESS_r0N
+# artifact records only the FIRST 50 keys of queries().  Rounds 1-4 therefore
+# attested the same head over and over (81 distinct entries across r1-r4)
+# while everything appended later was only ever judge/self-verified via
+# tools/check_oracle.py.  Round 5 rotates the window: ~10 flagship invariants
+# stay pinned at the head, and the remaining ~40 slots are filled with entries
+# that have NEVER appeared in any CORRECTNESS_r0N.json.  Every entry remains
+# in the registry (full dict below); only the iteration order changes.
+_ATTEST_WINDOW_R5 = [
+    # -- flagship invariants, pinned every round --------------------------
+    "fts_corpus_stats",
+    "fts_term_df",
+    "fts_bm25_topk",
+    "fts_index_topk",
+    "fts_phrase_topk",
+    "fts_bool_topk",
+    "fts_fuzzy_topk",
+    "fts_or_wand_topk",
+    "fts_multifield_topk",
+    "terms_facet",
+    # -- never-driver-attested before round 5 -----------------------------
+    "fts_rank_feature",
+    "fts_decay_recency",
+    "fts_boosting_topk",
+    "fts_constant_score",
+    "pipeline_cumsum",
+    "pipeline_derivative",
+    "pipeline_stats_bucket",
+    "pipeline_bucket_sort",
+    "percolate_matches",
+    "termvectors",
+    "phrase_suggest",
+    "completion_suggest",
+    "fts_bool_prefix",
+    "fts_span_near",
+    "fts_span_first",
+    "has_child_topk",
+    "has_parent_topk",
+    "has_child_inner_hits",
+    "geo_distance_topk",
+    "geo_bbox",
+    "geotile_grid",
+    "geo_distance_rings",
+    "runtime_field_topk",
+    "runtime_field_agg",
+    "extended_stats_agg",
+    "weighted_avg_agg",
+    "top_metrics_agg",
+    "date_range_agg",
+    "adjacency_matrix_agg",
+    "multi_terms_agg",
+    "boxplot_agg",
+    "t_test_agg",
+    "ann_sq8_topk",
+    "ann_pq_topk",
+    "ann_bbq_topk",
+    "ann_filtered_topk",
+    "nested_query_topk",
+    "fts_intervals",
+    "sparse_vector_topk",
+    "hybrid_linear_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    full = _registry()
+    head = {k: full[k] for k in _ATTEST_WINDOW_R5}
+    head.update((k, v) for k, v in full.items() if k not in head)
+    return head
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_corpus_stats": q_fts_corpus_stats,
         "fts_term_df": q_fts_term_df,
