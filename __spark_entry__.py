@@ -1519,9 +1519,11 @@ def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs -> connected components -> canonical keep/drop
     sets: what a training-data pipeline actually consumes (round-1
     VERDICT gap #2)."""
-    from sparkfts.ops.dedup import duplicate_clusters, lsh_candidate_pairs
+    from sparkfts.ops.dedup import duplicate_clusters, lsh_star_edges
 
-    pairs = lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=8, bands=4)
+    # star edges: component-exact vs all-pairs (same clusters, same
+    # oracle), linear in bucket size instead of quadratic (r4 VERDICT)
+    pairs = lsh_star_edges(_docs(spark, sf_dir), n_hashes=8, bands=4)
     return duplicate_clusters(pairs)
 
 
@@ -2685,17 +2687,18 @@ DATEMATH_NOW = "2024-01-20 12:00:00"  # pinned 'now' (engine never
 
 
 def q_date_math_range(spark, sf_dir):
-    """ES range query with date-math bounds (now-7d/d .. now/d, upper
-    bound rounded UP): bounds resolve driver-side to literal
-    timestamps, so the parquet scan min/max-prunes
-    (sparkfts/datemath.py)."""
+    """ES range query with date-math bounds (gte: now-7d/d, lte: now/d —
+    lte rounds UP to the next day start, ES's last-instant semantics):
+    bounds resolve driver-side to literal timestamps, so the parquet
+    scan min/max-prunes (sparkfts/datemath.py)."""
     from datetime import datetime
 
     from sparkfts.datemath import date_range_filter
 
     ev = _events(spark, sf_dir)
     now = datetime.fromisoformat(DATEMATH_NOW)
-    out = date_range_filter(ev, "ts", "now-7d/d", "now/d", now=now)
+    out = date_range_filter(ev, "ts", "now-7d/d", None, now=now,
+                            lte="now/d")
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("doc_count"),
         F.floor(F.sum("value") * 100 + 0.5).cast("long").alias(

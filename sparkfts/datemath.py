@@ -133,15 +133,30 @@ def date_range_filter(
     gte: str | None,
     lt: str | None,
     now: datetime,
+    lte: str | None = None,
 ):
     """ES range query with date-math bounds -> filtered DataFrame.
-    ``gte`` rounds down, ``lt`` rounds up (ES bound semantics); both
-    become literal timestamps, so Catalyst pushes them into the scan
-    (parquet row-group min/max pruning)."""
+
+    ES bound semantics, pinned (round-4 ADVICE fix — ``lt`` previously
+    rounded UP, which is ES's ``lte`` behavior):
+
+    - ``gte``: ``/unit`` rounds DOWN, predicate ``>=``.
+    - ``lt``:  ``/unit`` rounds DOWN, predicate ``<`` — ``lt: now/d``
+      excludes today entirely, exactly like ES.
+    - ``lte``: ``/unit`` rounds UP (to the next unit start), predicate
+      ``<`` — equivalent to ES's "last instant of the unit" at any
+      timestamp precision; without a ``/`` rounding the resolved
+      instant itself is included (``<=``).
+
+    ``lt`` and ``lte`` are mutually exclusive. All bounds become
+    literal timestamps, so Catalyst pushes them into the scan (parquet
+    row-group min/max pruning)."""
     from pyspark.sql import functions as F
 
-    if gte is None and lt is None:
+    if gte is None and lt is None and lte is None:
         raise ValueError("need at least one bound")
+    if lt is not None and lte is not None:
+        raise ValueError("lt and lte are mutually exclusive")
     out = df
     if gte is not None:
         out = out.where(
@@ -149,6 +164,12 @@ def date_range_filter(
         )
     if lt is not None:
         out = out.where(
-            F.col(ts_col) < F.lit(resolve_date_math(lt, now, True))
+            F.col(ts_col) < F.lit(resolve_date_math(lt, now, False))
         )
+    if lte is not None:
+        bound = resolve_date_math(lte, now, True)
+        if "/" in lte:
+            out = out.where(F.col(ts_col) < F.lit(bound))
+        else:
+            out = out.where(F.col(ts_col) <= F.lit(bound))
     return out

@@ -398,6 +398,7 @@ def build_index(
         "stemmer": stemmer or None,
         "store_source": bool(store_source),
         "routing_col": routing_col or None,
+        "id_source": id_source,
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

@@ -520,11 +520,24 @@ def update_by_query(
     their urls — that identity is what makes the new segment
     supersede; a pipeline must therefore not rewrite ``url``).
     Returns ``{"matched": m, "updated": u, "segment": name}``.
+
+    Identity ENFORCED, not assumed (round-4 ADVICE): before committing
+    the segment, every matched doc's stored doc_id is checked against
+    sha1(url) — the id the re-ingest will derive.  On an index built
+    with ``id_source='column'`` and non-sha1 ids the re-ingest would
+    produce DIFFERENT ids, silently duplicating matched docs (old +
+    rewritten both visible); this now fails loud instead.  The check is
+    exact (full matched set, one conditional count on a frame already
+    materialized for ``matched``) and catches stale/absent meta too —
+    ``meta['id_source']`` is persisted since round 5 but a reindexed
+    index legitimately carries ``'column'`` ids that ARE sha1(url), so
+    the id comparison, not the meta flag, is the gate.
     """
     from sparkfts.aggs import match_docs_batch
     from sparkfts.index import read_meta
     from sparkfts.ingest import apply_pipeline
     from sparkfts.streaming import _read_running, ingest_batch
+    from sparkfts.tokens import doc_id_udf
 
     meta = read_meta(index_dir)
     if not meta.get("store_source"):
@@ -535,12 +548,26 @@ def update_by_query(
     matched = match_docs_batch(
         spark, index_dir, [(0, query)], mode
     ).select("doc_id").distinct()
-    pages = source_pages(spark, index_dir).join(matched, "doc_id").drop(
-        "doc_id"
-    )
-    n_matched = pages.count()
+    with_ids = source_pages(spark, index_dir).join(matched, "doc_id")
+    counts = with_ids.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (doc_id_udf(F.col("url")) != F.col("doc_id")).cast("long")
+        ).alias("n_bad"),
+    ).collect()[0]
+    n_matched = int(counts["n"])
     if n_matched == 0:
         return {"matched": 0, "updated": 0, "segment": None}
+    if int(counts["n_bad"] or 0) > 0:
+        raise ValueError(
+            f"update_by_query requires sha1(url) doc ids: "
+            f"{int(counts['n_bad'])} of {n_matched} matched docs have ids "
+            "that do not re-derive from their url (index built with "
+            f"id_source={meta.get('id_source', 'unknown')!r}) — the "
+            "rewritten segment would DUPLICATE them instead of "
+            "superseding"
+        )
+    pages = with_ids.drop("doc_id")
     updated = apply_pipeline(pages, processors)
     for col in ("url", "text"):
         if col not in updated.columns:

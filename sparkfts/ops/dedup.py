@@ -16,7 +16,7 @@ All hashes are md5-prefix -> int64 mod 2^31-1, bit-identical in DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkfts.ops.textstats import HASH_P, term_hash31, tokens_col
@@ -187,10 +187,38 @@ def lsh_buckets(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", n_hashes: int = 8, bands: int = 4
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs from shared LSH buckets -> (a_id, b_id)."""
+    """Distinct candidate pairs from shared LSH buckets -> (a_id, b_id).
+
+    Intra-bucket pair emission is O(|bucket|^2): a boilerplate cluster of
+    B near-identical pages lands in ONE bucket regardless of the hash
+    family, so at web scale an uncapped bucket is the job that never
+    finishes (round-4 VERDICT).  Two guards:
+
+    - Consumers that only build CONNECTED COMPONENTS (duplicate_clusters,
+      curation funnels) should use :func:`lsh_star_edges` instead —
+      linear in bucket size and component-exact.
+    - Consumers that verify each pair downstream can pass ``bucket_cap``:
+      only the first ``bucket_cap`` docs per bucket (``row_number()`` on
+      doc_id asc — deterministic) generate pairs, bounding every bucket
+      to cap^2.  Recall trade, documented: a pair whose BOTH members sit
+      beyond the cap in every shared bucket is never emitted; run an
+      exact-dedup pre-pass first (ops/curate.py orders stages this way)
+      so the capped tail is near-duplicate stragglers, not exact copies.
+    """
     keys = _band_keys(docs, text_col, n_hashes, bands)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        keys = (
+            keys.withColumn("__pos", F.row_number().over(w))
+            .where(F.col("__pos") <= int(bucket_cap))
+            .drop("__pos")
+        )
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -205,6 +233,29 @@ def lsh_candidate_pairs(
         )
         .distinct()
         .orderBy("a_id", "b_id")
+    )
+
+
+def lsh_star_edges(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Component-exact, LINEAR replacement for :func:`lsh_candidate_pairs`
+    when the consumer is connected components -> (a_id, b_id).
+
+    Per (band, band_key) bucket, emit the STAR around the bucket's min
+    doc_id — |bucket| - 1 edges instead of C(|bucket|, 2).  Two docs are
+    connected through the hub iff they share the bucket, so the
+    transitive closure (and therefore every duplicate cluster and its
+    min-doc_id cluster label) is IDENTICAL to all-pairs emission, while
+    a hot boilerplate bucket of 10^6 pages costs 10^6 - 1 edges, not
+    ~5*10^11 (round-4 VERDICT fix #1)."""
+    keys = _band_keys(docs, text_col, n_hashes, bands)
+    w = Window.partitionBy("band", "band_key")
+    return (
+        keys.withColumn("hub", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("a_id"), F.col("doc_id").alias("b_id"))
+        .distinct()
     )
 
 
@@ -397,16 +448,23 @@ def dedup_against(
     never new x new or ref x ref, so adding a snapshot costs
     |new| x selectivity, not (|ref| + |new|)^2. Ref-side band keys can
     be precomputed once and reused across snapshots.
+
+    Hot-bucket shape (round-4 VERDICT fix #1): the output only needs the
+    SMALLEST colliding ref doc_id, so the ref side pre-aggregates to one
+    row per (band, band_key) BEFORE the join — min-of-mins equals the
+    global min, the result is bit-identical, and a boilerplate ref
+    bucket of B pages joins as 1 row instead of B (join cost linear in
+    |new keys|, never |new_bucket| x |ref_bucket|).
     """
     new_keys = _band_keys(new_docs, text_col, n_hashes, bands)
-    ref_keys = _band_keys(ref_docs, text_col, n_hashes, bands)
-    hits = new_keys.alias("n").join(
-        ref_keys.alias("r"),
-        (F.col("n.band") == F.col("r.band"))
-        & (F.col("n.band_key") == F.col("r.band_key")),
+    ref_min = (
+        _band_keys(ref_docs, text_col, n_hashes, bands)
+        .groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("ref_doc_id"))
     )
     return (
-        hits.groupBy(F.col("n.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("r.doc_id")).alias("ref_doc_id"))
+        new_keys.join(ref_min, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("ref_doc_id").alias("ref_doc_id"))
         .orderBy("doc_id")
     )

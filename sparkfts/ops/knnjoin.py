@@ -81,10 +81,21 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """-> ``(a_id, rank, b_id, cos_e6)``: each A row's k nearest B rows
     (among LSH candidates when ``method='lsh'``). ``exclude_self``
-    drops identical-id pairs (the self-join case A is B)."""
+    drops identical-id pairs (the self-join case A is B).
+
+    ``bucket_cap`` (round-4 VERDICT hot-bucket guard, lsh only): a
+    boilerplate cluster of B near-identical vectors lands in ONE bucket,
+    so the per-bucket A x B join there is O(B^2).  With a cap, only the
+    first ``bucket_cap`` RIGHT-side rows per bucket (``row_number()`` on
+    b_id asc — deterministic) serve as candidates; every left row still
+    retrieves, but from at most cap colliding candidates per bucket.
+    Recall trade, documented: a left row's true neighbor beyond the cap
+    in every shared bucket is missed — collapse exact duplicates on the
+    right side first so capped rows are near-dup stragglers."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if method not in ("exact", "lsh"):
@@ -100,6 +111,13 @@ def knn_join(
         bb = lsh_bucket(b, n_planes, id_col, vec_col).withColumnRenamed(
             "vec_id", "b_id"
         )
+        if bucket_cap is not None:
+            w = Window.partitionBy("bucket").orderBy("b_id")
+            bb = (
+                bb.withColumn("__pos", F.row_number().over(w))
+                .where(F.col("__pos") <= int(bucket_cap))
+                .drop("__pos")
+            )
         pairs = (
             left.join(ab, "a_id")
             .join(bb.join(right, "b_id"), "bucket")
@@ -129,6 +147,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 shape): semantic dedup by embedding
     — near-identical vectors cluster, one representative per cluster
@@ -140,29 +159,71 @@ def semdedup(
     (ops/similarity.embedding_dup_pairs, never all-pairs) -> connected
     components via path-doubled min-label propagation
     (ops/dedup.duplicate_clusters, O(log diameter) rounds). Singletons
-    (no near neighbor) are canonical by definition and are restored by
-    a left join — every input id appears exactly once in the output.
+    (no near neighbor) are canonical by definition — every input id
+    appears exactly once in the output.
+
+    Hot-bucket guard (round-4 VERDICT fix #1): pair generation runs over
+    one REPRESENTATIVE per distinct quantized vector, not over raw rows.
+    The engine's cosine is a pure function of the quantized-e3 vector,
+    so rows with identical quantized vectors (web boilerplate: 10^4-10^6
+    byte-identical pages -> identical embeddings) are interchangeable in
+    the pair graph: cos(identical, identical) = 1e6 >= any threshold
+    makes each identity group a clique, and any member edge is mirrored
+    by the rep edge.  Collapsing to reps before LSH is therefore
+    LOSSLESS — output clusters are bit-identical to raw pairing — while
+    the dominant blowup (exact-copy floods) costs 1 row per distinct
+    vector instead of O(B^2) pairs.  Zero vectors never pair (guard in
+    embedding_dup_pairs) so each keeps a unique key.  For floods of
+    near-identical-but-DISTINCT vectors, thread ``bucket_cap`` (per-LSH-
+    bucket fan-out cap over reps; documented recall trade in
+    ops/similarity.embedding_dup_pairs).
     """
     from sparkfts.ops.dedup import duplicate_clusters
-    from sparkfts.ops.similarity import embedding_dup_pairs
+    from sparkfts.ops.similarity import embedding_dup_pairs, quantize_vec
 
+    nsq = F.aggregate(
+        quantize_vec(F.col(vec_col)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    # collapse is valid only while identical vectors actually pair
+    # (cos(x, x) = 1e6 >= threshold); above that nothing pairs at all,
+    # so every id keys itself (degenerate config, kept exact)
+    qkey = F.when(
+        (nsq > 0) & F.lit(int(threshold_e6) <= 1_000_000),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    quantize_vec(F.col(vec_col)), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ),
+    ).otherwise(F.concat(F.lit("z"), F.col(id_col).cast("string")))
+    members = emb.select(
+        F.col(id_col).alias("vec_id"), qkey.alias("__qkey")
+    )
+    reps = members.groupBy("__qkey").agg(F.min("vec_id").alias("__rep"))
+    members = members.join(reps, "__qkey").select("vec_id", "__rep")
+    rep_rows = emb.join(
+        members.where(F.col("vec_id") == F.col("__rep")).select(
+            F.col("vec_id").alias(id_col) if id_col != "vec_id" else "vec_id"
+        ),
+        id_col,
+    )
     pairs = embedding_dup_pairs(
-        emb, threshold_e6=threshold_e6, id_col=id_col, vec_col=vec_col,
-        bucketed=True, n_planes=n_planes,
+        rep_rows, threshold_e6=threshold_e6, id_col=id_col, vec_col=vec_col,
+        bucketed=True, n_planes=n_planes, bucket_cap=bucket_cap,
     ).select("id_a", "id_b")
     clustered = duplicate_clusters(
         pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
     )
-    ids = emb.select(F.col(id_col).alias("vec_id"))
-    out = ids.join(
-        clustered.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    out = members.join(
+        clustered.withColumnRenamed("doc_id", "__rep"), "__rep", "left"
     )
     return out.select(
         "vec_id",
-        F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias(
-            "cluster_id"
-        ),
-        F.coalesce(F.col("is_canonical"), F.lit(True)).alias(
-            "is_canonical"
-        ),
+        F.coalesce(F.col("cluster_id"), F.col("__rep")).alias("cluster_id"),
+    ).withColumn(
+        "is_canonical", F.col("vec_id") == F.col("cluster_id")
     ).orderBy("vec_id")

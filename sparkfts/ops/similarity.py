@@ -424,6 +424,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     bucketed: bool = False,
     n_planes: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cos_e6).
 
@@ -437,6 +438,17 @@ def embedding_dup_pairs(
     sum over buckets of |bucket|^2 — the standard recall/cost trade; its
     output is a subset of the exact pairs (tested), with recall rising in
     ``n_planes`` disagreement tolerance and threshold.
+
+    ``bucket_cap`` (round-4 VERDICT hot-bucket guard): a cluster of B
+    near-identical embeddings lands in ONE bucket regardless of
+    ``n_planes``, making that bucket's self-join O(B^2).  With a cap,
+    only the first ``bucket_cap`` vectors per bucket (``row_number()``
+    on vec_id asc — deterministic) enter pair generation, bounding every
+    bucket to cap^2 pairs.  Recall trade, documented: pairs entirely
+    beyond the cap are dropped — collapse exact duplicates first (see
+    :func:`sparkfts.ops.knnjoin.semdedup`, which collapses identical
+    quantized vectors losslessly before pairing) so the capped tail is
+    near-duplicate stragglers, not exact copies.
     """
     # quantize AND norm once per row — pairs >> rows, so per-pair work
     # must be the dot product only (same hoist as ops/knnjoin)
@@ -453,6 +465,15 @@ def embedding_dup_pairs(
     if bucketed:
         b = lsh_bucket(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
         q = q.join(b, "vec_id")
+        if bucket_cap is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("bucket").orderBy("vec_id")
+            q = (
+                q.withColumn("__pos", F.row_number().over(w))
+                .where(F.col("__pos") <= int(bucket_cap))
+                .drop("__pos")
+            )
         a = q.select(
             F.col("vec_id").alias("id_a"),
             F.col("qv").alias("qa"),

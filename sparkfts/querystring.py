@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
   | (?P<plus>\+)
   | (?P<minus>-)
   | (?P<quote>")
-  | (?P<word>[^\s()+\-!"~:^|&]+)
+  | (?P<word>[^\s()+\-!"~:^|&]+(?:-[^\s()+\-!"~:^|&]+)*)
   | (?P<colon>:)
   | (?P<fuzz>~)
   | (?P<caret>\^)

@@ -54,11 +54,46 @@ def test_date_range_filter_pushdown(spark, tmp_path):
     p = os.path.join(str(tmp_path), "ts.parquet")
     spark.createDataFrame(pdf).write.parquet(p)
     df = spark.read.parquet(p)
-    out = date_range_filter(df, "ts", "now-7d/d", "now/d", now=NOW)
+    out = date_range_filter(df, "ts", "now-7d/d", None, now=NOW,
+                            lte="now/d")
     got = sorted(r["id"] for r in out.collect())
-    # gte 2024-03-08 00:00, lt 2024-03-16 00:00 (round UP of now/d)
+    # gte 2024-03-08 00:00, lte now/d -> < 2024-03-16 00:00 (round UP)
     assert got == [7, 8, 9]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
     with pytest.raises(ValueError):
         date_range_filter(df, "ts", None, None, now=NOW)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        date_range_filter(df, "ts", None, "now/d", now=NOW, lte="now/d")
+
+
+def test_date_range_lt_rounds_down_like_es(spark, tmp_path):
+    """r4 ADVICE: ES `lt: now/d` excludes today ENTIRELY (bound rounds
+    DOWN); `lte: now/d` includes all of today (bound rounds UP)."""
+    import os
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(10),
+            "ts": pd.date_range("2024-03-08", periods=10, freq="D"),
+        }
+    )
+    p = os.path.join(str(tmp_path), "ts2.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+    df = spark.read.parquet(p)
+    # NOW is 2024-03-15 10:30: ids 0..9 span 03-08..03-17
+    lt = sorted(r["id"] for r in
+                date_range_filter(df, "ts", None, "now/d", now=NOW).collect())
+    assert lt == [0, 1, 2, 3, 4, 5, 6]  # 03-08..03-14, today excluded
+    lte = sorted(r["id"] for r in
+                 date_range_filter(df, "ts", None, None, now=NOW,
+                                   lte="now/d").collect())
+    assert lte == [0, 1, 2, 3, 4, 5, 6, 7]  # today (03-15) included
+    # un-rounded lte includes the exact resolved instant
+    exact = sorted(
+        r["id"] for r in date_range_filter(
+            df, "ts", None, None, now=datetime(2024, 3, 10),
+            lte="now",
+        ).collect()
+    )
+    assert exact == [0, 1, 2]  # 03-10 00:00 row itself included

@@ -419,3 +419,17 @@ def test_update_by_query(spark, pages_df, queries, tmp_path_factory):
     build_index(pages_df, idx2, n_shards=2, n_tbuckets=4)
     with _p.raises(ValueError):
         update_by_query(spark, idx2, term, [])
+    # r4 ADVICE: non-sha1 ids must fail loud BEFORE committing a segment
+    # (re-ingest would re-derive different ids -> silent duplication)
+    from pyspark.sql import functions as F
+
+    idx3 = str(base / "columnids")
+    col_pages = pages_df.withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    meta3 = build_index(col_pages, idx3, n_shards=2, n_tbuckets=4,
+                        store_source=True, id_source="column")
+    assert meta3["id_source"] == "column"  # persisted in meta (r5)
+    with _p.raises(ValueError, match="sha1"):
+        update_by_query(spark, idx3, term,
+                        [{"set": {"field": "x", "value": 1}}], mode="or")

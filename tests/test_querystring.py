@@ -79,6 +79,26 @@ def test_parse_implicit_adjacent_not():
     )
 
 
+def test_parse_hyphenated_word_is_one_clause():
+    """Round-4 ADVICE: mid-word '-' is term text (Lucene/ES query_string),
+    NOT a prohibit operator — 'spark-job' lexes as ONE word whose analyzed
+    token stream forms one conjunctive clause."""
+    assert parse_query_string("spark-job") == C("spark-job")
+    # the pinned analyzer splits it into the conjunctive stream
+    assert tokenize("spark-job") == ["spark", "job"]
+    # prohibit still applies at clause start (after whitespace)
+    assert parse_query_string("spark -job") == Bool(
+        should=(C("spark"),), must_not=(C("job"),)
+    )
+    assert parse_query_string("+alpha-beta gamma") == Bool(
+        must=(C("alpha-beta"),), should=(C("gamma"),)
+    )
+    # hyphenated word inside a field group keeps the field
+    assert parse_query_string("title:spark-job") == C(
+        "spark-job", fields=("title",)
+    )
+
+
 @pytest.mark.parametrize(
     "bad,frag",
     [
