@@ -121,6 +121,36 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _edge_index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) the edge_ngram autocomplete index over
+    `documents` (index-time expander edge:3-8; query analysis stays
+    standard — the ES index/search-analyzer split)."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(REPO, ".scratch", f"entry_edge_{key}")
+    meta_path = os.path.join(idx, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            stale = _json.load(f).get("expander") != "edge:3-8"
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        from sparkfts.index import build_index
+
+        build_index(
+            _docs_as_pages(_docs(spark, sf_dir)),
+            idx,
+            n_shards=8,
+            n_tbuckets=16,
+            id_source="column",
+            expander="edge:3-8",
+        )
+    return idx
+
+
 _SCORE_E4 = "CAST(floor(score * 10000 + 0.5) AS BIGINT)"
 
 MF_FIELDS = ["title^2", "text"]  # ES-style best_fields spec for the entry
@@ -412,6 +442,19 @@ def q_fts_phrase_prefix(spark, sf_dir):
     res = match_phrase_prefix_batch(
         spark, idx, [(0, f"{p0} {p1[:2]}", 10)], max_expansions=50
     )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_edge_ngram(spark, sf_dir):
+    """ES autocomplete: index-time edge_ngram (sparkfts/index.py
+    expander slot) + standard query analysis — the typed prefix 'spar'
+    hits indexed grams directly as ordinary BM25 terms (doclen counts
+    the expanded stream, the pinned equivalence contract in
+    sparkfts/analysis.py)."""
+    from sparkfts.query import bm25_index_batch
+
+    idx = _edge_index_dir_for(spark, sf_dir)
+    res = bm25_index_batch(spark, idx, [(0, "spar", 10)], mode="or")
     return res.select("doc_id", _score_e4_col())
 
 
@@ -2970,6 +3013,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase_slop": q_fts_phrase_slop,
         "fts_phrase_prefix": q_fts_phrase_prefix,
         "fts_prefix_topk": q_fts_prefix_topk,
+        "fts_edge_ngram": q_fts_edge_ngram,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_multi_index_topk": q_fts_multi_index_topk,
         "fts_query_string": q_fts_query_string,
@@ -3187,6 +3231,47 @@ WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0
     bm25_and = _bm25_sql(sorted(set(BM25_QUERY_AND.split())), True)
     sqls["fts_bm25_topk"] = bm25_and
     sqls["fts_index_topk"] = bm25_and
+
+    # edge_ngram expansion mirror (sparkfts.analysis.expand_tokens pins:
+    # grams lo..min(len, hi); len>hi also emits the full token; len<lo
+    # emits the token unchanged); doclen counts the EXPANDED stream
+    sqls["fts_edge_ngram"] = f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+exp AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(tok) < 3 THEN [tok]
+         WHEN length(tok) > 8
+           THEN list_append([substr(tok, 1, g) for g in range(3, 9)], tok)
+         ELSE [substr(tok, 1, g) for g in range(3, length(tok) + 1)]
+    END) AS tok
+  FROM raw
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM exp GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM exp
+  WHERE tok = 'spar' GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     sqls["fts_prefix_topk"] = f"""
 WITH toks AS (

@@ -271,21 +271,162 @@ def ascii_fold(text: str) -> str:
     return "".join(c for c in folded if not unicodedata.combining(c))
 
 
-def _parse_chain(stemmer: str | None) -> tuple[bool, str | None]:
+def _parse_syn_rules(spec: str) -> dict[str, str]:
+    """``"lhs=rhs,lhs2=rhs2"`` -> contraction map. Pinned subset of
+    ES's index-time ``synonym`` filter: explicit single-token
+    contractions (``a => b``), applied ONCE after stemming.  With a
+    stemmer in the chain, write rules against the POST-STEM stream
+    (``televis=tv`` for "television" under porter) — stemmed forms are
+    what the filter sees; stem-closure can't be validated because the
+    classic Porter map isn't idempotent.  Fails loudly on: non-token
+    sides, identity rules, duplicate lhs, and a rhs that is also a lhs
+    (would make application order-dependent)."""
+    rules: dict[str, str] = {}
+    for rule in spec.split(","):
+        lhs, sep, rhs = rule.partition("=")
+        if not sep:
+            raise ValueError(f"synonym rule {rule!r} must be 'lhs=rhs'")
+        for side in (lhs, rhs):
+            if TOKEN_RE.fullmatch(side) is None:
+                raise ValueError(
+                    f"synonym side {side!r} is not a single analyzer "
+                    "token ([a-z0-9]+); multi-token synonyms are outside "
+                    "the pinned subset"
+                )
+        if lhs == rhs:
+            raise ValueError(f"identity synonym rule {rule!r}")
+        if lhs in rules:
+            raise ValueError(f"duplicate synonym lhs {lhs!r}")
+        rules[lhs] = rhs
+    if set(rules) & set(rules.values()):
+        both = sorted(set(rules) & set(rules.values()))
+        raise ValueError(
+            f"synonym terms {both} appear as both lhs and rhs — rules "
+            "apply exactly once (no chaining); collapse them first"
+        )
+    return rules
+
+
+def _parse_chain(
+    stemmer: str | None,
+) -> tuple[bool, str | None, dict[str, str] | None]:
     """The ``stemmer`` meta slot carries the whole optional analysis
-    chain: ``"porter"``, ``"asciifold"`` or ``"asciifold+porter"``.
-    -> (fold?, stemmer-name-or-None); unknown parts fail loudly."""
+    chain: ``"porter"``, ``"asciifold"``, ``"syn:colour=color,..."``
+    or any ``+``-combination (e.g. ``"asciifold+porter+syn:..."``).
+    -> (fold?, stemmer-name-or-None, synonym-map-or-None); unknown
+    parts fail loudly.  Riding the single meta slot means every
+    existing consumer — index build, positions kernel, every query
+    path, streamed appends, the warm Searcher — inherits folding,
+    stemming AND index-time synonyms with zero extra plumbing."""
     if not stemmer:
-        return False, None
+        return False, None, None
     parts = stemmer.split("+")
     fold = "asciifold" in parts
-    rest = [p for p in parts if p != "asciifold"]
+    syn_specs = [p[len("syn:"):] for p in parts if p.startswith("syn:")]
+    if len(syn_specs) > 1:
+        raise ValueError(f"multiple syn: parts in chain {stemmer!r}")
+    rest = [
+        p for p in parts if p != "asciifold" and not p.startswith("syn:")
+    ]
     if len(rest) > 1 or (rest and rest[0] not in _STEMMERS):
         raise ValueError(
             f"unknown analysis chain {stemmer!r}; options: "
-            f"{sorted(_STEMMERS)}, 'asciifold', 'asciifold+<stemmer>'"
+            f"{sorted(_STEMMERS)}, 'asciifold', 'syn:<lhs=rhs,...>' and "
+            "'+'-combinations"
         )
-    return fold, (rest[0] if rest else None)
+    name = rest[0] if rest else None
+    syn = _parse_syn_rules(syn_specs[0]) if syn_specs else None
+    return fold, name, syn
+
+
+def synonym_chain(
+    rules: dict[str, str], stemmer: str | None = None
+) -> str:
+    """Canonical chain string for index-time synonyms: appends a
+    deterministic (lhs-sorted) ``syn:`` part to an optional base chain
+    — pass the result as ``build_index(stemmer=...)``. Validates via
+    :func:`_parse_chain` before returning."""
+    if not rules:
+        raise ValueError("empty synonym rules")
+    spec = "syn:" + ",".join(
+        f"{lhs}={rules[lhs]}" for lhs in sorted(rules)
+    )
+    chain = f"{stemmer}+{spec}" if stemmer else spec
+    _parse_chain(chain)  # fail loud before any job runs
+    return chain
+
+
+# -- Index-time token expanders (edge_ngram / shingle) ------------------------
+#
+# ES's autocomplete / substring recipe: a dedicated subfield whose INDEX
+# analyzer multiplies tokens (edge n-grams or word shingles) while the
+# SEARCH analyzer stays standard — a user typing "spar" hits the indexed
+# gram "spar" directly. Because the expansion applies only at index
+# time, it cannot ride the `stemmer` chain slot (which every query path
+# re-applies); it is a separate `expander` meta slot consumed by the
+# index-side kernels only (sparkfts.tokens, sparkfts.index,
+# sparkfts.streaming inherit it; query analysis never sees it).
+#
+# Pinned semantics (deterministic, oracle-expressible in DuckDB):
+#  - ``edge:MIN-MAX``: per token, prefixes of length MIN..min(len, MAX);
+#    a token longer than MAX also emits itself (exact matches always
+#    work); a token shorter than MIN emits itself unchanged (stays
+#    searchable — ES drops it, pinned deviation for usability).
+#  - ``shingle:MIN-MAX``: original unigrams (ES output_unigrams=true)
+#    plus concatenated shingles of window sizes MIN..MAX. ES joins
+#    shingles with a space; the pinned joiner here is "" so every
+#    emitted term is a single analyzer token ([a-z0-9]+) — same
+#    semantics, different term surface (documented deviation).
+#
+# Doclen counts the EXPANDED stream (no Lucene discountOverlaps):
+# this makes "expander index == plain index over pre-expanded text"
+# an exact equivalence, which is the testable pin.
+
+
+def _parse_expander(expander: str | None) -> tuple[str, int, int] | None:
+    """``"edge:1-15"`` / ``"shingle:2-3"`` -> (kind, lo, hi); fail loud."""
+    if not expander:
+        return None
+    m = re.fullmatch(r"(edge|shingle):(\d+)-(\d+)", expander)
+    if m is None:
+        raise ValueError(
+            f"unknown expander {expander!r}; options: 'edge:MIN-MAX', "
+            "'shingle:MIN-MAX'"
+        )
+    kind, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+    if lo < 1 or hi < lo:
+        raise ValueError(f"expander bounds must satisfy 1 <= MIN <= MAX: "
+                         f"{expander!r}")
+    if kind == "shingle" and lo < 2:
+        raise ValueError("shingle MIN must be >= 2 (unigrams are always "
+                         "emitted)")
+    return kind, lo, hi
+
+
+def expand_tokens(toks: list[str], expander: str | None) -> list[str]:
+    """Apply the pinned index-time expander to one analyzed token
+    stream (identity when ``expander`` is None)."""
+    spec = _parse_expander(expander)
+    if spec is None:
+        return list(toks)
+    kind, lo, hi = spec
+    out: list[str] = []
+    if kind == "edge":
+        for t in toks:
+            n = len(t)
+            if n < lo:
+                out.append(t)
+                continue
+            for g in range(lo, min(n, hi) + 1):
+                out.append(t[:g])
+            if n > hi:
+                out.append(t)
+    else:  # shingle
+        out.extend(toks)
+        for size in range(lo, hi + 1):
+            for i in range(len(toks) - size + 1):
+                out.append("".join(toks[i:i + size]))
+    return out
 
 
 def stem_fn(stemmer: str | None):
@@ -294,9 +435,24 @@ def stem_fn(stemmer: str | None):
     (see :func:`tokenize`) — ES's asciifolding is a token filter, but
     this engine's ASCII tokenizer would split accented words before a
     token filter could fold them, so the pre-tokenize placement is
-    what makes the two analyzers equivalent (pinned)."""
-    _fold, name = _parse_chain(stemmer)
-    return _STEMMERS[name] if name else None
+    what makes the two analyzers equivalent (pinned).
+
+    With a ``syn:`` part in the chain the returned function is the
+    COMPOSITION stem-then-contract (ES analyzer-chain order: synonym
+    filter after the stemmer), so every token-level consumer applies
+    index-time synonyms for free."""
+    _fold, name, syn = _parse_chain(stemmer)
+    base = _STEMMERS[name] if name else None
+    if syn is None:
+        return base
+    if base is None:
+        return lambda t, _s=syn: _s.get(t, t)
+
+    def _composed(t, _b=base, _s=syn):
+        t = _b(t)
+        return _s.get(t, t)
+
+    return _composed
 
 
 # -- Tokenization ------------------------------------------------------------
@@ -324,7 +480,7 @@ def tokenize(text: str, stopwords=None, stemmer: str | None = None) -> list[str]
     :func:`porter_stem`. The SAME option must apply at query analysis
     (read back from the index meta, like stopwords).
     """
-    fold, _stem_name = _parse_chain(stemmer)
+    fold = _parse_chain(stemmer)[0]
     if fold:
         text = ascii_fold(text)
     toks = TOKEN_RE.findall(text.lower())

@@ -229,6 +229,7 @@ def build_index(
     stemmer: str | None = None,
     store_source: bool = False,
     routing_col: str | None = None,
+    expander: str | None = None,
 ) -> dict:
     """Build (or extend, see ``segment``) an index under ``out_dir``.
 
@@ -259,11 +260,29 @@ def build_index(
     the doc-space salt: a single hot routing value concentrates in one
     shard (ES documents the same skew caveat for custom routing).
 
+    ``expander``: OPTIONAL index-time token expander — ``"edge:1-15"``
+    (edge n-grams: the ES autocomplete recipe; a standard-analyzed
+    query "spar" hits the indexed gram directly) or ``"shingle:2-3"``
+    (word shingles for substring-phrase matching). Index-side ONLY:
+    query analysis stays standard by construction (ES search_analyzer
+    split), which is why this is a separate slot from the ``stemmer``
+    chain. Pinned semantics + the doclen contract (expanded stream) in
+    sparkfts.analysis. Mutually exclusive with stopwords/stemmer
+    (ES recipes use a dedicated autocomplete subfield with exactly
+    this analyzer) and with positions (build_positions refuses).
+
     Returns the meta dict (also written to ``meta.json``).
     """
-    from sparkfts.analysis import stem_fn
+    from sparkfts.analysis import _parse_expander, stem_fn
 
     stem_fn(stemmer)  # fail loud on unknown option before any job runs
+    _parse_expander(expander)
+    if expander is not None and (stopwords or stemmer):
+        raise ValueError(
+            "expander composes only with the pinned default analyzer "
+            "(no stopwords/stemmer) — use a dedicated autocomplete "
+            "index, the ES subfield recipe"
+        )
     if shard_filter is not None and fixed_stats is None:
         raise ValueError(
             "shard-filtered builds must pin global (n_docs, avgdl) via "
@@ -295,7 +314,8 @@ def build_index(
 
     if routing_col is None:
         tokens = tokenize_docs(
-            prepared, stopwords=stopwords, stemmer=stemmer
+            prepared, stopwords=stopwords, stemmer=stemmer,
+            expander=expander,
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
         )
@@ -304,7 +324,7 @@ def build_index(
         # passes the prepared frame's shard through each Arrow batch
         tokens = tokenize_docs(
             prepared, stopwords=stopwords, stemmer=stemmer,
-            shard_col="shard",
+            shard_col="shard", expander=expander,
         )
     # stats come from the docmap pass (a vectorized regex COUNT per doc),
     # not from a second full tokenization: sum(doclen) == total tokens, so
@@ -313,7 +333,7 @@ def build_index(
     if routing_col is None:
         docmap = build_docmap(
             prepared, docvalue_cols=docvalue_cols, stopwords=stopwords,
-            stemmer=stemmer,
+            stemmer=stemmer, expander=expander,
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
         )
@@ -323,6 +343,7 @@ def build_index(
             docvalue_cols=list(docvalue_cols or []) + ["shard"],
             stopwords=stopwords,
             stemmer=stemmer,
+            expander=expander,
         )
     docmap = docmap.cache()
     if fixed_stats is not None:
@@ -399,6 +420,7 @@ def build_index(
         "store_source": bool(store_source),
         "routing_col": routing_col or None,
         "id_source": id_source,
+        "expander": expander or None,
     }
     os.makedirs(seg, exist_ok=True)
     tmp = os.path.join(seg, META_FILE + ".tmp")

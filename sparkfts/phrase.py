@@ -131,6 +131,12 @@ def build_positions(
         os.path.join(index_dir, "segments", segment) if segment else index_dir
     )
     meta = read_meta(meta_dir)
+    if meta.get("expander"):
+        raise ValueError(
+            "positions are not supported on expander (edge_ngram/"
+            "shingle) indexes: expanded grams share source-token "
+            "positions, which the pinned phrase kernel does not model"
+        )
     n_shards, n_tbuckets = meta["n_shards"], meta["n_tbuckets"]
     sw, stemmer = analysis_opts(meta)
     prepared = prepare_pages(pages, id_source=id_source)

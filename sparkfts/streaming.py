@@ -114,6 +114,7 @@ def ingest_batch(
     store_source: bool | None = None,
     routing_col: str | None = None,
     docvalue_cols: list[str] | None = None,
+    expander: str | None = None,
 ) -> dict | None:
     """foreachBatch handler: one micro-batch -> one segment + stats update.
 
@@ -150,6 +151,10 @@ def ingest_batch(
             # segment docmaps must carry the same docvalue columns as
             # the base build or the cross-segment docmap union breaks
             docvalue_cols = root_meta.get("docvalue_cols") or None
+        if expander is None:
+            # streamed segments must expand tokens exactly like the
+            # base build (edge_ngram/shingle indexes)
+            expander = root_meta.get("expander") or None
 
     seg_name = f"stream_{int(batch_id):08d}"
     running = _read_running(index_dir)
@@ -165,7 +170,7 @@ def ingest_batch(
         keep = [c for c in keep if c]
     prepared = prepare_pages(batch_df, keep_cols=keep).cache()
     row = build_docmap(prepared, stopwords=stopwords,
-                   stemmer=stemmer).agg(
+                   stemmer=stemmer, expander=expander).agg(
         F.count("*").alias("n"),
         F.sum(F.col("doclen").cast("long")).alias("t"),
     ).collect()[0]
@@ -191,6 +196,7 @@ def ingest_batch(
         store_source=bool(store_source),
         routing_col=routing_col,
         docvalue_cols=list(docvalue_cols) if docvalue_cols else None,
+        expander=expander,
     )
     if positions:
         # before the stats commit: a crash here replays the whole batch

@@ -96,6 +96,7 @@ def _tokenize_batch(
     text_col: str,
     stopwords: frozenset | None = None,
     stemmer: str | None = None,
+    expander: str | None = None,
 ) -> pd.DataFrame:
     """Vectorized batch tokenize -> one row per (doc, distinct term).
 
@@ -123,6 +124,12 @@ def _tokenize_batch(
     if _parse_chain(stemmer)[0]:  # asciifold char filter: PRE-tokenize
         texts = texts.map(ascii_fold)
     toks = texts.str.lower().str.findall(TOKEN_RE)
+    if expander is not None:
+        # index-time edge_ngram/shingle expansion (index-only — query
+        # analysis stays standard); doclen counts the EXPANDED stream
+        from sparkfts.analysis import expand_tokens
+
+        toks = toks.map(lambda lst: expand_tokens(lst, expander))
     doclen = toks.str.len().astype("int32")
     n_per_doc = doclen.to_numpy()
     if n_per_doc.sum() == 0:
@@ -169,6 +176,7 @@ def tokenize_docs(
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
     shard_col: str | None = None,
+    expander: str | None = None,
 ) -> DataFrame:
     """``(id, text)`` -> ``(doc_id, term, tf, doclen)`` (one row per distinct term).
 
@@ -193,7 +201,8 @@ def tokenize_docs(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = _tokenize_batch(
-                pdf, "doc_id", "text", stopwords=sw, stemmer=stemmer
+                pdf, "doc_id", "text", stopwords=sw, stemmer=stemmer,
+                expander=expander,
             )
             if shard_col is not None:
                 out = out.merge(
@@ -262,6 +271,7 @@ def build_docmap(
     docvalue_cols: list[str] | None = None,
     stopwords: list[str] | None = None,
     stemmer: str | None = None,
+    expander: str | None = None,
 ) -> DataFrame:
     """``(doc_id, url, doclen[, docvalues...])`` — per-doc metadata.
 
@@ -274,7 +284,7 @@ def build_docmap(
     folded), so doclen must count the FOLDED stream; stemming itself is
     1:1 and never changes doclen.
     """
-    from sparkfts.analysis import _parse_chain, ascii_fold
+    from sparkfts.analysis import _parse_chain, ascii_fold, expand_tokens
 
     sw = frozenset(stopwords) if stopwords else None
     fold = _parse_chain(stemmer)[0]
@@ -284,6 +294,11 @@ def build_docmap(
         text = text.fillna("")
         if fold:
             text = text.map(ascii_fold)
+        if expander is not None:
+            toks = text.str.lower().str.findall(TOKEN_RE)
+            return toks.map(
+                lambda lst: len(expand_tokens(lst, expander))
+            ).astype("int32")
         if sw:
             toks = text.str.lower().str.findall(TOKEN_RE)
             return toks.map(

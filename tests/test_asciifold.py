@@ -24,10 +24,10 @@ def test_fold_pins():
 
 
 def test_chain_parsing_and_tokenize():
-    assert _parse_chain(None) == (False, None)
-    assert _parse_chain("porter") == (False, "porter")
-    assert _parse_chain("asciifold") == (True, None)
-    assert _parse_chain("asciifold+porter") == (True, "porter")
+    assert _parse_chain(None) == (False, None, None)
+    assert _parse_chain("porter") == (False, "porter", None)
+    assert _parse_chain("asciifold") == (True, None, None)
+    assert _parse_chain("asciifold+porter") == (True, "porter", None)
     for bad in ("snowball", "asciifold+snowball", "porter+porter"):
         with pytest.raises(ValueError):
             _parse_chain(bad)
