@@ -103,7 +103,10 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
         import json as _json
 
         with open(meta_path) as f:
-            stale = _json.load(f).get("docvalue_cols", []) != want_dv
+            m = _json.load(f)
+        stale = m.get("docvalue_cols", []) != want_dv or not m.get(
+            "store_source"
+        )  # r5: significant_text / terms-lookup need _source
     if stale:
         import shutil
 
@@ -117,6 +120,7 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
             n_tbuckets=16,
             id_source="column",
             docvalue_cols=want_dv,
+            store_source=True,
         )
     return idx
 
@@ -1073,6 +1077,64 @@ def q_significant_terms(spark, sf_dir):
             "score_e6"
         ),
     )
+
+
+def q_significant_text(spark, sf_dir):
+    """ES significant_text: JLH-scored terms over the match set's
+    RE-ANALYZED stored _source (sparkfts/aggs.py significant_text) —
+    the free-text counterpart of significant_terms."""
+    from sparkfts.aggs import significant_text
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = significant_text(
+        spark, idx, BM25_QUERY_AND, mode="and", size=10, min_doc_count=3
+    )
+    return res.select(
+        "term", "df_fg", "df_bg",
+        F.floor(F.col("score_jlh") * 1_000_000 + 0.5).cast("long").alias(
+            "score_e6"
+        ),
+    )
+
+
+def q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric (pinned subset): per-doc map script over
+    docmap fields compiled to ONE Catalyst column, order-free exact
+    combine (max) + doc_count (sparkfts/aggs.py scripted_metric)."""
+    from sparkfts.aggs import scripted_metric
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = scripted_metric(
+        spark, idx, BM25_QUERY_AND,
+        map_script="sqrt(n_chars) + n_chars / 7",
+        combine="max", mode="and", fields=["n_chars"],
+    )
+    return res.select(
+        "doc_count",
+        F.floor(F.col("value") * 10_000 + 0.5).cast("long").alias(
+            "value_e4"
+        ),
+    )
+
+
+TERMS_LOOKUP_DOC = 7  # lookup document id (exists at every SF)
+
+
+def q_fts_terms_lookup(spark, sf_dir):
+    """ES terms-lookup query: the filter's value set is FETCHED from
+    another document (index/id/path form) instead of inlined — mget ->
+    value list -> IN predicate pushed into the docmap scan
+    (sparkfts/lifecycle.py terms_lookup_values/_expr)."""
+    from sparkfts.lifecycle import terms_lookup_expr, terms_lookup_values
+    from sparkfts.query import bm25_index_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    vals = terms_lookup_values(spark, idx, TERMS_LOOKUP_DOC, "source")
+    res = bm25_index_batch(
+        spark, idx, [(0, BM25_QUERY_OR, 10)], mode="or",
+        filter_expr=terms_lookup_expr("source", vals),
+    )
+    return res.select("doc_id", _score_e4_col())
 
 
 def q_more_like_this(spark, sf_dir):
@@ -3051,6 +3113,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": q_auto_date_histogram,
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
+        "significant_text": q_significant_text,
+        "scripted_metric": q_scripted_metric,
+        "fts_terms_lookup": q_fts_terms_lookup,
         "more_like_this": q_more_like_this,
         "fts_rescore_topk": q_fts_rescore_topk,
         "highlight_spans": q_highlight_spans,
@@ -3985,6 +4050,56 @@ SELECT term, df_fg, df_bg,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6
 FROM scored WHERE s > 0 ORDER BY s DESC, term LIMIT 10
 """
+
+    # significant_text: same JLH pin as significant_terms, but the
+    # foreground is the AND match set's re-analyzed source text
+    _st_and = ", ".join(
+        f"'{t}'" for t in sorted(set(BM25_QUERY_AND.split()))
+    )
+    _st_n = len(set(BM25_QUERY_AND.split()))
+    sqls["significant_text"] = f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT doc_id FROM toks WHERE tok IN ({_st_and})
+            GROUP BY doc_id HAVING count(DISTINCT tok) = {_st_n}),
+nm AS (SELECT count(*) AS n FROM matched),
+nd AS (SELECT count(*) AS n FROM documents),
+fg AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df_fg
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+bg AS (SELECT tok AS term, count(DISTINCT doc_id) AS df_bg
+       FROM toks GROUP BY 1),
+scored AS (
+  SELECT f.term, f.df_fg, b.df_bg,
+         (f.df_fg / (SELECT n * 1.0 FROM nm)
+          - b.df_bg / (SELECT n * 1.0 FROM nd))
+         * ((f.df_fg / (SELECT n * 1.0 FROM nm))
+            / (b.df_bg / (SELECT n * 1.0 FROM nd))) AS s
+  FROM fg f JOIN bg b USING (term))
+SELECT term, df_fg, df_bg,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM scored WHERE s > 0 ORDER BY s DESC, term LIMIT 10
+"""
+
+    sqls["scripted_metric"] = f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT doc_id FROM toks WHERE tok IN ({_st_and})
+            GROUP BY doc_id HAVING count(DISTINCT tok) = {_st_n})
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(floor(max(sqrt(CAST(n_chars AS DOUBLE))
+                      + CAST(n_chars AS DOUBLE) / 7) * 10000 + 0.5)
+            AS BIGINT) AS value_e4
+FROM documents WHERE doc_id IN (SELECT doc_id FROM matched)
+"""
+
+    sqls["fts_terms_lookup"] = _bm25_sql(
+        sorted(set(BM25_QUERY_OR.split())),
+        False,
+        extra_where=(
+            "AND doc_id IN (SELECT doc_id FROM documents WHERE source IN "
+            f"(SELECT source FROM documents WHERE doc_id = {TERMS_LOOKUP_DOC}))"
+        ),
+    )
 
     sqls["more_like_this"] = f"""
 WITH toks AS ({_TOKS}),

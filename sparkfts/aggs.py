@@ -954,6 +954,143 @@ def significant_terms(
     )
 
 
+def significant_text(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "and",
+    size: int = 10,
+    min_doc_count: int = 3,
+    pages: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation -> (term, df_fg, df_bg,
+    score_jlh), score desc then term asc, top ``size``.
+
+    Unlike :func:`significant_terms` (which counts over the INDEXED
+    postings), significant_text RE-ANALYZES the source text of the
+    match set — ES's point being that the field need not be indexed
+    with doc_values and ad-hoc analysis params can apply.  Here the
+    foreground source is the stored ``_source`` (newest-wins,
+    tombstone-aware; requires ``store_source=True``), or an explicit
+    ``pages`` table (doc_id, text) standing in for it.  The re-analysis
+    applies the index's own pinned chain (stopwords/stemmer/synonyms
+    from meta) so foreground terms align with the dictionary's
+    background dfs.  Scoring = the same pinned JLH as significant_terms.
+
+    Plan: match kernel -> join text source on doc_id (the foreground
+    is |match set| rows, never the corpus) -> tokenize_docs Arrow
+    kernel -> groupBy(term) count = df_fg -> broadcast-join the terms
+    dictionary for df_bg. One shuffle on term over the match set's
+    distinct (doc, term) pairs only.
+    """
+    from sparkfts.analysis import analysis_opts
+    from sparkfts.index import load_terms, read_meta
+    from sparkfts.lifecycle import source_pages
+    from sparkfts.tokens import tokenize_docs
+
+    meta = read_meta(index_dir)
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode).select(
+        "doc_id"
+    )
+    n_matched = matched.count()
+    if n_matched == 0:
+        return spark.createDataFrame(
+            [], "term string, df_fg long, df_bg long, score_jlh double"
+        )
+    if pages is None:
+        pages = source_pages(spark, index_dir)
+    fg_pages = pages.select("doc_id", "text").join(matched, "doc_id")
+    sw, stem = analysis_opts(meta)
+    fg = (
+        tokenize_docs(
+            fg_pages, stopwords=sorted(sw) if sw else None, stemmer=stem
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df_fg"))
+        .where(F.col("df_fg") >= F.lit(int(min_doc_count)))
+    )
+    bg = load_terms(spark, index_dir).select(
+        "term", F.col("df").alias("df_bg")
+    )
+    n_docs = meta["n_docs"]
+    fg_rate = F.col("df_fg") / F.lit(float(n_matched))
+    bg_rate = F.col("df_bg") / F.lit(float(n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score_jlh", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+        .where(F.col("score_jlh") > 0)
+        .select("term", "df_fg", "df_bg", "score_jlh")
+        .orderBy(F.desc("score_jlh"), F.asc("term"))
+        .limit(size)
+    )
+
+
+_SCRIPTED_COMBINES = ("sum", "min", "max", "avg", "count")
+
+
+def scripted_metric(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    map_script: str,
+    combine: str = "sum",
+    mode: str = "and",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, pinned subset -> ONE row
+    ``(doc_count, value)``.
+
+    ES's general form is init/map/combine/reduce Painless; the
+    deterministic subset pinned here is its overwhelmingly common
+    shape: ``map_script`` = an arithmetic expression over the doc's
+    fields (the sparkfts.scripting grammar — same engine as
+    script_score / runtime fields, compiled to ONE Catalyst column,
+    never per-row Python), ``combine`` = an associative reduce
+    (``sum`` / ``min`` / ``max`` / ``avg`` / ``count``).  Fields
+    resolve against the docmap (``doclen`` + any ``docvalue_cols``).
+
+    Float caveat (driver-contract): ``sum``/``avg`` of float64 map
+    values are association-order-dependent across engines — quantize
+    per-doc values to integers in the script, or compare coarsely;
+    ``min``/``max``/``count`` are exact.
+    """
+    from sparkfts.index import load_docmap, read_meta
+    from sparkfts.scripting import compile_script_column
+
+    if combine not in _SCRIPTED_COMBINES:
+        raise ValueError(
+            f"combine must be one of {_SCRIPTED_COMBINES}, got {combine!r}"
+        )
+    meta = read_meta(index_dir)
+    avail = ["doclen"] + [
+        c for c in meta.get("docvalue_cols", []) if c not in ("doc_id",)
+    ]
+    use = fields if fields is not None else avail
+    bad = sorted(set(use) - set(avail))
+    if bad:
+        raise ValueError(
+            f"script fields {bad} not on the docmap (have {avail})"
+        )
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode).select(
+        "doc_id"
+    )
+    dm = load_docmap(spark, index_dir).select("doc_id", *use).join(
+        matched, "doc_id"
+    )
+    col = compile_script_column(map_script, {c: F.col(c) for c in use})
+    vals = dm.select(col.alias("__v"))
+    agg = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+        "count": F.count,
+    }[combine]
+    return vals.agg(
+        F.count("*").alias("doc_count"), agg("__v").alias("value")
+    )
+
+
 def extended_stats_agg(
     spark: SparkSession,
     index_dir: str,

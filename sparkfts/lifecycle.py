@@ -124,6 +124,92 @@ def mget(
     return out.orderBy("_ord").select(*cols)
 
 
+def terms_lookup_values(
+    spark: SparkSession,
+    index_dir: str,
+    lookup_doc_id: int,
+    path: str,
+    max_terms: int = 65536,
+) -> list:
+    """ES terms-lookup fetch (the ``terms`` query's index/id/path
+    form): the value(s) of ``path`` on the lookup document, ready for
+    :func:`terms_lookup_expr`.
+
+    - ``path='text'``: the list-valued case — the analyzed DISTINCT
+      token list of the stored ``_source`` (requires
+      ``store_source=True``), under the index's own pinned chain.
+    - otherwise ``path`` must be ``url`` or a docvalue column ->
+      ``[value]`` (newest segment wins; tombstoned lookup doc = not
+      found, fail loud — ES returns no terms and matches nothing, but
+      silence here would hide a caller bug).
+
+    Driver-side literal list BY DESIGN: ES caps terms lookup at 65536
+    terms (same bound here, fail loud), so the fetched list is always
+    coordinator-sized, and the resulting IN predicate pushes into the
+    docmap parquet scan like any bool.filter."""
+    from sparkfts.analysis import analysis_opts, tokenize
+    from sparkfts.index import read_meta
+
+    meta = read_meta(index_dir)
+    if path == "text":
+        row = mget(
+            spark, index_dir, [int(lookup_doc_id)], with_source=True
+        ).collect()[0]
+        if not row["found"]:
+            raise ValueError(f"lookup doc {lookup_doc_id} not found")
+        sw, stem = analysis_opts(meta)
+        vals = sorted(set(tokenize(row["text"], sw, stem)))
+    else:
+        avail = ["url"] + [
+            c for c in meta.get("docvalue_cols", []) if c != "doc_id"
+        ]
+        if path not in avail:
+            raise ValueError(
+                f"terms-lookup path {path!r} not on the docmap "
+                f"(have {avail} + 'text' with store_source)"
+            )
+        from sparkfts.deletes import load_tombstones
+        from sparkfts.index import load_docmap
+
+        tombstones = load_tombstones(spark, index_dir) or set()
+        if int(lookup_doc_id) in tombstones:
+            raise ValueError(f"lookup doc {lookup_doc_id} is deleted")
+        rows = (
+            load_docmap(spark, index_dir)
+            .where(F.col("doc_id") == int(lookup_doc_id))
+            .select(path, "segment_id")
+            .orderBy(F.desc("segment_id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"lookup doc {lookup_doc_id} not found")
+        vals = [rows[0][path]]
+    if len(vals) > int(max_terms):
+        raise ValueError(
+            f"terms lookup fetched {len(vals)} terms > max_terms "
+            f"{max_terms} (the ES 65536 cap)"
+        )
+    return vals
+
+
+def terms_lookup_expr(field: str, values: list) -> str:
+    """Values from :func:`terms_lookup_values` -> a ``bool.filter``
+    predicate string for ``bm25_index_batch(filter_expr=...)`` /
+    ``SearchRequest``. Strings are quoted + escaped; ints pass raw."""
+    if not values:
+        # ES: an empty lookup matches nothing
+        return "1 = 0"
+    parts = []
+    for v in values:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{s}'")
+        else:
+            parts.append(str(v))
+    return f"{field} IN ({', '.join(parts)})"
+
+
 def reindex(
     spark: SparkSession,
     src_index: str,
