@@ -2131,6 +2131,54 @@ def q_fts_span_first(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_span_or(spark, sf_dir):
+    """ES span_or over single-term clauses: tfp = |union of member
+    positions|, idf = summed member idfs (sparkfts/spans.py pin)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_or_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_or_batch(spark, idx, [(0, BM25_QUERY_OR, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_span_not(spark, sf_dir):
+    """ES span_not pre=1 post=1: include occurrences with no exclude
+    occurrence in [p-1, p+1] (sparkfts/spans.py pin)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_not_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    inc, exc = PHRASE_QUERY.split()[:2]
+    res = span_not_batch(spark, idx, [(0, inc, exc, 10)], pre=1, post=1)
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_span_containing(spark, sf_dir):
+    """ES span_containing slop=3: unordered big-window anchors whose
+    window also holds the little term (sparkfts/spans.py pin)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_containing_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_containing_batch(
+        spark, idx, [(0, PHRASE_QUERY, "spark", 10)], slop=3
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_extended_stats_agg(spark, sf_dir):
     """ES extended_stats over the OR match set: + sum_of_squares and
     the pinned moment-formula population variance/std."""
@@ -3182,6 +3230,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix_agg": q_adjacency_matrix_agg,
         "fts_span_near": q_fts_span_near,
         "fts_span_first": q_fts_span_first,
+        "fts_span_or": q_fts_span_or,
+        "fts_span_not": q_fts_span_not,
+        "fts_span_containing": q_fts_span_containing,
         "phrase_suggest": q_phrase_suggest,
         "fts_bool_prefix": q_fts_bool_prefix,
         "completion_suggest": q_completion_suggest,
@@ -5185,6 +5236,105 @@ hits AS (
     AND EXISTS (SELECT 1 FROM toks c
                 WHERE c.doc_id = a.doc_id AND c.tok = '{t1_term}'
                   AND c.pos >= a.pos AND c.pos <= a.pos + 3)),
+freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # r5 span family: same positions CTEs, pinned specs in sparkfts/spans.py
+    sqls["fts_span_or"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ({or_terms}) GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM dfs d CROSS JOIN stats s),
+freq AS (SELECT doc_id, count(*) AS tfp FROM toks
+         WHERE tok IN ({or_terms}) GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_span_not"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+idf AS (
+  SELECT ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS isum
+  FROM (SELECT count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok = '{t0_term}') d CROSS JOIN stats s),
+freq AS (
+  SELECT a.doc_id, count(*) AS tfp FROM toks a
+  WHERE a.tok = '{t0_term}'
+    AND NOT EXISTS (SELECT 1 FROM toks b
+                    WHERE b.doc_id = a.doc_id AND b.tok = '{t1_term}'
+                      AND b.pos >= a.pos - 1 AND b.pos <= a.pos + 1)
+  GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_span_containing"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+pterms(term) AS (VALUES ('{t0_term}'), ('{t1_term}'), ('spark')),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN ('{t0_term}', '{t1_term}', 'spark') GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN dfs d USING (term) CROSS JOIN stats s),
+hits AS (
+  SELECT DISTINCT a.doc_id, a.pos AS anchor
+  FROM toks a
+  WHERE a.tok IN ('{t0_term}', '{t1_term}')
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = a.doc_id AND b.tok = '{t0_term}'
+                  AND b.pos >= a.pos AND b.pos <= a.pos + 4)
+    AND EXISTS (SELECT 1 FROM toks c
+                WHERE c.doc_id = a.doc_id AND c.tok = '{t1_term}'
+                  AND c.pos >= a.pos AND c.pos <= a.pos + 4)
+    AND EXISTS (SELECT 1 FROM toks l
+                WHERE l.doc_id = a.doc_id AND l.tok = 'spark'
+                  AND l.pos >= a.pos AND l.pos <= a.pos + 4)),
 freq AS (SELECT doc_id, count(*) AS tfp FROM hits GROUP BY 1),
 scored AS (
   SELECT f.doc_id,

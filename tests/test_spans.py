@@ -161,3 +161,110 @@ def test_span_first(spark, span_index, positions):
     assert [r["doc_id"] for r in got] == [d for d, _ in exp]
     for r, (_, es) in zip(got, exp):
         assert math.isclose(r["score"], es, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r5: span_or / span_not / span_containing vs loop-based mirrors
+# ---------------------------------------------------------------------------
+
+
+def _score(isum, tfp, dl, avgdl):
+    norm = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+    return isum * (tfp / (tfp + norm)) * 2.2
+
+
+def _stats(positions):
+    n = len(positions)
+    return n, sum(dl for _, dl in positions.values()) / n
+
+
+def test_span_or(spark, span_index, positions):
+    from sparkfts.spans import span_or_batch
+
+    terms = sorted(set(_pick_terms(positions, 3)))
+    _, avgdl = _stats(positions)
+    isum = sum(_idf(positions, t) for t in terms)
+    exp = []
+    for doc, (pos, dl) in positions.items():
+        tfp = len({p for t in terms if t in pos for p in pos[t]})
+        if tfp:
+            exp.append((doc, _score(isum, tfp, dl, avgdl)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    got = span_or_batch(
+        spark, span_index, [(0, " ".join(terms), 10)]
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp[:10]]
+    for r, (_, es) in zip(got, exp):
+        assert math.isclose(r["score"], es, rel_tol=1e-9)
+
+
+def test_span_not(spark, span_index, positions):
+    from sparkfts.spans import span_not_batch
+
+    inc, exc = _pick_terms(positions, 2)
+    _, avgdl = _stats(positions)
+    idf = _idf(positions, inc)
+    for pre, post in ((0, 0), (1, 2)):
+        exp = []
+        for doc, (pos, dl) in positions.items():
+            if inc not in pos:
+                continue
+            ep = pos.get(exc, [])
+            tfp = sum(
+                1 for p in pos[inc]
+                if not any(p - pre <= e <= p + post for e in ep)
+            )
+            if tfp:
+                exp.append((doc, _score(idf, tfp, dl, avgdl)))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        got = span_not_batch(
+            spark, span_index, [(0, inc, exc, 10)], pre=pre, post=post
+        ).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp[:10]], (
+            pre, post,
+        )
+        for r, (_, es) in zip(got, exp):
+            assert math.isclose(r["score"], es, rel_tol=1e-9)
+    # some doc must actually lose occurrences to the exclusion
+    full = {d: (pos, dl) for d, (pos, dl) in positions.items()
+            if inc in pos and exc in pos}
+    assert full, "fixture premise: overlap docs exist"
+
+
+def test_span_containing(spark, span_index, positions):
+    from sparkfts.spans import span_containing_batch
+
+    t = _pick_terms(positions, 3)
+    big, little = t[:2], t[2]
+    _, avgdl = _stats(positions)
+    isum = sum(_idf(positions, x) for x in big) + _idf(positions, little)
+    slop = 3
+    span = slop + len(big) - 1
+    exp = []
+    for doc, (pos, dl) in positions.items():
+        if any(x not in pos for x in (*big, little)):
+            continue
+        anchors = sorted({p for x in big for p in pos[x]})
+        tfp = sum(
+            1 for a in anchors
+            if all(any(a <= p <= a + span for p in pos[x])
+                   for x in (*big, little))
+        )
+        if tfp:
+            exp.append((doc, _score(isum, tfp, dl, avgdl)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    got = span_containing_batch(
+        spark, span_index, [(0, " ".join(big), little, 10)], slop=slop
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp[:10]]
+    for r, (_, es) in zip(got, exp):
+        assert math.isclose(r["score"], es, rel_tol=1e-9)
+
+
+def test_span_new_guards(spark, span_index):
+    from sparkfts.spans import span_containing_batch, span_not_batch
+
+    with pytest.raises(ValueError, match="single-term"):
+        span_not_batch(spark, span_index, [(0, "two words", "x", 5)])
+    with pytest.raises(ValueError, match="ONE little"):
+        span_containing_batch(spark, span_index, [(0, "a b", "c d", 5)])
