@@ -1996,6 +1996,22 @@ def q_bpe_token_counts(spark, sf_dir):
     return apply_bpe(docs, merges).orderBy("doc_id")
 
 
+def q_unigram_token_counts(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer (sparkfts.ops.unigram):
+    seed substrings from the pruned word-frequency table (the one
+    corpus-scale stage, same shape as BPE), hard-EM piece estimation on
+    the driver, distributed Viterbi segmentation. Iterative EM training
+    is not SQL-expressible, so this entry is rows-only by design (like
+    bpe_token_counts); the spec is pinned against enumeration mirrors
+    in tests/test_unigram.py."""
+    from sparkfts.ops.unigram import apply_unigram, learn_unigram
+
+    docs = _docs(spark, sf_dir)
+    vocab = learn_unigram(docs, vocab_size=500, em_iters=2,
+                          max_words=5000)
+    return apply_unigram(docs, vocab).orderBy("doc_id")
+
+
 def q_pack_manifest(spark, sf_dir):
     """Sequence-packing manifest (concat-then-chunk, capacity 2048):
     where every doc lands in the packed token stream — a two-phase
@@ -3243,6 +3259,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_funnel": q_curate_funnel,
         "pack_manifest": q_pack_manifest,
         "bpe_token_counts": q_bpe_token_counts,
+        "unigram_token_counts": q_unigram_token_counts,
         "has_child_topk": q_has_child_topk,
         "has_parent_topk": q_has_parent_topk,
         "has_child_inner_hits": q_has_child_inner_hits,
