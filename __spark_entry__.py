@@ -3101,14 +3101,15 @@ _ATTEST_WINDOW_R5 = [
     "geo_distance_rings",
     "runtime_field_topk",
     "runtime_field_agg",
-    "extended_stats_agg",
-    "weighted_avg_agg",
-    "top_metrics_agg",
-    "date_range_agg",
-    "adjacency_matrix_agg",
-    "multi_terms_agg",
-    "boxplot_agg",
-    "t_test_agg",
+    # -- brand-new in round 5 (also never attested, by construction) ----
+    "fts_edge_ngram",
+    "significant_text",
+    "scripted_metric",
+    "fts_terms_lookup",
+    "fts_span_or",
+    "fts_span_not",
+    "fts_span_containing",
+    "unigram_token_counts",
     "ann_sq8_topk",
     "ann_pq_topk",
     "ann_bbq_topk",

@@ -118,12 +118,19 @@ def _run_once(
     sf: float,
     multifield: bool = False,
     n_shards: int = 16,
+    build_reps: int = 1,
 ) -> dict:
     """One full cycle: build index, run the 50-query set, collect timings.
 
     ``multifield=True`` swaps the build for the two-field (title, text)
     multi-field index and the query batch for best-fields multi_match —
     the scaling-evidence mode for feature growth (round-1 VERDICT #9).
+
+    ``build_reps``: the default headline uses median-of-3 builds sharing
+    ONE warmup (round-4 VERDICT #7 — single-shot builds sat noise-bound
+    against the 5.2-6.5 s host-variance band); scaling legs keep 1 rep
+    (they compare two legs under an identical protocol, and tripling a
+    1M-doc build would triple the leg's wall clock for no ratio gain).
     """
     from pyspark.sql import SparkSession
 
@@ -175,6 +182,7 @@ def _run_once(
                 n_shards=n_shards, n_tbuckets=16,
             )
             t_build = time.time() - t0
+            build_times = [t_build]
             from sparkfts.index import read_meta
 
             meta = read_meta(field_dir(idx, "text"))
@@ -185,9 +193,16 @@ def _run_once(
                 for f in ("title", "text")
             )
         else:
-            t0 = time.time()
-            meta = build_index(pages, idx, n_shards=n_shards, n_tbuckets=16)
-            t_build = time.time() - t0
+            build_times = []
+            for rep in range(max(1, int(build_reps))):
+                if rep:
+                    _shutil.rmtree(idx, ignore_errors=True)
+                t0 = time.time()
+                meta = build_index(
+                    pages, idx, n_shards=n_shards, n_tbuckets=16
+                )
+                build_times.append(time.time() - t0)
+            t_build = statistics.median(build_times)
 
             # north-star metrics: postings/sec + compression (BASELINE.md)
             n_postings = spark.read.parquet(os.path.join(idx, "terms")).agg(
@@ -303,6 +318,7 @@ def _run_once(
             return {
                 "cores": cores,
                 "build_sec": round(t_build, 3),
+                "build_secs": [round(t, 3) for t in build_times],
                 "docs_per_sec": round(n_docs / t_build, 1),
                 "batch50_sec": round(t_batch, 3),
                 "qps_batch": round(len(qs) / t_batch, 2),
@@ -394,6 +410,7 @@ def _run_once(
         return {
             "cores": cores,
             "build_sec": round(t_build, 3),
+            "build_secs": [round(t, 3) for t in build_times],
             "docs_per_sec": round(n_docs / t_build, 1),
             "batch50_sec": round(t_batch, 3),
             "qps_batch": round(len(qs) / t_batch, 2),
@@ -421,6 +438,73 @@ def _run_once(
         spark.stop()
 
 
+def run_merge_bench(cores: int, n_docs: int = 100_000,
+                    n_segments: int = 4) -> dict:
+    """Merge/compaction throughput (round-4 VERDICT #8): build a base
+    index over ``n_docs * (1 - n_segments/10)`` docs, stream the rest in
+    as ``n_segments`` committed segments (exercising the real append
+    path), then time ``merge_segments`` — at 10^12 docs compaction is a
+    first-class cost, so it gets first-class evidence. Reports docs/sec
+    and postings/sec through the merge (the merge rewrites every
+    posting once: one sorted co-partitioned pass, no unpruned scans —
+    plan audited in tests/test_checkpoint_merge)."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sparkfts.index import build_index
+    from sparkfts.merge import merge_segments
+    from sparkfts.session import get_spark
+    from sparkfts.streaming import ingest_batch
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(cores=cores, app_name=f"sparkfts-merge-{cores}",
+                      shuffle_partitions=64)
+    try:
+        path, n_docs = _ensure_corpus(None, n_docs)
+        pages = spark.read.parquet(path)
+        idx = os.path.join(REPO, ".scratch", f"merge_idx_{n_docs}")
+        shutil.rmtree(idx, ignore_errors=True)
+        seg_docs = n_docs // 10
+        slot = F.pmod(F.crc32(F.col("url")), F.lit(10))
+        base = pages.where(slot >= n_segments)
+        build_index(base, idx, n_shards=16, n_tbuckets=16)
+        for b in range(n_segments):
+            ingest_batch(
+                pages.where(slot == b), b, idx,
+                n_shards=16, n_tbuckets=16,
+            )
+        n_postings = (
+            spark.read.parquet(os.path.join(idx, "terms"))
+            .agg({"df": "sum"}).collect()[0][0]
+        )
+        t0 = time.time()
+        meta = merge_segments(spark, idx)
+        t_merge = time.time() - t0
+        merged_postings = (
+            spark.read.parquet(os.path.join(idx, "terms"))
+            .agg({"df": "sum"}).collect()[0][0]
+        )
+        return {
+            "cores": cores,
+            "n_docs": int(meta["n_docs"]),
+            "n_segments_merged": n_segments + 1,
+            "segment_docs": seg_docs,
+            "merge_sec": round(t_merge, 3),
+            "merge_docs_per_sec": round(meta["n_docs"] / t_merge, 1),
+            "merge_postings_per_sec": round(
+                int(merged_postings) / t_merge, 1
+            ),
+            "n_postings_premerge_root": int(n_postings),
+            "n_postings_merged": int(merged_postings),
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -436,7 +520,23 @@ def main() -> None:
                     help="time the wave-4/5 operator families "
                          "(driver entries) instead of the headline "
                          "build+query benchmark")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge/compaction throughput: base index + "
+                         "streamed segments -> timed merge_segments")
+    ap.add_argument("--merge-docs", type=int, default=100_000)
     args = ap.parse_args()
+
+    if args.merge:
+        r = run_merge_bench(args.cores, n_docs=args.merge_docs)
+        print(json.dumps({
+            "metric": "sparkfts_merge_throughput",
+            "value": r["merge_sec"],
+            "unit": "sec",
+            "queries": {},
+            "sf": _sf_of(SF_DIR),
+            **r,
+        }))
+        return
 
     if args.extended:
         ops = run_extended(args.cores)
@@ -494,8 +594,11 @@ def main() -> None:
             },
         }
     else:
+        # median-of-3 headline build (r4 VERDICT #7); subprocess scaling
+        # legs (--docs set) keep single-shot builds
         r = _run_once(args.cores, corpus_path, n_docs, sf,
-                      args.multifield, n_shards=args.shards)
+                      args.multifield, n_shards=args.shards,
+                      build_reps=1 if args.docs is not None else 3)
         out = {
             "metric": "sparkfts_build_plus_query",
             "value": round(r["build_sec"] + r["batch50_sec"], 3),
@@ -503,6 +606,8 @@ def main() -> None:
             "queries": r["latencies"],
             "sf": sf,
             "build_sec": r["build_sec"],
+            "build_sec_median3": r["build_sec"],
+            "build_secs": r.get("build_secs"),
             "docs_per_sec": r["docs_per_sec"],
             "batch50_sec": r["batch50_sec"],
             "qps_batch": r["qps_batch"],
