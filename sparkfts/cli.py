@@ -54,6 +54,8 @@ def cmd_build(args: argparse.Namespace) -> None:
             raise SystemExit(
                 "--routing-col is not supported with --fields"
             )
+        if args.expander:
+            raise SystemExit("--expander is not supported with --fields")
         from sparkfts.multifield import build_multifield_index
 
         mf = build_multifield_index(
@@ -86,11 +88,12 @@ def cmd_build(args: argparse.Namespace) -> None:
     if args.resume:
         if args.routing_col:
             raise SystemExit("--routing-col is not supported with --resume")
-        if args.stopwords or args.stemmer:
+        if args.stopwords or args.stemmer or args.expander:
             # resumable builds pin global stats up front; analyzer-aware
             # stats aren't threaded there yet — fail loudly, never drop
             raise SystemExit(
-                "--stopwords/--stemmer are not supported with --resume"
+                "--stopwords/--stemmer/--expander are not supported "
+                "with --resume"
             )
         from sparkfts.checkpoint import resumable_build
 
@@ -119,6 +122,7 @@ def cmd_build(args: argparse.Namespace) -> None:
             ),
             stemmer=args.stemmer,
             routing_col=args.routing_col,
+            expander=args.expander,
         )
     sec = time.time() - t0
     print(
@@ -191,6 +195,10 @@ def cmd_query(args: argparse.Namespace) -> None:
     new_modes = [
         ("--span-near", args.span_near),
         ("--span-first", args.span_first is not None),
+        ("--span-or", args.span_or),
+        ("--span-not", args.span_not is not None),
+        ("--span-containing", args.span_containing is not None),
+        ("--terms-lookup", args.terms_lookup is not None),
         ("--boosting", args.boosting is not None),
         ("--constant-score", args.constant_score is not None),
         ("--rank-feature", args.rank_feature is not None),
@@ -225,7 +233,8 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--no-blockmax", args.no_blockmax),
                 ("--max-expansions", args.max_expansions is not None),
                 ("--transpositions", args.transpositions),
-                ("--slop", args.slop and flag != "--span-near"),
+                ("--slop", args.slop and flag not in
+                 ("--span-near", "--span-containing")),
                 ("--routing", args.routing is not None),
                 ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
                 ("--scroll", bool(args.scroll)),
@@ -264,6 +273,64 @@ def cmd_query(args: argparse.Namespace) -> None:
                 spark, args.index,
                 [(0, args.query, args.span_first, args.k)],
             )
+        elif flag in ("--span-or", "--span-not", "--span-containing"):
+            if not os.path.isdir(os.path.join(args.index, "positions")):
+                raise SystemExit(
+                    "no positions table; run `positions --input ... "
+                    "--index ...`"
+                )
+            if flag == "--span-or":
+                from sparkfts.spans import span_or_batch
+
+                res = span_or_batch(
+                    spark, args.index, [(0, args.query, args.k)]
+                )
+            elif flag == "--span-not":
+                from sparkfts.spans import span_not_batch
+
+                try:
+                    res = span_not_batch(
+                        spark, args.index,
+                        [(0, args.query, args.span_not, args.k)],
+                        pre=args.span_pre, post=args.span_post,
+                    )
+                except ValueError as e:
+                    raise SystemExit(str(e)) from e
+            else:
+                from sparkfts.spans import span_containing_batch
+
+                try:
+                    res = span_containing_batch(
+                        spark, args.index,
+                        [(0, args.query, args.span_containing, args.k)],
+                        slop=args.slop or 0,
+                    )
+                except ValueError as e:
+                    raise SystemExit(str(e)) from e
+        elif flag == "--terms-lookup":
+            from sparkfts.lifecycle import (
+                terms_lookup_expr,
+                terms_lookup_values,
+            )
+            from sparkfts.query import bm25_index_batch
+
+            parts = args.terms_lookup.split(":")
+            if len(parts) != 3:
+                raise SystemExit(
+                    "--terms-lookup format: FIELD:DOC_ID:PATH (the "
+                    "terms query's index/id/path lookup form)"
+                )
+            try:
+                vals = terms_lookup_values(
+                    spark, args.index, int(parts[1]), parts[2]
+                )
+                res = bm25_index_batch(
+                    spark, args.index, [(0, args.query, args.k)],
+                    mode=args.mode,
+                    filter_expr=terms_lookup_expr(parts[0], vals),
+                )
+            except ValueError as e:
+                raise SystemExit(str(e)) from e
         elif flag == "--boosting":
             from sparkfts.scoring import boosting_batch
 
@@ -1205,9 +1272,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma list of index-time stopwords (stored in "
                         "meta; query analysis drops them automatically)")
     b.add_argument("--stemmer", default=None,
-                   help="index-time stemmer applied after the stop "
-                        "filter; 'porter' = pinned classic Porter "
-                        "(re-applied at query analysis from meta)")
+                   help="index-time analysis chain applied after the "
+                        "stop filter: 'porter', 'asciifold', "
+                        "'syn:lhs=rhs,...' (index-time synonyms) or "
+                        "'+'-combinations — re-applied at query "
+                        "analysis from meta")
+    b.add_argument("--expander", default=None,
+                   help="index-time-ONLY token expander: 'edge:MIN-MAX' "
+                        "(autocomplete edge n-grams) or "
+                        "'shingle:MIN-MAX'; query analysis stays "
+                        "standard (ES search_analyzer split)")
     b.add_argument("--routing-col", default=None,
                    help="ES custom routing: shard by the md5 hash of "
                         "this column instead of the doc_id salt; "
@@ -1285,6 +1359,25 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--span-first", type=int, default=None, metavar="END",
                    help="ES span_first: single term restricted to the "
                         "first END positions")
+    q.add_argument("--span-or", action="store_true",
+                   help="ES span_or: union of the query's single-term "
+                        "clauses (tfp = distinct positions of any term)")
+    q.add_argument("--span-not", default=None, metavar="EXCLUDE_TERM",
+                   help="ES span_not: query term occurrences with no "
+                        "EXCLUDE_TERM in [p - --span-pre, p + "
+                        "--span-post]")
+    q.add_argument("--span-pre", type=int, default=0)
+    q.add_argument("--span-post", type=int, default=0)
+    q.add_argument("--span-containing", default=None,
+                   metavar="LITTLE_TERM",
+                   help="ES span_containing: unordered windows of the "
+                        "query terms (--slop) that also contain "
+                        "LITTLE_TERM")
+    q.add_argument("--terms-lookup", default=None,
+                   metavar="FIELD:DOC_ID:PATH",
+                   help="ES terms lookup: filter FIELD by the value(s) "
+                        "of PATH on document DOC_ID (PATH 'text' = "
+                        "analyzed token list of the stored _source)")
     q.add_argument("--boosting", default=None, metavar="NEG_QUERY",
                    help="ES boosting query: demote docs matching "
                         "NEG_QUERY by --negative-boost")
