@@ -363,18 +363,17 @@ def _make_shard_scorer(
                         min_match=min_should_match, exclude=excl,
                         include=include,
                     )
-                elif (
-                    use_blockmax
-                    and after is None
-                    and excl is None
-                    and include is None
-                ):
-                    # block-max theta seeds from the k-th best GLOBAL lower
-                    # bound; a cursor page's winners (or the live subset
-                    # under tombstones / must_not / filter) may sit below
-                    # it — exhaustive then (same over-prune hazard)
+                elif use_blockmax and after is None:
+                    # filter-aware block-max (r5): theta seeds from the
+                    # seed term's ALLOWED docs (include/exclude masked),
+                    # so pruning stays safe-to-k under bool.filter,
+                    # tombstones and must_not; block upper bounds are
+                    # superset maxima (valid, merely less tight). Only a
+                    # search_after cursor still forces exhaustive (its
+                    # winners may sit below any seedable theta).
                     ids, scores = score_disjunctive_blockmax(
-                        tp, idfs, bms, avgdl, k, block_size=block_size
+                        tp, idfs, bms, avgdl, k, block_size=block_size,
+                        exclude=excl, include=include,
                     )
                 else:
                     ids, scores = score_disjunctive(
@@ -489,9 +488,9 @@ def bm25_index_batch(
     # avgdl; until a merge recomputes them, fall back to the exhaustive
     # scorer (exact, just unpruned) — sparkfts.streaming sets this flag
     use_blockmax = use_blockmax and meta.get("blockmax_safe", True)
-    # tombstoned docs mask out inside every kernel BEFORE top-k; block-max
-    # is gated off while tombstones exist (a theta seeded from a deleted
-    # doc could over-prune) — merge reclaims and restores it
+    # tombstoned docs mask out inside every kernel BEFORE top-k; since r5
+    # they no longer gate block-max off — the filter-aware kernel seeds
+    # theta from live/allowed docs only (wand.score_disjunctive_blockmax)
     tombstones = load_tombstones(spark, index_dir)
     routed_shard = None
     if routing is not None:

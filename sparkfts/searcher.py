@@ -280,13 +280,12 @@ class Searcher:
             if mn_terms:
                 must_not_map[qid] = mn_terms
         # streamed, unmerged segments carry point-in-time block maxima;
-        # same safety fallback as bm25_index_batch (exact, just unpruned);
-        # tombstones also gate pruning off (theta could seed from a
-        # deleted doc)
-        use_blockmax = (
-            use_blockmax
-            and self.meta.get("blockmax_safe", True)
-            and self.tombstones is None
+        # same safety fallback as bm25_index_batch (exact, just unpruned).
+        # Tombstones/filters no longer gate pruning off: the r5
+        # filter-aware kernel seeds theta from ALLOWED docs only
+        # (sparkfts.wand.score_disjunctive_blockmax).
+        use_blockmax = use_blockmax and self.meta.get(
+            "blockmax_safe", True
         )
         all_terms = sorted(
             {t for _, terms, _ in analyzed for t in terms}

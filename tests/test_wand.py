@@ -145,3 +145,100 @@ def test_blockmax_k1_every_term(spark, tmp_path):
         assert key(bm) == key(ex), f"k={k}"
         # every term matches at least its own df docs -> nonempty result
         assert {r["query_id"] for r in bm} == set(range(len(terms)))
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91, 404])
+def test_blockmax_filtered_equals_exhaustive(seed):
+    """r5 filter-aware block-max: with include (bool.filter) and/or
+    exclude (tombstones) sets, pruned results must stay rank- and
+    score-identical to the exhaustive scorer over the allowed docs."""
+    rng = np.random.default_rng(seed)
+    n_docs = 3000
+    dl_of = rng.integers(5, 200, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms, metas = [], []
+    for _ in range(4):
+        df = int(rng.integers(10, 1500))
+        ids = np.sort(rng.choice(n_docs, df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 8, df).astype(np.uint64)
+        dls = dl_of[ids]
+        terms.append((ids, tfs, dls))
+        metas.append(block_metadata(ids, tf_norm(tfs, dls, avgdl), 128))
+    idfs = rng.random(4) * 3 + 0.1
+    include = np.sort(
+        rng.choice(n_docs, n_docs // 3, replace=False)
+    ).astype(np.int64)
+    exclude = np.sort(
+        rng.choice(n_docs, n_docs // 10, replace=False)
+    ).astype(np.int64)
+    for k in (1, 10, 100):
+        for inc, exc in ((include, None), (None, exclude),
+                         (include, exclude)):
+            ie, se = score_disjunctive(
+                terms, idfs, avgdl, k, include=inc, exclude=exc
+            )
+            ib, sb = score_disjunctive_blockmax(
+                terms, idfs, metas, avgdl, k, block_size=128,
+                include=inc, exclude=exc,
+            )
+            assert ie.tolist() == ib.tolist(), (k, inc is None, exc is None)
+            assert se.tolist() == sb.tolist(), (k, inc is None, exc is None)
+
+
+def test_blockmax_filtered_over_prune_hazard():
+    """The exact case that forced the old exhaustive fallback: the seed
+    term's GLOBAL top docs are all filtered out, so an unfiltered theta
+    would over-prune the blocks holding the true (allowed) winners."""
+    n_docs = 20_000
+    avgdl = 100.0
+    # seed term: huge tf on the first 128-block, tf=1 elsewhere
+    ids = np.arange(0, n_docs, 2, dtype=np.int64)
+    tfs = np.ones(ids.size, np.uint64)
+    tfs[:128] = 50
+    dls = np.full(ids.size, 100, np.int64)
+    terms = [(ids, tfs, dls)]
+    idfs = np.array([2.0])
+    metas = [block_metadata(ids, tf_norm(tfs, dls, avgdl), 128)]
+    # filter excludes every doc of the hot first block
+    include = ids[128:]
+    ie, se = score_disjunctive(
+        terms, idfs, avgdl, 10, include=include
+    )
+    ib, sb = score_disjunctive_blockmax(
+        terms, idfs, metas, avgdl, 10, block_size=128, include=include
+    )
+    assert ie.size == 10 and ib.tolist() == ie.tolist()
+    assert sb.tolist() == se.tolist()
+    # sanity: unfiltered winners are different docs (the hazard is real)
+    iu, _ = score_disjunctive_blockmax(
+        terms, idfs, metas, avgdl, 10, block_size=128
+    )
+    assert set(iu.tolist()) != set(ib.tolist())
+
+
+def test_blockmax_filtered_end_to_end(spark, tmp_path):
+    """bm25_index_batch with bool.filter takes the block-max path since
+    r5 and must stay byte-identical to --no-blockmax."""
+    import pandas as pd
+
+    from sparkfts.index import build_index
+    from sparkfts.query import bm25_index_batch
+    from sparkfts.synth import gen_corpus
+
+    pages = spark.createDataFrame(gen_corpus(400, seed=5).to_pandas())
+    from pyspark.sql import functions as F
+
+    pages = pages.withColumn(
+        "par", (F.crc32(F.col("url")) % 2).cast("int")
+    )
+    idx = str(tmp_path / "fidx")
+    build_index(pages, idx, n_shards=4, n_tbuckets=8,
+                docvalue_cols=["par"])
+    qs = [(0, "the of", 10), (1, "data", 10)]
+    a = bm25_index_batch(spark, idx, qs, mode="or",
+                         filter_expr="par = 1").collect()
+    b = bm25_index_batch(spark, idx, qs, mode="or",
+                         filter_expr="par = 1",
+                         use_blockmax=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a, "premise: the filtered queries match docs"
