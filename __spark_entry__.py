@@ -2195,6 +2195,24 @@ def q_fts_span_containing(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_span_within(spark, sf_dir):
+    """ES span_within slop=3: little-term occurrences covered by a
+    qualifying unordered big window; scored as the little query
+    (sparkfts/spans.py pin)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_within_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_within_batch(
+        spark, idx, [(0, PHRASE_QUERY, "spark", 10)], slop=3
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_extended_stats_agg(spark, sf_dir):
     """ES extended_stats over the OR match set: + sum_of_squares and
     the pinned moment-formula population variance/std."""
@@ -3250,6 +3268,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_span_or": q_fts_span_or,
         "fts_span_not": q_fts_span_not,
         "fts_span_containing": q_fts_span_containing,
+        "fts_span_within": q_fts_span_within,
         "phrase_suggest": q_phrase_suggest,
         "fts_bool_prefix": q_fts_bool_prefix,
         "completion_suggest": q_completion_suggest,
@@ -5359,6 +5378,47 @@ scored AS (
          i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
                                            / s.avgdl))) * 2.2 AS score
   FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_span_within"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+idf AS (
+  SELECT ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS isum
+  FROM (SELECT count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok = 'spark') d CROSS JOIN stats s),
+anchors AS (
+  SELECT DISTINCT a.doc_id, a.pos AS anchor
+  FROM toks a
+  WHERE a.tok IN ('{t0_term}', '{t1_term}')
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = a.doc_id AND b.tok = '{t0_term}'
+                  AND b.pos >= a.pos AND b.pos <= a.pos + 4)
+    AND EXISTS (SELECT 1 FROM toks c
+                WHERE c.doc_id = a.doc_id AND c.tok = '{t1_term}'
+                  AND c.pos >= a.pos AND c.pos <= a.pos + 4)),
+freq AS (
+  SELECT l.doc_id, count(*) AS tfp FROM toks l
+  WHERE l.tok = 'spark'
+    AND EXISTS (SELECT 1 FROM anchors an
+                WHERE an.doc_id = l.doc_id
+                  AND an.anchor <= l.pos AND l.pos <= an.anchor + 4)
+  GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """

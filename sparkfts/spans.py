@@ -507,6 +507,61 @@ def span_containing_batch(
     return _run_span_specs(spark, index_dir, specs)
 
 
+def span_within_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, str, int]],
+    slop: int = 0,
+) -> DataFrame:
+    """ES ``span_within``: ``(qid, big_text, little_term, k)`` — the
+    symmetric twin of span_containing: matches are returned FROM the
+    little side, so ``tfp`` counts little-term occurrences that fall
+    inside some qualifying big window (an anchor per span_near's pin
+    whose window holds every big term), and idf is the little term's
+    alone (Lucene: the little query's spans, scored as themselves)."""
+    from sparkfts.index import read_meta
+
+    sw, stem = analysis_opts(read_meta(index_dir))
+    specs = []
+    for qid, big, little, k in queries:
+        big_t = tokenize(big, sw, stem)
+        lit_t = tokenize(little, sw, stem)
+        if not big_t or len(lit_t) != 1:
+            raise ValueError(
+                "span_within takes big terms + ONE little term"
+            )
+        span = int(slop) + len(big_t) - 1
+
+        def tfp(plmap, _big=tuple(big_t), _l=lit_t[0], _span=span):
+            pls = [plmap.get(t) for t in _big]
+            lp = plmap.get(_l)
+            if any(p is None for p in pls) or lp is None:
+                return 0
+            anchors = np.unique(np.concatenate(pls))
+            ok = np.ones(anchors.size, bool)
+            for plist in pls:
+                idx = np.searchsorted(plist, anchors, side="left")
+                ok &= (idx < plist.size) & (
+                    plist[np.minimum(idx, plist.size - 1)]
+                    <= anchors + _span
+                )
+            anchors = anchors[ok]
+            if not anchors.size:
+                return 0
+            # little occurrences covered by ANY qualifying window:
+            # p is inside [a, a + span] for some anchor a <= p
+            ai = np.searchsorted(anchors, lp, side="right") - 1
+            covered = (ai >= 0) & (lp <= anchors[np.maximum(ai, 0)] + _span)
+            return int(covered.sum())
+
+        specs.append(
+            {"qid": qid, "required": sorted({*big_t, lit_t[0]}),
+             "any": [], "k": int(k),
+             "idf_terms": [lit_t[0]], "tfp": tfp}
+        )
+    return _run_span_specs(spark, index_dir, specs)
+
+
 def span_first_batch(
     spark: SparkSession,
     index_dir: str,

@@ -268,3 +268,35 @@ def test_span_new_guards(spark, span_index):
         span_not_batch(spark, span_index, [(0, "two words", "x", 5)])
     with pytest.raises(ValueError, match="ONE little"):
         span_containing_batch(spark, span_index, [(0, "a b", "c d", 5)])
+
+
+def test_span_within(spark, span_index, positions):
+    from sparkfts.spans import span_within_batch
+
+    t = _pick_terms(positions, 3)
+    big, little = t[:2], t[2]
+    _, avgdl = _stats(positions)
+    idf = _idf(positions, little)
+    slop = 3
+    span = slop + len(big) - 1
+    exp = []
+    for doc, (pos, dl) in positions.items():
+        if any(x not in pos for x in (*big, little)):
+            continue
+        anchors = sorted(
+            a for a in {p for x in big for p in pos[x]}
+            if all(any(a <= p <= a + span for p in pos[x]) for x in big)
+        )
+        tfp = sum(
+            1 for p in pos[little]
+            if any(a <= p <= a + span for a in anchors)
+        )
+        if tfp:
+            exp.append((doc, _score(idf, tfp, dl, avgdl)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    got = span_within_batch(
+        spark, span_index, [(0, " ".join(big), little, 10)], slop=slop
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp[:10]]
+    for r, (_, es) in zip(got, exp):
+        assert math.isclose(r["score"], es, rel_tol=1e-9)
