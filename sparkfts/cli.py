@@ -1066,6 +1066,52 @@ def cmd_lm(args: argparse.Namespace) -> None:
                       "index": args.index}))
 
 
+def cmd_tokenizer(args: argparse.Namespace) -> None:
+    """Train a subword tokenizer on the corpus and report segmentation
+    stats (docs, words, subword tokens, compression vs chars)."""
+    spark = _spark(args.cores, "sparkfts-tokenizer")
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    docs = pages.select(
+        F.crc32(F.col("url")).cast("long").alias("doc_id"), "text"
+    ) if "doc_id" not in pages.columns else pages
+    if args.family == "bpe":
+        from sparkfts.ops.bpe import apply_bpe, learn_bpe
+
+        merges = learn_bpe(docs, n_merges=args.size,
+                           max_words=args.max_words)
+        seg = apply_bpe(docs, merges)
+        n_vocab = len(merges)
+        tok_col = "n_bpe_tokens"
+    else:
+        from sparkfts.ops.unigram import apply_unigram, learn_unigram
+
+        vocab = learn_unigram(docs, vocab_size=args.size,
+                              max_words=args.max_words,
+                              em_iters=args.em_iters)
+        seg = apply_unigram(docs, vocab)
+        n_vocab = len(vocab)
+        tok_col = "n_unigram_tokens"
+    row = seg.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_words").alias("words"),
+        F.sum(tok_col).alias("subword_tokens"),
+    ).collect()[0]
+    print(json.dumps({
+        "family": args.family,
+        "vocab": n_vocab,
+        "docs": int(row["docs"]),
+        "words": int(row["words"] or 0),
+        "subword_tokens": int(row["subword_tokens"] or 0),
+        "tokens_per_word": round(
+            row["subword_tokens"] / row["words"], 4
+        ) if row["words"] else None,
+        "sec": round(time.time() - t0, 2),
+    }))
+
+
 def cmd_termvectors(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-termvectors")
     from sparkfts.termvectors import termvectors
@@ -1597,6 +1643,22 @@ def main(argv: list[str] | None = None) -> None:
     lm.add_argument("--index", required=True)
     lm.add_argument("--cores", default="*")
     lm.set_defaults(fn=cmd_lm)
+
+    tk = sub.add_parser("tokenizer", help="train a subword tokenizer "
+                                          "(BPE or unigram-LM) and "
+                                          "report segmentation stats")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--family", choices=("bpe", "unigram"),
+                    default="bpe")
+    tk.add_argument("--size", type=int, default=500,
+                    help="n_merges (bpe) / vocab_size (unigram)")
+    tk.add_argument("--max-words", type=int, default=50_000,
+                    help="word-frequency table prune (the one "
+                         "corpus-scale stage)")
+    tk.add_argument("--em-iters", type=int, default=4,
+                    help="unigram hard-EM rounds")
+    tk.add_argument("--cores", default="*")
+    tk.set_defaults(fn=cmd_tokenizer)
 
     tv = sub.add_parser("termvectors", help="per-doc term statistics "
                                             "(_termvectors)")
