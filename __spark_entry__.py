@@ -1137,6 +1137,36 @@ def q_fts_terms_lookup(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval (sparkfts/rankeval.py): precision/recall/mrr/dcg
+    of the OR query's top-10 against a deterministic rating set (docs
+    containing the token 'vector' rated 1)."""
+    from sparkfts.analysis import TOKEN_RE
+    from sparkfts.rankeval import rank_eval
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}', 0)")
+    ratings = docs.where(
+        F.array_contains(toks, "vector")
+    ).select(
+        F.lit(0).cast("int").alias("query_id"),
+        F.col("doc_id").cast("long"),
+        F.lit(1).cast("int").alias("rating"),
+    )
+    reqs = [(0, BM25_QUERY_OR, 10)]
+    out = None
+    for m in ("precision", "recall", "mrr", "dcg"):
+        part = rank_eval(spark, idx, reqs, ratings, metric=m).select(
+            "query_id",
+            F.floor(F.col("metric_value") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias(f"{m}_e6"),
+        )
+        out = part if out is None else out.join(part, "query_id")
+    return out
+
+
 def q_more_like_this(spark, sf_dir):
     """ES more_like_this: docs similar to the min-doc_id document
     (tf*idf term selection, OR BM25, source excluded)."""
@@ -3200,6 +3230,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scripted_metric": q_scripted_metric,
         "fts_terms_lookup": q_fts_terms_lookup,
         "more_like_this": q_more_like_this,
+        "rank_eval_metrics": q_rank_eval,
         "fts_rescore_topk": q_fts_rescore_topk,
         "highlight_spans": q_highlight_spans,
         "match_all": q_match_all,
@@ -4188,6 +4219,58 @@ FROM documents WHERE doc_id IN (SELECT doc_id FROM matched)
             f"(SELECT source FROM documents WHERE doc_id = {TERMS_LOOKUP_DOC}))"
         ),
     )
+
+    # rank_eval: ranks from the pinned BM25 OR top-10; relevant = docs
+    # containing the token 'vector' (the entry's deterministic ratings)
+    sqls["rank_eval_metrics"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ({or_terms}) GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+              * 2.2 ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored ORDER BY score DESC, doc_id LIMIT 10
+),
+rel AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector'),
+hits AS (
+  SELECT t.rank,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM topk t LEFT JOIN rel r USING (doc_id)
+),
+m AS (
+  SELECT
+    sum(is_rel) * 1.0 / count(*) AS precision_v,
+    sum(is_rel) * 1.0 / (SELECT count(*) FROM rel) AS recall_v,
+    coalesce(1.0 / min(CASE WHEN is_rel = 1 THEN rank END), 0.0) AS mrr_v,
+    coalesce(sum(CASE WHEN is_rel = 1
+                      THEN 1.0 / log2(rank + 1.0) END), 0.0) AS dcg_v
+  FROM hits
+)
+SELECT 0 AS query_id,
+       CAST(floor(precision_v * 1000000 + 0.5) AS BIGINT) AS precision_e6,
+       CAST(floor(recall_v * 1000000 + 0.5) AS BIGINT) AS recall_e6,
+       CAST(floor(mrr_v * 1000000 + 0.5) AS BIGINT) AS mrr_e6,
+       CAST(floor(dcg_v * 1000000 + 0.5) AS BIGINT) AS dcg_e6
+FROM m
+"""
 
     sqls["more_like_this"] = f"""
 WITH toks AS ({_TOKS}),
