@@ -46,6 +46,11 @@ CROSS_WHITELIST = {
     "term_suggest",
     # 1-row totals scalar crossJoin(broadcast(...)) — bounded by design
     "unigram_logppl",
+    # rank_eval combines per-metric frames of n_requests rows each; with
+    # a single request the equality join keys constant-fold to literals
+    # and Catalyst plans a (1 x 1)-row nested loop — bounded by the
+    # request batch, never by data size
+    "rank_eval_metrics",
     # cosine leg: query-vector literal vs corpus (the ann_cosine shape)
     "hybrid_linear_topk",
 }
