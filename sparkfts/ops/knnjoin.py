@@ -202,11 +202,43 @@ def semdedup(
     ).otherwise(F.concat(F.lit("z"), F.col(id_col).cast("string")))
     members = emb.select(
         F.col(id_col).alias("vec_id"), qkey.alias("__qkey")
-    )
+    ).cache()
+    # adaptive: the rep machinery (groupBy + two joins) only pays for
+    # itself when exact duplicates exist; one cheap distinct-count agg
+    # decides (a flood-free corpus keeps the direct path's cost)
+    counts = members.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("__qkey").alias("n_keys"),
+    ).collect()[0]
+    if int(counts["n"]) == int(counts["n_keys"]):
+        members.unpersist()
+        pairs = embedding_dup_pairs(
+            emb, threshold_e6=threshold_e6, id_col=id_col,
+            vec_col=vec_col, bucketed=True, n_planes=n_planes,
+            bucket_cap=bucket_cap,
+        ).select("id_a", "id_b")
+        clustered = duplicate_clusters(
+            pairs, a_col="id_a", b_col="id_b",
+            checkpoint_dir=checkpoint_dir,
+        )
+        ids = emb.select(F.col(id_col).alias("vec_id"))
+        out = ids.join(
+            clustered.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+            "left",
+        )
+        return out.select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("is_canonical"), F.lit(True)).alias(
+                "is_canonical"
+            ),
+        ).orderBy("vec_id")
     reps = members.groupBy("__qkey").agg(F.min("vec_id").alias("__rep"))
-    members = members.join(reps, "__qkey").select("vec_id", "__rep")
+    members_rep = members.join(reps, "__qkey").select("vec_id", "__rep")
     rep_rows = emb.join(
-        members.where(F.col("vec_id") == F.col("__rep")).select(
+        members_rep.where(F.col("vec_id") == F.col("__rep")).select(
             F.col("vec_id").alias(id_col) if id_col != "vec_id" else "vec_id"
         ),
         id_col,
@@ -218,7 +250,7 @@ def semdedup(
     clustered = duplicate_clusters(
         pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
     )
-    out = members.join(
+    out = members_rep.join(
         clustered.withColumnRenamed("doc_id", "__rep"), "__rep", "left"
     )
     return out.select(
