@@ -69,6 +69,7 @@ def _make_value_kernel(
     hits: int = 3,
     script_fn=None,
     exclude=None,
+    search_after: dict | None = None,
 ):
     """Cogrouped kernel ``(postings_pdf, docvals_pdf) -> pdf``.
 
@@ -171,6 +172,24 @@ def _make_value_kernel(
                 if not ids.size:
                     continue
                 if op == "sort":
+                    after = (search_after or {}).get(qid)
+                    if after is not None:
+                        # sorted-cursor page (ES search_after on a field
+                        # sort): keep docs strictly AFTER (value, doc_id)
+                        # in the sort order, BEFORE the per-shard top-k
+                        # cut — page cost stays O(k) at any depth
+                        av, ad = after
+                        if vals.dtype.kind in "US":
+                            av = str(av)
+                        if ascending:
+                            keep = (vals > av) | ((vals == av) & (ids > ad))
+                        else:
+                            keep = (vals < av) | ((vals == av) & (ids > ad))
+                        ids, scores, vals = (
+                            ids[keep], scores[keep], vals[keep]
+                        )
+                        if not ids.size:
+                            continue
                     key = vals if ascending else _neg(vals)
                     order = np.lexsort((ids, key))[:k]
                     out.append(
@@ -367,10 +386,17 @@ def sort_by_field_batch(
     ascending: bool = True,
     mode: str = "and",
     value_type: str = "long",
+    search_after: dict[int, tuple] | None = None,
 ) -> DataFrame:
     """ES ``sort`` on a doc-value field: matching docs ordered by the
     field (ties: doc_id asc), per query. Returns
     ``(query_id, rank, doc_id, sort_value)``.
+
+    ``search_after``: per query_id, the ``(sort_value, doc_id)`` of the
+    previous page's last hit — ES's scalable deep pagination for
+    field-sorted results (r5): the cursor filter applies inside the
+    shard kernels BEFORE per-shard selection, so any page costs O(k),
+    never O(offset + k).
 
     Global stage: window over ``<= n_shards * k`` per-shard survivors,
     partitioned by query_id.
@@ -378,7 +404,7 @@ def sort_by_field_batch(
     schema = f"query_id int, doc_id long, value {value_type}"
     local = _cogrouped_run(
         spark, index_dir, queries, field, mode, "sort", schema, schema,
-        ascending=ascending,
+        ascending=ascending, search_after=search_after,
     )
     out_schema = (
         f"query_id int, rank int, doc_id long, sort_value {value_type}"

@@ -54,7 +54,7 @@ def bm25_scan_batch(
     n_docs: int,
     avgdl: float,
     mode: str = "and",
-    min_should_match: int = 1,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """Score a batch of queries in ONE Spark plan over the tokens table.
 
@@ -64,6 +64,8 @@ def bm25_scan_batch(
     queries : list of (query_id, query_text, k).
     n_docs, avgdl : corpus stats (see :mod:`sparkfts.stats`).
     mode : "and" (conjunctive, reference semantics) or "or".
+    min_should_match : full ES value grammar (int / 'P%' / '-P%' /
+    'N<spec'), resolved per query against its analyzed term count.
 
     Plan shape (scale-notes inline):
       tokens ⋈ BROADCAST(query terms)        -- no shuffle; term filter is
@@ -93,13 +95,18 @@ def bm25_scan_batch(
     df_map = {r["term"]: r["df"] for r in df_rows}
     idf_map = {t: idf_fn(n_docs, df_map.get(t, 0)) for t in all_terms}
 
+    from sparkfts.wand import parse_minimum_should_match
+
     qterms = spark.createDataFrame(
         [
-            (qid, t, len(terms), k)
+            (
+                qid, t, len(terms), k,
+                parse_minimum_should_match(min_should_match, len(terms)),
+            )
             for qid, terms, k in analyzed
             for t in terms
         ],
-        "query_id int, term string, n_terms int, k int",
+        "query_id int, term string, n_terms int, k int, msm int",
     )
 
     from sparkfts.index import lit_map
@@ -128,16 +135,14 @@ def bm25_scan_batch(
             F.count("*").alias("n_matched"),
             F.first("n_terms").alias("n_terms"),
             F.first("k").alias("k"),
+            F.first("msm").alias("msm"),
         )
     )
     if mode == "and":
         matched = matched.where(F.col("n_matched") == F.col("n_terms"))
     elif mode == "or":
-        if min_should_match > 1:
-            # ES minimum_should_match: >= N distinct terms must hit
-            matched = matched.where(
-                F.col("n_matched") >= F.lit(int(min_should_match))
-            )
+        # ES minimum_should_match: >= the per-query resolved count
+        matched = matched.where(F.col("n_matched") >= F.col("msm"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -252,7 +257,7 @@ def _make_shard_scorer(
     use_blockmax: bool,
     block_size: int,
     afters: dict[int, tuple[float, int]] | None = None,
-    min_should_match: int = 1,
+    min_should_match=1,
     exclude=None,
     must_not_map: dict[int, list[str]] | None = None,
     filtered: bool = False,
@@ -332,6 +337,11 @@ def _make_shard_scorer(
                 idfs = np.array(
                     [idf_map.get(t, 0.0) for t in terms], np.float64
                 )
+                from sparkfts.wand import parse_minimum_should_match
+
+                msm = parse_minimum_should_match(
+                    min_should_match, len(terms)
+                )
                 after = (afters or {}).get(qid)
                 # bool.must_not: in-shard union of the negated terms'
                 # postings, merged into the tombstone exclusion set
@@ -355,12 +365,12 @@ def _make_shard_scorer(
                         tp, idfs, avgdl, k, after=after, exclude=excl,
                         include=include,
                     )
-                elif min_should_match > 1:
+                elif msm > 1:
                     # block-max theta-seeding assumes plain OR; the
                     # count-filtered variant scores exhaustively
                     ids, scores = score_disjunctive(
                         tp, idfs, avgdl, k, after=after,
-                        min_match=min_should_match, exclude=excl,
+                        min_match=msm, exclude=excl,
                         include=include,
                     )
                 elif use_blockmax and after is None:
@@ -412,7 +422,7 @@ def bm25_index_batch(
     resolve_urls: bool = False,
     offset: int = 0,
     search_after: dict[int, tuple[float, int]] | None = None,
-    min_should_match: int = 1,
+    min_should_match: int | str = 1,
     filter_expr: str | None = None,
     must_not: dict[int, str] | None = None,
     routing: str | None = None,
@@ -428,7 +438,10 @@ def bm25_index_batch(
     query equals the unrouted query restricted to that shard's docs.
 
     ``min_should_match`` (OR mode): ES ``minimum_should_match`` — docs
-    must contain at least this many distinct query terms.
+    must contain at least this many distinct query terms. Accepts the
+    full ES value grammar (int, negative int, 'P%', '-P%', a single
+    'N<spec' conditional — sparkfts.wand.parse_minimum_should_match),
+    resolved PER QUERY against its own analyzed term count.
 
     ``filter_expr``: ES ``bool.filter`` — a Spark SQL predicate over the
     docmap's columns (``url``, ``doclen``, and any ``docvalue_cols`` the

@@ -279,6 +279,64 @@ def score_grouped(
     return _topk(ids, scores, k, exclude=exclude, include=include)
 
 
+def parse_minimum_should_match(spec, n_terms: int) -> int:
+    """ES ``minimum_should_match`` value grammar -> the required count
+    for a query with ``n_terms`` optional clauses (pinned to ES's
+    documented table; result clamped to [1, n_terms]):
+
+    - positive int ``N`` -> N
+    - negative int ``-N`` -> n_terms - N (N optional clauses may miss)
+    - ``"P%"`` -> floor(n_terms * P / 100)
+    - ``"-P%"`` -> n_terms - floor(n_terms * P / 100)
+    - ``"N<spec"`` (single conditional) -> ALL required when
+      n_terms <= N, else ``spec`` applies (ES: the conditional governs
+      queries with MORE than N clauses).
+
+    Multi-conditional chains (``"2<-25% 9<-3"``) are outside the pinned
+    subset -> ValueError.
+    """
+    if n_terms < 1:
+        raise ValueError("n_terms must be >= 1")
+
+    def _basic(s) -> int:
+        if isinstance(s, int):
+            n = s if s >= 0 else n_terms + s
+        else:
+            s = s.strip()
+            try:
+                if s.endswith("%"):
+                    pct = int(s[:-1])
+                    part = abs(pct) * n_terms // 100
+                    n = part if pct >= 0 else n_terms - part
+                else:
+                    n = int(s)
+                    if n < 0:
+                        n = n_terms + n
+            except ValueError:
+                raise ValueError(
+                    f"bad minimum_should_match value {s!r} (int, 'P%', "
+                    "'-P%' or a single 'N<spec' conditional)"
+                )
+        return max(1, min(n, n_terms))
+
+    if isinstance(spec, int):
+        return _basic(spec)
+    s = str(spec).strip()
+    if "<" in s:
+        head, _, rest = s.partition("<")
+        if "<" in rest or " " in rest.strip():
+            raise ValueError(
+                "multi-conditional minimum_should_match chains are "
+                f"outside the pinned subset: {spec!r}"
+            )
+        try:
+            gate = int(head)
+        except ValueError:
+            raise ValueError(f"bad conditional gate in {spec!r}")
+        return n_terms if n_terms <= gate else _basic(rest)
+    return _basic(s)
+
+
 def score_disjunctive(
     term_postings: list[Postings],
     idfs: np.ndarray,

@@ -362,3 +362,32 @@ def test_random_score_deterministic(spark, dvidx, dvcorpus):
         h = (h * A + B) % P
         assert r["score"] == pytest.approx(h / P, abs=0)
     assert all(0.0 <= r["score"] < 1.0 for r in a)
+
+
+def test_sort_search_after_pages(spark, dvidx, dvcorpus):
+    """r5: field-sorted deep pagination — pages stitched via
+    search_after equal one big sorted page, both directions."""
+    from sparkfts.docvalues import sort_by_field_batch
+
+    q = _query(dvcorpus)
+    for ascending in (True, False):
+        full = sort_by_field_batch(
+            spark, dvidx, [(0, q, 15)], "nch", mode="and",
+            ascending=ascending,
+        ).collect()
+        assert len(full) == 15, "premise: enough matches to paginate"
+        pages = []
+        cursor = None
+        for _ in range(3):
+            page = sort_by_field_batch(
+                spark, dvidx, [(0, q, 5)], "nch", mode="and",
+                ascending=ascending,
+                search_after={0: cursor} if cursor else None,
+            ).collect()
+            assert len(page) == 5
+            pages.extend(page)
+            last = page[-1]
+            cursor = (last["sort_value"], last["doc_id"])
+        assert [(r["doc_id"], r["sort_value"]) for r in pages] == [
+            (r["doc_id"], r["sort_value"]) for r in full
+        ], ascending
