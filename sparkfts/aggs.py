@@ -407,6 +407,53 @@ def percentiles_agg(
     )
 
 
+def percentiles_approx_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    percentiles: list[float] | None = None,
+    mode: str = "and",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation, APPROXIMATE variant — the shape
+    ES actually ships (t-digest) and the one that survives 100 TB:
+    :func:`percentiles_agg`'s exact interpolation needs a full sort of
+    the match set, which at 10^11-row match sets is the job's dominant
+    shuffle; this variant uses Spark's built-in Greenwald-Khanna sketch
+    (``percentile_approx``) — mergeable partial aggregates, one pass,
+    bounded memory per partition.
+
+    Error contract (GK, not t-digest — pinned): the returned value's
+    RANK differs from the true percentile rank by at most
+    ``n / accuracy`` rows.  No DuckDB oracle entry (DuckDB's
+    ``approx_quantile`` is a different sketch; cross-engine
+    hash-equality is impossible by construction) — tests pin the rank
+    error bound against the exact variant instead, the
+    terms_facet_approx precedent.  Output shape matches
+    :func:`percentiles_agg` exactly, so callers can swap at a size
+    threshold."""
+    pcts = percentiles if percentiles is not None else [25.0, 50.0, 75.0, 95.0]
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(doc_values.select("doc_id", field), "doc_id")
+    vals = joined.agg(
+        F.percentile_approx(
+            F.col(field).cast("double"),
+            F.array(*[F.lit(p / 100.0) for p in pcts]),
+            F.lit(int(accuracy)),
+        ).alias("vals")
+    )
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    return vals.select(
+        F.explode(
+            F.arrays_zip(pct_arr.alias("pct"), F.col("vals").alias("value"))
+        ).alias("z")
+    ).select(
+        F.col("z.pct").alias("pct"), F.col("z.value").alias("value")
+    )
+
+
 def percentile_ranks_agg(
     spark: SparkSession,
     index_dir: str,

@@ -516,3 +516,59 @@ def test_significant_terms_sampled(spark, corpus, tmp_path):
         # sampled foreground counts never exceed the exhaustive ones
         assert r["df_fg"] <= exact_fg.get(r["term"], n_matched)
         assert r["df_fg"] >= 2  # min_doc_count respected
+
+
+def test_percentiles_approx_rank_bound(spark, corpus, tmp_path):
+    """r5: the approximate variant's rank error stays within the GK
+    n/accuracy contract vs the exact variant (the terms_facet_approx
+    evidence pattern — no cross-engine oracle by construction)."""
+    import pandas as pd
+
+    from sparkfts.aggs import (
+        match_docs_batch,
+        percentiles_agg,
+        percentiles_approx_agg,
+    )
+    from sparkfts.analysis import tokenize
+    from sparkfts.index import build_index
+    from sparkfts.tokens import sha1_doc_id
+
+    idx = str(tmp_path / "papx_idx")
+    pdf = corpus.to_pandas()
+    build_index(spark.createDataFrame(pdf), idx, n_shards=4, n_tbuckets=8)
+    q = "the"  # ubiquitous: a big match set exercises the sketch
+    dvpdf = pd.DataFrame(
+        {"doc_id": sha1_doc_id(pdf["url"]),
+         "nchars": pdf["text"].str.len().astype("int64")}
+    )
+    dv = spark.createDataFrame(dvpdf)
+    pcts = [25.0, 50.0, 75.0, 95.0]
+    exact = {r["pct"]: r["value"]
+             for r in percentiles_agg(spark, idx, q, dv, "nchars",
+                                      pcts, mode="or").collect()}
+    approx = {r["pct"]: r["value"]
+              for r in percentiles_approx_agg(spark, idx, q, dv, "nchars",
+                                              pcts, mode="or",
+                                              accuracy=10_000).collect()}
+    assert set(approx) == set(pcts)
+    matched = {
+        r["doc_id"]
+        for r in match_docs_batch(spark, idx, [(0, q)], "or").collect()
+    }
+    vals = sorted(dvpdf[dvpdf["doc_id"].isin(matched)]["nchars"])
+    n = len(vals)
+    assert n > 20, "fixture too sparse"
+    import bisect
+
+    for p in pcts:
+        # GK bound: |rank(approx) - p/100 * n| <= n/accuracy (+1 for
+        # the discrete grid)
+        r_lo = bisect.bisect_left(vals, approx[p])
+        r_hi = bisect.bisect_right(vals, approx[p])
+        target = p / 100.0 * n
+        slack = n / 10_000 + 1
+        assert r_lo - slack <= target <= r_hi + slack, (
+            p, approx[p], exact[p], r_lo, r_hi, target,
+        )
+        # approx value is an ACTUAL dataset value (sketch property)
+        assert approx[p] in vals
