@@ -2075,6 +2075,22 @@ def q_ann_pq_topk(spark, sf_dir):
     return ann_pq_topk(emb, list(qvec), k=10, rescore=50, m=4, ks=8)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (the 10^12-vector production recipe): 8
+    coarse cells bound the searched FRACTION (4 probed), residual PQ
+    codes (4 x 8) bound the BYTES per searched vector; driver-side
+    integer ADC tables, exact top-50 -> top-10 rescore
+    (sparkfts/ops/similarity.py ann_ivfpq_topk)."""
+    from sparkfts.ops.similarity import ann_ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_ivfpq_topk(
+        emb, list(qvec), k=10, rescore=50, n_centroids=8, m=4, ks=8,
+        n_probe=4,
+    )
+
+
 def q_curate_funnel(spark, sf_dir):
     """End-to-end curation funnel (quality -> exact dedup -> 500-per-
     mille sample) with per-stage retention accounting — the pipeline
@@ -3307,6 +3323,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": q_ann_range_search,
         "ann_sq8_topk": q_ann_sq8_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "curate_funnel": q_curate_funnel,
         "pack_manifest": q_pack_manifest,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5934,6 +5951,93 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
 
     # product-quantized ANN: 4x8 id-order codebooks, integer-L2 code
     # assignment, ADC lookup scoring, top-50 exact rerank -> top-10
+    # IVF-PQ: centroid layer + residual-PQ ADC, fully relational.
+    # quantize trap: always CAST float32 to DOUBLE before *1000+0.5.
+    sqls["ann_ivfpq_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qe AS (SELECT pos, pos // 16 AS s, pos % 16 AS p, v FROM (
+  SELECT generate_subscripts(e, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q)),
+nq AS (SELECT sum(v * v) AS nq FROM qe),
+crows AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM embeddings ORDER BY vec_id LIMIT 8),
+ce AS (SELECT cid, pos, pos // 16 AS s, pos % 16 AS p, v FROM (
+  SELECT cid, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+  FROM crows)),
+ve AS (SELECT vec_id, pos, v FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+  FROM embeddings)),
+ad2 AS (SELECT ve.vec_id, ce.cid, sum((ve.v - ce.v) * (ve.v - ce.v)) AS d2
+        FROM ve JOIN ce USING (pos) GROUP BY 1, 2),
+assign AS (SELECT vec_id,
+                  struct_extract(min(struct_pack(d := d2, c := cid)), 'c') AS cid
+           FROM ad2 GROUP BY 1),
+qd2 AS (SELECT ce.cid, sum((qe.v - ce.v) * (qe.v - ce.v)) AS d2
+        FROM qe JOIN ce USING (pos) GROUP BY 1),
+probes AS (SELECT cid FROM qd2 ORDER BY d2, cid LIMIT 4),
+srows AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          FROM embeddings ORDER BY vec_id LIMIT 8),
+sres AS (SELECT sr.j, ve.pos, ve.pos // 16 AS s, ve.pos % 16 AS p,
+                ve.v - ce.v AS rv
+         FROM srows sr
+         JOIN ve ON ve.vec_id = sr.vec_id
+         JOIN assign a ON a.vec_id = sr.vec_id
+         JOIN ce ON ce.cid = a.cid AND ce.pos = ve.pos),
+pv AS (SELECT ve.vec_id, a.cid, ve.pos, ve.pos // 16 AS s,
+              ve.pos % 16 AS p, ve.v - ce.v AS rv
+       FROM ve JOIN assign a USING (vec_id)
+       JOIN ce ON ce.cid = a.cid AND ce.pos = ve.pos
+       WHERE a.cid IN (SELECT cid FROM probes)),
+d2 AS (SELECT pv.vec_id, pv.s, sres.j,
+              sum((pv.rv - sres.rv) * (pv.rv - sres.rv)) AS d2
+       FROM pv JOIN sres ON pv.s = sres.s AND pv.p = sres.p
+       GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, s,
+                struct_extract(min(struct_pack(d := d2, j := j)), 'j') AS j
+         FROM d2 GROUP BY 1, 2),
+qd AS (SELECT sres.s, sres.j, sum(qe.v * sres.rv) AS qd
+       FROM sres JOIN qe ON qe.s = sres.s AND qe.p = sres.p
+       GROUP BY 1, 2),
+cn AS (SELECT s, j, sum(rv * rv) AS cn FROM sres GROUP BY 1, 2),
+qc AS (SELECT ce.cid, sum(qe.v * ce.v) AS qc
+       FROM ce JOIN qe USING (pos) GROUP BY 1),
+cnorm AS (SELECT cid, sum(v * v) AS cnorm FROM ce GROUP BY 1),
+cdot AS (SELECT ce.cid, sres.s, sres.j, sum(ce.v * sres.rv) AS cd
+         FROM ce JOIN sres ON ce.s = sres.s AND ce.p = sres.p
+         GROUP BY 1, 2, 3),
+vc AS (SELECT DISTINCT vec_id, cid FROM pv),
+ap AS (SELECT c.vec_id,
+              any_value(qc.qc) + sum(qd.qd) AS adot,
+              any_value(cnorm.cnorm) + sum(2 * cdot.cd + cn.cn) AS anorm
+       FROM code c
+       JOIN vc ON vc.vec_id = c.vec_id
+       JOIN qc ON qc.cid = vc.cid
+       JOIN cnorm ON cnorm.cid = vc.cid
+       JOIN qd ON qd.s = c.s AND qd.j = c.j
+       JOIN cn ON cn.s = c.s AND cn.j = c.j
+       JOIN cdot ON cdot.cid = vc.cid AND cdot.s = c.s AND cdot.j = c.j
+       GROUP BY 1),
+cand AS (SELECT vec_id,
+                adot / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(nq.nq)) AS a
+         FROM ap, nq WHERE anorm > 0
+         ORDER BY a DESC, vec_id LIMIT 50),
+fe AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+fq AS (SELECT generate_subscripts(e, 1) AS pos,
+              CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v FROM q),
+nq2 AS (SELECT sum(v * v) AS nq FROM fq),
+dx AS (SELECT fe.vec_id, sum(fe.v * fq.v) AS dot, sum(fe.v * fe.v) AS na
+       FROM fe JOIN fq USING (pos) GROUP BY fe.vec_id)
+SELECT vec_id,
+       CAST(floor(dot / (sqrt(na) * sqrt(nq)) * 1000000 + 0.5) AS BIGINT)
+         AS cos_e6
+FROM dx, nq2 WHERE na > 0
+ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id LIMIT 10
+"""
+
     sqls["ann_pq_topk"] = """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qe AS (SELECT pos // 16 AS s, pos % 16 AS p, v FROM (

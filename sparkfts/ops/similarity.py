@@ -767,6 +767,211 @@ def ann_pq_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 50,
+    n_centroids: int = 8,
+    m: int = 4,
+    ks: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed index production ANN actually runs at
+    10^12 vectors (FAISS IVFxx,PQyy; ES dense_vector's int-quantized
+    HNSW is the graph analogue): IVF coarse cells bound the SEARCHED
+    fraction to n_probe/n_centroids, and PQ codes over the RESIDUAL
+    (vector minus its centroid) bound the BYTES per searched vector to
+    m code ints — multiplicative with each other, which neither
+    ivf_topk (full vectors per cell) nor ann_pq_topk (all vectors
+    scanned) achieves alone.
+
+    Deterministic throughout (the family's reproducibility pin): both
+    quantizers use the id-order sample bootstrap, assignments are exact
+    int64 L2 argmins (ties -> smaller id), and the approximate cosine
+    decomposes exactly over driver-computed integer tables
+
+        dot(q, v)  ~ dot(q, c) + sum_s dot(q_s, cw[s][code_s])
+        |v|^2      ~ |c|^2 + 2 sum_s dot(c_s, cw[s][code_s])
+                     + sum_s |cw[s][code_s]|^2
+
+    (the classic ADC identity, exact when the residual equals its
+    codeword). Tables ride the plan as literals (n_centroids * m * ks
+    ints); the scan inside probed cells touches only (centroid_id,
+    code) — the memory-traffic shape that survives 100 TB. Top
+    ``rescore`` candidates re-rank exactly; recall grows with n_probe
+    and degrades gracefully to PQ-over-everything at
+    n_probe = n_centroids.
+    """
+    if rescore < k:
+        raise ValueError("rescore must be >= k")
+    if n_probe < 1 or n_probe > n_centroids:
+        raise ValueError("need 1 <= n_probe <= n_centroids")
+    cents = {
+        int(r["centroid_id"]): [int(x) for x in r["cvec"]]
+        for r in ivf_centroids(emb, n_centroids, id_col, vec_col).collect()
+    }
+    qint = [int(np_floor_half(float(x))) for x in query_vec]
+    d = len(qint)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ss = d // m
+
+    def _sub(v, s):
+        return v[s * ss:(s + 1) * ss]
+
+    # residual codebooks from the ks smallest ids (driver-side: their
+    # exact centroid assignment + residual, all int64)
+    rows = emb.orderBy(F.asc(id_col)).limit(int(ks)).collect()
+    if len(rows) < ks:
+        raise ValueError(f"need >= {ks} vectors for {ks} codewords")
+
+    def _assign(v):
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+            for cid, c in cents.items()
+        )
+        return best[1]
+
+    cbs = []
+    samples = [
+        [int(np_floor_half(float(x))) for x in r[vec_col]] for r in rows
+    ]
+    residuals = [
+        [v - c for v, c in zip(sv, cents[_assign(sv)])] for sv in samples
+    ]
+    cbs = [[_sub(rv, s) for rv in residuals] for s in range(m)]
+
+    # driver-computed integer tables
+    nq = sum(v * v for v in qint)
+    qc = {cid: sum(a * b for a, b in zip(qint, c)) for cid, c in cents.items()}
+    cnorm = {cid: sum(x * x for x in c) for cid, c in cents.items()}
+    qd = [
+        [sum(a * b for a, b in zip(_sub(qint, s), cbs[s][j]))
+         for j in range(ks)]
+        for s in range(m)
+    ]
+    cn = [
+        [sum(x * x for x in cbs[s][j]) for j in range(ks)] for s in range(m)
+    ]
+    cdot = {
+        cid: [
+            [sum(a * b for a, b in zip(_sub(c, s), cbs[s][j]))
+             for j in range(ks)]
+            for s in range(m)
+        ]
+        for cid, c in cents.items()
+    }
+    probes = [
+        cid for _, cid in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qint, c)), cid)
+            for cid, c in cents.items()
+        )
+    ][: int(n_probe)]
+
+    # assign + residual-encode (one narrow map; centroid vectors ride as
+    # an int->array literal map)
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in sorted(cents)]),
+        F.array(*[
+            F.array(*[F.lit(x) for x in cents[cid]]) for cid in sorted(cents)
+        ]),
+    )
+    enc = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).join(assign, "vec_id").where(
+        F.col("centroid_id").isin([int(p) for p in probes])
+    ).withColumn(
+        "__res",
+        F.zip_with(
+            quantize_vec(F.col("__v")),
+            F.element_at(cmap, F.col("centroid_id")),
+            lambda x, y: x - y,
+        ),
+    )
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col("__res"), s * ss + 1, ss)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(c) for c in cbs[s][j]]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(ks)
+            ]
+        )
+        codes.append(F.array_min(cands)["j"].alias(f"__c{s}"))
+    enc = enc.select("vec_id", "centroid_id", *codes)
+
+    # flattened literal lookup: idx = cid_pos * m * ks + s * ks + j
+    cid_pos = {cid: i for i, cid in enumerate(sorted(cents))}
+    cd_flat = [
+        cdot[cid][s][j]
+        for cid in sorted(cents)
+        for s in range(m)
+        for j in range(ks)
+    ]
+    cd_arr = F.array(*[F.lit(v) for v in cd_flat])
+    pos_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in sorted(cents)]),
+        F.array(*[F.lit(cid_pos[cid]) for cid in sorted(cents)]),
+    )
+    qc_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in sorted(cents)]),
+        F.array(*[F.lit(qc[cid]) for cid in sorted(cents)]),
+    )
+    cn_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in sorted(cents)]),
+        F.array(*[F.lit(cnorm[cid]) for cid in sorted(cents)]),
+    )
+    adot = F.element_at(qc_map, F.col("centroid_id")).cast("long")
+    anorm = F.element_at(cn_map, F.col("centroid_id")).cast("long")
+    base = F.element_at(pos_map, F.col("centroid_id")) * (m * ks)
+    for s in range(m):
+        qd_arr = F.array(*[F.lit(v) for v in qd[s]])
+        cn_arr = F.array(*[F.lit(v) for v in cn[s]])
+        code = F.col(f"__c{s}")
+        adot = adot + F.element_at(qd_arr, code + 1).cast("long")
+        anorm = (
+            anorm
+            + 2 * F.element_at(
+                cd_arr, (base + s * ks + code + 1).cast("int")
+            ).cast("long")
+            + F.element_at(cn_arr, code + 1).cast("long")
+        )
+    cand = (
+        enc.select("vec_id", adot.alias("adot"), anorm.alias("anorm"))
+        .where(F.col("anorm") > 0)
+        .withColumn(
+            "approx",
+            F.col("adot")
+            / (F.sqrt(F.col("anorm").cast("double"))
+               * F.sqrt(F.lit(float(nq)))),
+        )
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(int(rescore))
+        .select(F.col("vec_id").alias("__cand_id"))
+    )
+    pruned = emb.join(
+        F.broadcast(cand),
+        F.col(id_col) == F.col("__cand_id"),
+        "left_semi",
+    )
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def bbq_pack_col(vec_col: str, dims: int):
     """Pack a float vector's SIGN BITS into ``ceil(dims/64)`` int64
     words (bit j of word w = 1 iff component ``64*w + j`` > 0) — the

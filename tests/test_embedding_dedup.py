@@ -385,3 +385,143 @@ def test_bbq_validation(emb_df):
         ann_bbq_topk(emb_df, [1.0] * 16, k=10, rescore=5)
     with pytest.raises(ValueError):
         ann_bbq_topk(emb_df, [], k=1, rescore=1)
+
+
+# ---- IVF-PQ: coarse cells x residual PQ codes + exact re-rank ----
+
+
+def _py_ivfpq_pipeline(
+    rows, qvec, k, rescore, n_centroids=8, m=4, ks=8, n_probe=4
+):
+    import math
+
+    def e3(v):
+        return [int(math.floor(float(x) * 1000 + 0.5)) for x in v]
+
+    ordered = sorted(rows)
+    cents = {cid: e3(v) for cid, (_, v) in enumerate(ordered[:n_centroids])}
+
+    def assign(vi):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(vi, c)), cid)
+            for cid, c in cents.items()
+        )[1]
+
+    d = len(qvec)
+    ss = d // m
+    samples = [e3(v) for _, v in ordered[:ks]]
+    residuals = [
+        [x - c for x, c in zip(sv, cents[assign(sv)])] for sv in samples
+    ]
+    cbs = [[rv[s * ss:(s + 1) * ss] for rv in residuals] for s in range(m)]
+    qint = e3(qvec)
+    nq = sum(v * v for v in qint)
+    probe_set = {
+        cid
+        for _, cid in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qint, c)), cid)
+            for cid, c in cents.items()
+        )[:n_probe]
+    }
+    approx = []
+    for vid, v in rows:
+        vi = e3(v)
+        cid = assign(vi)
+        if cid not in probe_set:
+            continue
+        cent = cents[cid]
+        res = [x - c for x, c in zip(vi, cent)]
+        adot = sum(a * b for a, b in zip(qint, cent))
+        anorm = sum(c * c for c in cent)
+        for s in range(m):
+            sub = res[s * ss:(s + 1) * ss]
+            j = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cbs[s][jj])), jj)
+                for jj in range(ks)
+            )[1]
+            cw = cbs[s][j]
+            adot += sum(
+                a * b for a, b in zip(qint[s * ss:(s + 1) * ss], cw)
+            )
+            anorm += 2 * sum(
+                a * b for a, b in zip(cent[s * ss:(s + 1) * ss], cw)
+            ) + sum(c * c for c in cw)
+        if anorm > 0:
+            approx.append(
+                (vid, adot / (math.sqrt(anorm) * math.sqrt(nq)))
+            )
+    approx.sort(key=lambda t: (-t[1], t[0]))
+    cand = {vid for vid, _ in approx[:rescore]}
+    exact = []
+    for vid, v in rows:
+        if vid not in cand:
+            continue
+        vi = e3(v)
+        na = sum(x * x for x in vi)
+        if na <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(vi, qint))
+        exact.append(
+            (vid, int(math.floor(
+                dot / (math.sqrt(na) * math.sqrt(nq)) * 1_000_000 + 0.5
+            )))
+        )
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:k]
+
+
+def test_ivfpq_matches_python_mirror(emb_df):
+    from sparkfts.ops.similarity import ann_ivfpq_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[2]
+    got = ann_ivfpq_topk(
+        emb_df, qvec, k=8, rescore=12, n_centroids=8, m=4, ks=8, n_probe=4
+    ).collect()
+    exp = _py_ivfpq_pipeline(rows, qvec, 8, 12, 8, 4, 8, 4)
+    assert [(r["vec_id"], r["cos_e6"]) for r in got] == exp
+    # vec 2 is a centroid seed: its own cell is always probed (d2=0),
+    # so the query itself survives IVF + ADC + rerank
+    assert got[0]["vec_id"] == 2
+    assert got[0]["cos_e6"] == 1_000_000
+
+
+def test_ivfpq_full_probe_full_rescore_equals_exact(emb_df):
+    """n_probe = n_centroids + rescore >= N degrades to exact search."""
+    from sparkfts.ops.similarity import ann_ivfpq_topk, cosine_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[3]
+    a = ann_ivfpq_topk(
+        emb_df, qvec, k=10, rescore=1000, n_centroids=8, n_probe=8
+    ).collect()
+    b = cosine_topk(emb_df, qvec, k=10).collect()
+    assert [(r["vec_id"], r["cos_e6"]) for r in a] == [
+        (r["vec_id"], r["cos_e6"]) for r in b
+    ]
+
+
+def test_ivfpq_probe_widening_monotone_recall(emb_df):
+    """More probed cells can only improve the approx candidate pool:
+    the exact top-1 found at n_probe=p stays found at n_probe>p when
+    it is the query vector itself (cos=1 wins any rerank it enters)."""
+    from sparkfts.ops.similarity import ann_ivfpq_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qvec = dict(rows)[5]
+    for p in (2, 4, 8):
+        got = ann_ivfpq_topk(
+            emb_df, qvec, k=3, rescore=20, n_centroids=8, n_probe=p
+        ).collect()
+        assert got[0]["vec_id"] == 5 and got[0]["cos_e6"] == 1_000_000
+
+
+def test_ivfpq_validation(emb_df):
+    from sparkfts.ops.similarity import ann_ivfpq_topk
+
+    with pytest.raises(ValueError):
+        ann_ivfpq_topk(emb_df, [1.0] * 16, k=10, rescore=5)
+    with pytest.raises(ValueError, match="n_probe"):
+        ann_ivfpq_topk(emb_df, [1.0] * 16, k=2, rescore=5, n_probe=99)
+    with pytest.raises(ValueError, match="divisible"):
+        ann_ivfpq_topk(emb_df, [1.0] * 16, k=2, rescore=5, m=5)

@@ -34,6 +34,7 @@ sys.path.insert(0, REPO)
 CROSS_WHITELIST = {
     "dedup_embedding_cosine",  # exact all-pairs oracle branch (documented)
     "ann_ivf_topk",            # broadcast vs n_centroids (bounded side)
+    "ann_ivfpq_topk",          # same ivf_assign broadcast-vs-centroids leg
     "ann_pq_topk",             # broadcast codebook (bounded side)
     "ann_sq8_topk",            # scalar norm broadcast
     "ann_bbq_topk",
