@@ -3128,6 +3128,172 @@ def q_maxsim_topk(spark, sf_dir):
 # stay pinned at the head, and the remaining ~40 slots are filled with entries
 # that have NEVER appeared in any CORRECTNESS_r0N.json.  Every entry remains
 # in the registry (full dict below); only the iteration order changes.
+def q_string_stats_agg(spark, sf_dir):
+    """ES string_stats aggregation over the OR match set's text field:
+    value count, min/max/avg character lengths, and Shannon entropy
+    (base 2) of the character distribution — the flatMap-into-bounded-
+    histogram plan (sparkfts/aggs.py string_stats_agg)."""
+    from sparkfts.aggs import string_stats_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = string_stats_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "text"),
+        "text", mode="or",
+    )
+    return res.select(
+        F.col("count").cast("long").alias("n"),
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.floor(F.col("avg_length") * 10000 + 0.5).cast("long")
+        .alias("avg_len_e4"),
+        F.floor(F.col("entropy") * 10000 + 0.5).cast("long")
+        .alias("entropy_e4"),
+    )
+
+
+def q_mad_agg(spark, sf_dir):
+    """ES median_absolute_deviation (exact pin: two exact interpolated
+    medians, the percentiles_agg pin) on n_chars over the OR match
+    set."""
+    from sparkfts.aggs import median_absolute_deviation_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = median_absolute_deviation_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", mode="or",
+    )
+    return res.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("median") * 10000 + 0.5).cast("long")
+        .alias("median_e4"),
+        F.floor(F.col("mad") * 10000 + 0.5).cast("long").alias("mad_e4"),
+    )
+
+
+def q_matrix_stats_agg(spark, sf_dir):
+    """ES matrix_stats over (n_chars, n_toks): per-pair count, means,
+    sample covariance and Pearson correlation from ONE pass of exact
+    int64 sums (n_toks = pinned-analyzer token count, derived
+    identically in DuckDB)."""
+    from sparkfts.aggs import matrix_stats_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}', 0)")
+        ).cast("long").alias("n_toks"),
+    )
+    res = matrix_stats_agg(
+        spark, idx, BM25_QUERY_OR, docs, ["n_chars", "n_toks"], mode="or",
+    )
+    e4 = lambda c: F.floor(F.col(c) * 10000 + 0.5).cast("long").alias(
+        c + "_e4"
+    )
+    return res.select(
+        "field_x", "field_y", F.col("count").cast("long").alias("count"),
+        e4("mean_x"), e4("mean_y"), e4("covariance"),
+        F.floor(F.col("correlation") * 1_000_000 + 0.5).cast("long")
+        .alias("corr_e6"),
+    )
+
+
+def q_sampler_agg(spark, sf_dir):
+    """ES sampler aggregation bounding a stats sub-agg: stats(n_chars)
+    over the 100 best-scoring OR matches (pinned GLOBAL BM25 top
+    shard_size, (-score, doc_id) ties — deterministic vs ES's
+    shard-local sample)."""
+    from sparkfts.aggs import sampler_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = sampler_agg(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", shard_size=100, mode="or",
+    )
+    return res.select(
+        F.col("sample_count").cast("long").alias("sample_count"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.floor(F.col("avg_v") * 1_000_000 + 0.5).cast("long")
+        .alias("avg_e6"),
+    )
+
+
+def q_pipeline_normalize(spark, sf_dir):
+    """ES normalize pipeline agg (percent_of_sum) over the monthly
+    date_histogram — each bucket's share of the total match count."""
+    from sparkfts.pipelineaggs import normalize_buckets
+
+    res = normalize_buckets(
+        _month_buckets(spark, sf_dir), "doc_count",
+        method="percent_of_sum", out="pct",
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.floor(F.col("pct") * 1_000_000 + 0.5).cast("long")
+        .alias("pct_e6"),
+    )
+
+
+def q_pipeline_moving_percentile(spark, sf_dir):
+    """ES moving_percentiles pipeline agg: exact interpolated p50 of
+    doc_count over the trailing 3-bucket window [i-3, i) (current
+    bucket excluded, the moving_fn contract); empty-window buckets
+    omitted."""
+    from sparkfts.pipelineaggs import moving_percentile
+
+    res = moving_percentile(
+        _month_buckets(spark, sf_dir), "doc_count", window=3,
+        percent=50.0, out="mp",
+    )
+    return res.where(F.col("mp").isNotNull()).select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.floor(F.col("mp") * 10000 + 0.5).cast("long").alias("mp_e4"),
+    )
+
+
+def q_fts_most_fields(spark, sf_dir):
+    """ES multi_match(most_fields) over [title^2, text]: combined
+    score = SUM of matching fields' scores (== dis_max tie_breaker=1.0,
+    routed through the exact bool-tree kernel)."""
+    from sparkfts.multifield import bm25_most_fields_batch
+
+    idx = _mf_index_dir_for(spark, sf_dir)
+    res = bm25_most_fields_batch(
+        spark, idx, [(0, BM25_QUERY_AND, 10)], fields=MF_FIELDS
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
+def q_fts_ids(spark, sf_dir):
+    """ES ids query: filter-context fetch by _id list (constant score,
+    doc-order pin); one requested id is absent, so 4 of 5 return."""
+    from sparkfts.querybuilder import ids_topk
+
+    docs = _docs(spark, sf_dir)
+    res = ids_topk(docs, [42, 7, 3, 11, 99_999_999], k=10)
+    return res.select("rank", "doc_id")
+
+
+def q_fts_exists(spark, sf_dir):
+    """ES exists query: docs that HAVE a value for a nullable field
+    (here lang with 'de' nulled out — the typed-null missing-value
+    shape), score 1.0, doc-order pin, first page of 12."""
+    from sparkfts.querybuilder import exists_topk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("nullif(lang, 'de')").alias("lang_opt")
+    )
+    res = exists_topk(docs, "lang_opt", k=12)
+    return res.select("rank", "doc_id")
+
+
 _ATTEST_WINDOW_R5 = [
     # -- flagship invariants, pinned every round --------------------------
     "fts_corpus_stats",
@@ -3360,6 +3526,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "collocations": q_collocations,
         "maxsim_topk": q_maxsim_topk,
+        "string_stats_agg": q_string_stats_agg,
+        "mad_agg": q_mad_agg,
+        "matrix_stats_agg": q_matrix_stats_agg,
+        "sampler_agg": q_sampler_agg,
+        "pipeline_normalize": q_pipeline_normalize,
+        "pipeline_moving_percentile": q_pipeline_moving_percentile,
+        "fts_most_fields": q_fts_most_fields,
+        "fts_ids": q_fts_ids,
+        "fts_exists": q_fts_exists,
     }
 
 
@@ -6759,5 +6934,143 @@ SELECT CAST(row_number() OVER (ORDER BY maxsim DESC, vec_id) AS INT)
          AS rank,
        vec_id, maxsim
 FROM tot ORDER BY maxsim DESC, vec_id LIMIT 10
+"""
+
+    sqls["string_stats_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT d.text AS v FROM matched m JOIN documents d USING (doc_id)
+      WHERE d.text IS NOT NULL),
+lens AS (SELECT count(*) AS n, min(length(v)) AS mn, max(length(v)) AS mx,
+                avg(CAST(length(v) AS DOUBLE)) AS av FROM v),
+chars AS (SELECT unnest(regexp_extract_all(v, '.', 0, 's')) AS ch FROM v),
+hist AS (SELECT ch, count(*) AS cnt FROM chars GROUP BY ch),
+ent AS (SELECT log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS e
+        FROM hist)
+SELECT CAST(n AS BIGINT) AS n, CAST(mn AS BIGINT) AS min_length,
+       CAST(mx AS BIGINT) AS max_length,
+       CAST(floor(av * 10000 + 0.5) AS BIGINT) AS avg_len_e4,
+       CAST(floor(e * 10000 + 0.5) AS BIGINT) AS entropy_e4
+FROM lens, ent
+"""
+
+    sqls["mad_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT CAST(d.n_chars AS DOUBLE) AS v
+      FROM matched m JOIN documents d USING (doc_id)),
+med AS (SELECT count(*) AS n, quantile_cont(v, 0.5) AS m FROM v)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(m * 10000 + 0.5) AS BIGINT) AS median_e4,
+       CAST(floor((SELECT quantile_cont(abs(v.v - med.m), 0.5)
+                   FROM v, med) * 10000 + 0.5) AS BIGINT) AS mad_e4
+FROM med
+"""
+
+    sqls["matrix_stats_agg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+v AS (SELECT CAST(d.n_chars AS BIGINT) AS x,
+             CAST(len(regexp_extract_all(lower(d.text),
+                                         '{TOKEN_RE_SQL}')) AS BIGINT) AS y
+      FROM matched m JOIN documents d USING (doc_id)),
+s AS (SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM v)
+SELECT 'n_chars' AS field_x, 'n_chars' AS field_y,
+       CAST(n AS BIGINT) AS count,
+       CAST(floor(sx / n * 10000 + 0.5) AS BIGINT) AS mean_x_e4,
+       CAST(floor(sx / n * 10000 + 0.5) AS BIGINT) AS mean_y_e4,
+       CAST(floor((sxx - sx * sx / n) / (n - 1) * 10000 + 0.5) AS BIGINT)
+         AS covariance_e4,
+       CAST(floor((sxx - sx * sx / n) / (n - 1)
+                  / sqrt(((sxx - sx * sx / n) / (n - 1))
+                         * ((sxx - sx * sx / n) / (n - 1)))
+                  * 1000000 + 0.5) AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'n_chars', 'n_toks', CAST(n AS BIGINT),
+       CAST(floor(sx / n * 10000 + 0.5) AS BIGINT),
+       CAST(floor(sy / n * 10000 + 0.5) AS BIGINT),
+       CAST(floor((sxy - sx * sy / n) / (n - 1) * 10000 + 0.5) AS BIGINT),
+       CAST(floor((sxy - sx * sy / n) / (n - 1)
+                  / sqrt(((sxx - sx * sx / n) / (n - 1))
+                         * ((syy - sy * sy / n) / (n - 1)))
+                  * 1000000 + 0.5) AS BIGINT)
+FROM s
+UNION ALL
+SELECT 'n_toks', 'n_toks', CAST(n AS BIGINT),
+       CAST(floor(sy / n * 10000 + 0.5) AS BIGINT),
+       CAST(floor(sy / n * 10000 + 0.5) AS BIGINT),
+       CAST(floor((syy - sy * sy / n) / (n - 1) * 10000 + 0.5) AS BIGINT),
+       CAST(floor((syy - sy * sy / n) / (n - 1)
+                  / sqrt(((syy - sy * sy / n) / (n - 1))
+                         * ((syy - sy * sy / n) / (n - 1)))
+                  * 1000000 + 0.5) AS BIGINT)
+FROM s
+"""
+
+    sampler_cte = _bm25_scored_cte(
+        sorted(set(BM25_QUERY_OR.split())), False
+    )
+    sqls["sampler_agg"] = f"""
+{sampler_cte},
+top AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 100),
+v AS (SELECT CAST(d.n_chars AS BIGINT) AS v
+      FROM top t JOIN documents d USING (doc_id))
+SELECT count(*) AS sample_count,
+       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS avg_e6
+FROM v
+"""
+
+    sqls["pipeline_normalize"] = f"""
+{mb_cte}
+SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(floor(CAST(doc_count AS DOUBLE) / sum(doc_count) OVER ()
+                  * 1000000 + 0.5) AS BIGINT) AS pct_e6
+FROM mb ORDER BY bucket_epoch
+"""
+
+    sqls["pipeline_moving_percentile"] = f"""
+{mb_cte}
+SELECT bucket_epoch,
+       CAST(floor(mp * 10000 + 0.5) AS BIGINT) AS mp_e4
+FROM (
+  SELECT bucket_epoch,
+         quantile_cont(CAST(doc_count AS DOUBLE), 0.5)
+           OVER (ORDER BY bucket_epoch
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mp
+  FROM mb)
+WHERE mp IS NOT NULL ORDER BY bucket_epoch
+"""
+
+    sqls["fts_most_fields"] = f"""
+WITH {_bm25_field_ctes("tx", tx_src, mf_terms, True)},
+{_bm25_field_ctes("ti", ti_src, mf_terms, True)},
+u AS (
+  SELECT doc_id, score * 1.0 AS s FROM tx_scored
+  UNION ALL SELECT doc_id, score * 2.0 FROM ti_scored
+),
+summed AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM summed ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["fts_ids"] = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank, doc_id
+FROM documents WHERE doc_id IN (42, 7, 3, 11, 99999999)
+ORDER BY doc_id LIMIT 10
+"""
+
+    sqls["fts_exists"] = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank, doc_id
+FROM documents WHERE nullif(lang, 'de') IS NOT NULL
+ORDER BY doc_id LIMIT 12
 """
     return sqls

@@ -1542,3 +1542,208 @@ def t_test_agg(
         "n_a long, n_b long, mean_a double, mean_b double, "
         "t_value double",
     )
+
+
+def string_stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``string_stats`` aggregation -> one row ``(count,
+    min_length, max_length, avg_length, entropy)`` over the matched
+    docs' ``field`` values.
+
+    Semantics pinned to ES: lengths are character counts per value;
+    ``entropy`` is the Shannon entropy (base 2) of the CHARACTER
+    distribution across all matched values concatenated
+    (``-sum p_c*log2 p_c``).
+
+    Plan shape at 100 TB: the length stats are one partial-aggregated
+    pass; the character distribution is a flatMap (one char row per
+    character, pure JVM codegen) into a groupBy whose map-side partial
+    aggregation collapses every task's output to <= |alphabet| rows
+    before the shuffle — the exchanged data is alphabet-sized, not
+    corpus-sized. Entropy derives from the bounded histogram via
+    ``log2(total) - sum(n*log2 n)/total`` (one tiny second agg).
+
+    Reference parity: string_stats is part of the ES agg surface behind
+    the reference's single ``client.search`` call
+    (ElasticsearchHandler.py:69)."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(
+        doc_values.select("doc_id", field), "doc_id"
+    ).select(F.col(field).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    lens = joined.agg(
+        F.count("*").alias("count"),
+        F.min(F.length("v")).alias("min_length"),
+        F.max(F.length("v")).alias("max_length"),
+        F.avg(F.length("v")).alias("avg_length"),
+    )
+    hist = (
+        joined.select(F.explode(F.split("v", "")).alias("ch"))
+        .where(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    ent = hist.agg(
+        (
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n")
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent)
+
+
+def median_absolute_deviation_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation, EXACT pin -> one
+    row ``(n, median, mad)``: ``mad = median(|v - median(v)|)``.
+
+    ES approximates both medians with t-digest; this pins exact
+    linear-interpolated medians (the :func:`percentiles_agg` pin,
+    DuckDB ``quantile_cont``-reproducible). Two bounded passes over
+    the matched values (median, then deviations) — each a sort-based
+    agg over the match set; at extreme match sizes swap
+    ``F.percentile_approx`` with the same output shape."""
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    vals = matched.join(
+        doc_values.select("doc_id", field), "doc_id"
+    ).select(F.col(field).cast("double").alias("v"))
+    med = vals.agg(
+        F.count("*").alias("n"),
+        F.percentile(F.col("v"), F.lit(0.5)).alias("median"),
+    ).collect()[0]
+    if not med["n"]:
+        raise ValueError("median_absolute_deviation over empty match set")
+    m = float(med["median"])
+    mad = vals.agg(
+        F.percentile(F.abs(F.col("v") - F.lit(m)), F.lit(0.5)).alias("mad")
+    )
+    return mad.select(
+        F.lit(int(med["n"])).alias("n"),
+        F.lit(m).alias("median"),
+        F.col("mad"),
+    )
+
+
+def matrix_stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    fields: list[str],
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation -> one row per unordered field
+    pair ``(field_x, field_y, count, mean_x, mean_y, covariance,
+    correlation)``, pairs in request order including the diagonal
+    (whose covariance is the sample variance).
+
+    Pinned to ES's sample (n-1) covariance. Deviation from ES
+    documented: per-field skewness/kurtosis are omitted (the pair
+    matrix is the operative output; higher moments of int fields
+    overflow int64 at corpus scale, and this engine refuses
+    silently-lossy float accumulation).
+
+    One pass: for m fields, ``m`` sums + ``m`` squared sums +
+    ``m*(m+1)/2`` cross sums — all conditional int64-exact partial
+    aggregates over the same matched-join frame, no extra scan or
+    shuffle (the adjacency_matrix shape)."""
+    if len(fields) < 1:
+        raise ValueError("fields must be non-empty")
+    if len(set(fields)) != len(fields):
+        raise ValueError(f"duplicate fields: {fields}")
+    matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
+    joined = matched.join(
+        doc_values.select("doc_id", *fields), "doc_id"
+    ).select(*[F.col(f).cast("long").alias(f) for f in fields])
+    aggs = [F.count("*").alias("_n")]
+    for f in fields:
+        aggs.append(F.sum(F.col(f)).alias(f"_s_{f}"))
+    pairs = [
+        (fields[i], fields[j])
+        for i in range(len(fields))
+        for j in range(i, len(fields))
+    ]
+    for fx, fy in pairs:
+        aggs.append(
+            F.sum(F.col(fx) * F.col(fy)).alias(f"_x_{fx}_{fy}")
+        )
+    r = joined.agg(*aggs).collect()[0]
+    n = int(r["_n"] or 0)
+    if n < 2:
+        raise ValueError(f"matrix_stats needs >= 2 matched docs (got {n})")
+    import math as _math
+
+    rows = []
+    for fx, fy in pairs:
+        sx, sy = int(r[f"_s_{fx}"]), int(r[f"_s_{fy}"])
+        sxy = int(r[f"_x_{fx}_{fy}"])
+        sxx = int(r[f"_x_{fx}_{fx}"])
+        syy = int(r[f"_x_{fy}_{fy}"])
+        cov = (sxy - sx * sy / n) / (n - 1)
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        corr = (
+            cov / _math.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+        )
+        rows.append(
+            (fx, fy, n, sx / n, sy / n, float(cov),
+             None if corr is None else float(corr))
+        )
+    return spark.createDataFrame(
+        rows,
+        "field_x string, field_y string, count long, mean_x double, "
+        "mean_y double, covariance double, correlation double",
+    )
+
+
+def sampler_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``sampler`` aggregation bounding a ``stats`` sub-agg -> one
+    row ``(sample_count, min_v, max_v, sum_v, avg_v)`` computed over
+    the ``shard_size`` BEST-SCORING matched docs.
+
+    Pin (documented ES deviation, same spirit as the sampled
+    significant_terms pin): ES samples the top ``shard_size`` docs PER
+    SHARD, making results shard-layout-dependent; this engine pins the
+    GLOBAL BM25 top ``shard_size`` by the standard (-score, doc_id)
+    tie-break, so the sample — and therefore the sub-agg — is
+    deterministic and cross-engine reproducible. The sample is a
+    standard bounded top-k (block-max pruned, per-shard heaps) and the
+    sub-agg runs over <= shard_size rows: both stages are bounded
+    regardless of corpus size."""
+    from sparkfts.query import bm25_index_batch
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    top = bm25_index_batch(
+        spark, index_dir, [(0, query, int(shard_size))], mode=mode
+    ).select("doc_id")
+    sample = top.join(doc_values.select("doc_id", field), "doc_id")
+    v = F.col(field).cast("long")
+    return sample.agg(
+        F.count("*").alias("sample_count"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("avg_v"),
+    )

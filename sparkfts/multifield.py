@@ -723,3 +723,32 @@ def bm25f_batch(
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+def bm25_most_fields_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    fields: list[str] | None = None,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``multi_match`` ``type: most_fields``: combined score = SUM
+    of every matching field's score (boosts included) — "more fields
+    matching is better", vs best_fields' max.
+
+    Identity (ES-documented): most_fields == dis_max with
+    ``tie_breaker=1.0`` (best + 1.0 * all others = plain sum), so this
+    is a pinned alias onto :func:`bm25_multifield_batch`'s exact
+    tie_breaker path — the single-pass bool-tree kernel holding
+    complete per-shard per-field match sets, where the
+    union-of-per-field-top-k pruning proof (which sum-combining
+    breaks) is never needed.
+
+    Reference parity: the reference's multi_match call
+    (ElasticsearchToNeo4jSync.py:92-99) uses ES's default best_fields;
+    most_fields is the adjacent ES surface a user switching engines
+    expects."""
+    return bm25_multifield_batch(
+        spark, index_dir, queries, fields=fields, mode=mode,
+        tie_breaker=1.0,
+    )

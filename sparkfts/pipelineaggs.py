@@ -184,3 +184,110 @@ def min_bucket(buckets: DataFrame, metric: str) -> DataFrame:
 def max_bucket(buckets: DataFrame, metric: str) -> DataFrame:
     """ES sibling ``max_bucket``."""
     return buckets.agg(F.max(F.col(metric).cast("double")).alias("value"))
+
+
+NORMALIZE_METHODS = (
+    "rescale_0_1",
+    "rescale_0_100",
+    "percent_of_sum",
+    "mean",
+    "z-score",
+    "softmax",
+)
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    metric: str,
+    method: str = "percent_of_sum",
+    order_by: str = "bucket",
+    out: str = "normalized",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale a parent agg's per-bucket
+    metric. All six ES methods, pinned to their documented formulas:
+
+    - ``rescale_0_1``:    ``(x - min) / (max - min)``
+    - ``rescale_0_100``:  ``100 * (x - min) / (max - min)``
+    - ``percent_of_sum``: ``x / sum(x)``
+    - ``mean``:           ``(x - mean) / (max - min)``  (ES's "mean")
+    - ``z-score``:        ``(x - mean) / stddev_pop``
+    - ``softmax``:        ``exp(x) / sum(exp(x))``
+
+    Coordinator-reduce shape (bounded bucket frame; the one-partition
+    window mirrors ES reduce — see module docstring)."""
+    if method not in NORMALIZE_METHODS:
+        raise ValueError(
+            f"unknown normalize method {method!r}; one of "
+            f"{NORMALIZE_METHODS}"
+        )
+    df, w = _ordered(buckets, order_by)
+    frame = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.col(metric).cast("double")
+    if method == "rescale_0_1":
+        expr = (x - F.min(x).over(frame)) / (
+            F.max(x).over(frame) - F.min(x).over(frame)
+        )
+    elif method == "rescale_0_100":
+        expr = (
+            F.lit(100.0)
+            * (x - F.min(x).over(frame))
+            / (F.max(x).over(frame) - F.min(x).over(frame))
+        )
+    elif method == "percent_of_sum":
+        expr = x / F.sum(x).over(frame)
+    elif method == "mean":
+        expr = (x - F.avg(x).over(frame)) / (
+            F.max(x).over(frame) - F.min(x).over(frame)
+        )
+    elif method == "z-score":
+        expr = (x - F.avg(x).over(frame)) / F.stddev_pop(x).over(frame)
+    else:  # softmax
+        expr = F.exp(x) / F.sum(F.exp(x)).over(frame)
+    return df.withColumn(out, expr)
+
+
+def moving_percentile(
+    buckets: DataFrame,
+    metric: str,
+    window: int,
+    percent: float = 50.0,
+    shift: int = 0,
+    order_by: str = "bucket",
+    out: str = "moving_percentile",
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg (one requested percent):
+    the percentile of the metric over the sliding window
+    ``[i - window + shift, i + shift)`` in bucket order — the
+    :func:`moving_avg` window contract; empty windows yield NULL.
+
+    ES computes the window percentile by merging the buckets'
+    t-digests; this pins the EXACT linear-interpolated percentile of
+    the window's metric values (the :func:`sparkfts.aggs.
+    percentiles_agg` pin): with the window values sorted ascending and
+    ``r = p * (n-1)``, the value is
+    ``v[floor(r)] + (r - floor(r)) * (v[floor(r)+1] - v[floor(r)])``.
+    Spark can't run ``percentile`` as a window function, so the window
+    collects into a bounded array (<= ``window`` values per bucket —
+    the frame is already coordinator-reduce-sized) and the
+    interpolation is pure column arithmetic."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not (0.0 <= percent <= 100.0):
+        raise ValueError("percent must be in [0, 100]")
+    df, w = _ordered(buckets, order_by)
+    frame = w.rowsBetween(-window + shift, shift - 1)
+    arr = F.array_sort(
+        F.collect_list(F.col(metric).cast("double")).over(frame)
+    )
+    n = F.size(arr)
+    r = F.lit(percent / 100.0) * (n - F.lit(1)).cast("double")
+    lo = F.floor(r).cast("int")
+    frac = r - lo.cast("double")
+    v_lo = F.element_at(arr, lo + 1)
+    v_hi = F.element_at(arr, F.least(lo + F.lit(2), n))
+    return df.withColumn(
+        out,
+        F.when(n > 0, v_lo + frac * (v_hi - v_lo)).otherwise(F.lit(None)),
+    )

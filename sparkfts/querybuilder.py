@@ -172,6 +172,49 @@ def match_all_topk(docs: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def ids_topk(docs: DataFrame, ids: list[int], k: int = 10) -> DataFrame:
+    """ES ``ids`` query: filter-context fetch of the documents whose
+    ``_id`` is in the request list — every hit scores 1.0 (constant
+    filter score), order pinned doc_id asc (the match_all pin)
+    -> DataFrame(rank, doc_id, score).
+
+    The id list is request-sized, so it rides the plan as an in-list
+    literal — at any corpus scale this is a pushed-down ``IN``
+    predicate on the storage scan (min/max + dictionary pruning),
+    never a join."""
+    if not ids:
+        raise ValueError("ids must be non-empty")
+    return (
+        docs.select(F.col("doc_id").cast("long"))
+        .where(F.col("doc_id").isin([int(i) for i in ids]))
+        .orderBy("doc_id")
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
+        .select("rank", "doc_id", F.lit(1.0).alias("score"))
+    )
+
+
+def exists_topk(docs: DataFrame, field: str, k: int = 10) -> DataFrame:
+    """ES ``exists`` query: filter-context match of documents that
+    HAVE any value for ``field`` (pinned: SQL ``IS NOT NULL`` — ES
+    also treats explicit nulls / empty arrays as missing, which is
+    exactly what a typed null column carries here). Score 1.0, order
+    doc_id asc -> DataFrame(rank, doc_id, score).
+
+    Composes with scored queries through ``filter_expr`` ("<field> IS
+    NOT NULL") on the standard filtered top-k path; this standalone
+    form is the bare-exists request. The null test is a pushed-down
+    scan predicate (parquet null-count pruning applies)."""
+    return (
+        docs.select(F.col("doc_id").cast("long"), F.col(field))
+        .where(F.col(field).isNotNull())
+        .orderBy("doc_id")
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
+        .select("rank", "doc_id", F.lit(1.0).alias("score"))
+    )
+
+
 def run_search_request_indexed(
     spark,
     index_dir: str,

@@ -47,6 +47,8 @@ CROSS_WHITELIST = {
     "term_suggest",
     # 1-row totals scalar crossJoin(broadcast(...)) — bounded by design
     "unigram_logppl",
+    # 1x1 scalar join: length-stats row x entropy row
+    "string_stats_agg",
     # rank_eval combines per-metric frames of n_requests rows each; with
     # a single request the equality join keys constant-fold to literals
     # and Catalyst plans a (1 x 1)-row nested loop — bounded by the
