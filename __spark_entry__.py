@@ -3294,6 +3294,18 @@ def q_fts_exists(spark, sf_dir):
     return res.select("rank", "doc_id")
 
 
+def q_exact_substring_stats(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022), hash-anchor distributed
+    variant: positional 8-token windows, global keep-first pin,
+    per-doc gaps-and-islands span merge
+    (sparkfts/ops/chunkdedup.py exact_substring_stats). Per-doc
+    removal accounting over the full corpus."""
+    from sparkfts.ops.chunkdedup import exact_substring_stats
+
+    docs = _docs(spark, sf_dir)
+    return exact_substring_stats(docs, length=8)
+
+
 _ATTEST_WINDOW_R5 = [
     # -- flagship invariants, pinned every round --------------------------
     "fts_corpus_stats",
@@ -3535,6 +3547,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_most_fields": q_fts_most_fields,
         "fts_ids": q_fts_ids,
         "fts_exists": q_fts_exists,
+        "exact_substring_stats": q_exact_substring_stats,
     }
 
 
@@ -7072,5 +7085,45 @@ ORDER BY doc_id LIMIT 10
 SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank, doc_id
 FROM documents WHERE nullif(lang, 'de') IS NOT NULL
 ORDER BY doc_id LIMIT 12
+"""
+
+    sqls["exact_substring_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+  FROM documents),
+win AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')),
+                              1, 15)) AS BIGINT) AS h60
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+        FROM toks WHERE len(t) >= 8)),
+g AS (SELECT h60, count(*) AS n_occ,
+             min(struct_pack(d := doc_id, p := pos)) AS f
+      FROM win GROUP BY 1),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN g USING (h60)
+        WHERE g.n_occ >= 2
+          AND NOT (w.doc_id = struct_extract(g.f, 'd')
+                   AND w.pos = struct_extract(g.f, 'p'))),
+mk AS (SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS brk
+       FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM mk),
+spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+          FROM isl GROUP BY 1, 2),
+pds AS (SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS removed
+        FROM spans GROUP BY 1),
+pdd AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pdd.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(pds.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(pds.removed, 0) AS BIGINT) AS removed_tokens
+FROM toks t LEFT JOIN pdd USING (doc_id) LEFT JOIN pds USING (doc_id)
 """
     return sqls
