@@ -3294,6 +3294,23 @@ def q_fts_exists(spark, sf_dir):
     return res.select("rank", "doc_id")
 
 
+def q_fts_span_multi(spark, sf_dir):
+    """ES span_multi wrapping prefix 's': pinned Lucene span rewrite —
+    span_or over the dictionary expansions (tfp = union of expansion
+    positions, pseudo-idf = summed expansion idfs,
+    sparkfts/spans.py span_multi_batch)."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.spans import span_multi_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = span_multi_batch(spark, idx, [(0, "s", 10)], kind="prefix")
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_exact_substring_stats(spark, sf_dir):
     """ExactSubstr dedup (Lee et al. 2022), hash-anchor distributed
     variant: positional 8-token windows, global keep-first pin,
@@ -3548,6 +3565,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_ids": q_fts_ids,
         "fts_exists": q_fts_exists,
         "exact_substring_stats": q_exact_substring_stats,
+        "fts_span_multi": q_fts_span_multi,
     }
 
 
@@ -7125,5 +7143,32 @@ SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        CAST(coalesce(pds.n_spans, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(pds.removed, 0) AS BIGINT) AS removed_tokens
 FROM toks t LEFT JOIN pdd USING (doc_id) LEFT JOIN pds USING (doc_id)
+"""
+
+    sqls["fts_span_multi"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok LIKE 's%' GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM dfs d CROSS JOIN stats s),
+freq AS (SELECT doc_id, count(*) AS tfp FROM toks
+         WHERE tok LIKE 's%' GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
     return sqls

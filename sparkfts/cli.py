@@ -198,6 +198,9 @@ def cmd_query(args: argparse.Namespace) -> None:
         ("--span-or", args.span_or),
         ("--span-not", args.span_not is not None),
         ("--span-containing", args.span_containing is not None),
+        ("--span-multi", args.span_multi is not None),
+        ("--ids", args.ids is not None),
+        ("--exists", args.exists is not None),
         ("--terms-lookup", args.terms_lookup is not None),
         ("--boosting", args.boosting is not None),
         ("--constant-score", args.constant_score is not None),
@@ -231,7 +234,8 @@ def cmd_query(args: argparse.Namespace) -> None:
                 ("--offset", args.offset),
                 ("--min-should-match", args.min_should_match != 1),
                 ("--no-blockmax", args.no_blockmax),
-                ("--max-expansions", args.max_expansions is not None),
+                ("--max-expansions", args.max_expansions is not None
+                 and flag != "--span-multi"),
                 ("--transpositions", args.transpositions),
                 ("--slop", args.slop and flag not in
                  ("--span-near", "--span-containing")),
@@ -307,6 +311,48 @@ def cmd_query(args: argparse.Namespace) -> None:
                     )
                 except ValueError as e:
                     raise SystemExit(str(e)) from e
+        elif flag == "--span-multi":
+            if not os.path.isdir(os.path.join(args.index, "positions")):
+                raise SystemExit(
+                    "no positions table; run `positions --input ... "
+                    "--index ...`"
+                )
+            from sparkfts.spans import span_multi_batch
+
+            res = span_multi_batch(
+                spark, args.index, [(0, args.query, args.k)],
+                kind=args.span_multi,
+                max_expansions=args.max_expansions,
+            )
+        elif flag == "--ids":
+            from sparkfts.index import load_docmap
+            from sparkfts.querybuilder import ids_topk
+
+            try:
+                id_list = [int(x) for x in args.ids.split(",") if x]
+            except ValueError as e:
+                raise SystemExit(f"--ids must be integers: {e}") from e
+            if args.query:
+                raise SystemExit("--ids replaces QUERY; pass ''")
+            try:
+                res = ids_topk(
+                    load_docmap(spark, args.index), id_list, k=args.k
+                )
+            except ValueError as e:
+                raise SystemExit(str(e)) from e
+        elif flag == "--exists":
+            from sparkfts.index import load_docmap
+            from sparkfts.querybuilder import exists_topk
+
+            if args.query:
+                raise SystemExit("--exists replaces QUERY; pass ''")
+            dm = load_docmap(spark, args.index)
+            if args.exists not in dm.columns:
+                raise SystemExit(
+                    f"docmap has no doc value {args.exists!r}; "
+                    f"available: {sorted(dm.columns)}"
+                )
+            res = exists_topk(dm, args.exists, k=args.k)
         elif flag == "--terms-lookup":
             from sparkfts.lifecycle import (
                 terms_lookup_expr,
@@ -1419,6 +1465,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="ES span_containing: unordered windows of the "
                         "query terms (--slop) that also contain "
                         "LITTLE_TERM")
+    q.add_argument("--span-multi", default=None,
+                   choices=["prefix", "wildcard"],
+                   help="ES span_multi: treat QUERY as a prefix or "
+                        "wildcard pattern and span-rewrite it to a "
+                        "span_or over the dictionary expansions "
+                        "(--max-expansions caps)")
+    q.add_argument("--ids", default=None, metavar="ID[,ID...]",
+                   help="ES ids query: fetch these doc_ids "
+                        "(filter context, score 1.0, doc-order page)")
+    q.add_argument("--exists", default=None, metavar="FIELD",
+                   help="ES exists query: docs with a non-null doc "
+                        "value for FIELD (needs an index built with "
+                        "that docvalue column)")
     q.add_argument("--terms-lookup", default=None,
                    metavar="FIELD:DOC_ID:PATH",
                    help="ES terms lookup: filter FIELD by the value(s) "

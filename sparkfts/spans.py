@@ -694,3 +694,55 @@ def span_first_batch(
         .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+def span_multi_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    kind: str = "prefix",
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """ES ``span_multi``: wrap a multi-term (prefix / wildcard) query
+    as a span clause. Pinned rewrite = Lucene's
+    ``SpanMultiTermQueryWrapper`` span rewrite: the pattern expands
+    against the terms dictionary and the span becomes a ``span_or``
+    over the expansions — ``tfp`` = |union of expansion positions|,
+    pseudo-idf = summed expansion idfs (the :func:`span_or_batch`
+    pin), so ``span_multi(prefix "x")`` == ``span_or`` of the
+    expansions exactly.
+
+    Plan: one row-group-pruned dictionary range scan per batch (the
+    prefix/wildcard expansion collect, request-bounded by
+    ``max_expansions``), then the shared positions kernel — no new
+    corpus-scale stage."""
+    from sparkfts.index import read_meta
+    from sparkfts.prefix import expand_prefix, expand_wildcard
+
+    meta = read_meta(index_dir)
+    pats = [(qid, p) for qid, p, _k in queries]
+    if kind == "prefix":
+        exp = expand_prefix(
+            spark, index_dir, pats, meta["n_docs"], max_expansions
+        )
+    elif kind == "wildcard":
+        exp = expand_wildcard(
+            spark, index_dir, pats, meta["n_docs"], max_expansions
+        )
+    else:
+        raise ValueError(f"kind must be prefix|wildcard, got {kind!r}")
+    specs = []
+    for qid, _pat, k in queries:
+        terms = sorted({t for t, _ in exp.get(qid, [])})
+        if not terms:
+            continue
+
+        def tfp(plmap, _terms=tuple(terms)):
+            pls = [plmap[t] for t in _terms if t in plmap]
+            return np.unique(np.concatenate(pls)).size if pls else 0
+
+        specs.append(
+            {"qid": qid, "required": [], "any": terms, "k": int(k),
+             "idf_terms": terms, "tfp": tfp}
+        )
+    return _run_span_specs(spark, index_dir, specs)

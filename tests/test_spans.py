@@ -300,3 +300,60 @@ def test_span_within(spark, span_index, positions):
     assert [r["doc_id"] for r in got] == [d for d, _ in exp[:10]]
     for r, (_, es) in zip(got, exp):
         assert math.isclose(r["score"], es, rel_tol=1e-9)
+
+
+def test_span_multi_prefix_equals_span_or_of_expansions(
+    spark, span_index, positions
+):
+    """span_multi(prefix) == span_or over the dictionary expansions
+    (the pinned Lucene span rewrite), checked end-to-end on two
+    prefixes and one wildcard."""
+    from sparkfts.spans import span_multi_batch, span_or_batch
+
+    all_terms = sorted({t for pos, _ in positions.values() for t in pos})
+    for prefix in ("s", "th"):
+        exps = [t for t in all_terms if t.startswith(prefix)]
+        assert exps, "fixture too sparse"
+        got = span_multi_batch(
+            spark, span_index, [(0, prefix, 10)], kind="prefix"
+        ).collect()
+        want = span_or_batch(
+            spark, span_index, [(0, " ".join(exps), 10)]
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+    # wildcard kind routes through expand_wildcard
+    exps = [t for t in all_terms if t.startswith("s") and t.endswith("e")]
+    if exps:
+        got = span_multi_batch(
+            spark, span_index, [(0, "s*e", 10)], kind="wildcard"
+        ).collect()
+        want = span_or_batch(
+            spark, span_index, [(0, " ".join(exps), 10)]
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+    with pytest.raises(ValueError, match="kind"):
+        span_multi_batch(spark, span_index, [(0, "s", 5)], kind="fuzzy")
+
+
+def test_span_multi_max_expansions(spark, span_index, positions):
+    """max_expansions caps the rewrite at the N lexicographically
+    first dictionary terms (the expand_prefix contract)."""
+    from sparkfts.spans import span_multi_batch, span_or_batch
+
+    all_terms = sorted({t for pos, _ in positions.values() for t in pos})
+    exps = [t for t in all_terms if t.startswith("s")][:2]
+    assert len(exps) == 2
+    got = span_multi_batch(
+        spark, span_index, [(0, "s", 10)], kind="prefix",
+        max_expansions=2,
+    ).collect()
+    want = span_or_batch(
+        spark, span_index, [(0, " ".join(exps), 10)]
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
