@@ -3294,6 +3294,17 @@ def q_fts_exists(spark, sf_dir):
     return res.select("rank", "doc_id")
 
 
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg at precision 3: classic Niemeyer base-32
+    cells (integer bit-interleave formulation, pinned by the Wikipedia
+    test vector in test_geo), count desc then key asc — one
+    partially-aggregated groupBy on <= 32^3 cells."""
+    from sparkfts.geo import geohash_grid
+
+    pts = _geo_docs(spark, sf_dir)
+    return geohash_grid(pts, "lat", "lon", precision=3)
+
+
 def q_fts_span_multi(spark, sf_dir):
     """ES span_multi wrapping prefix 's': pinned Lucene span rewrite —
     span_or over the dictionary expansions (tfp = union of expansion
@@ -3566,6 +3577,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_exists": q_fts_exists,
         "exact_substring_stats": q_exact_substring_stats,
         "fts_span_multi": q_fts_span_multi,
+        "geohash_grid": q_geohash_grid,
     }
 
 
@@ -7170,5 +7182,33 @@ scored AS (
   FROM freq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s)
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["geohash_grid"] = f"""
+WITH {geo_pts},
+ix AS (
+  SELECT greatest(least(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT),
+                        255), 0) AS li,
+         greatest(least(CAST(floor((lat + 90.0) / 180.0 * 128) AS BIGINT),
+                        127), 0) AS la
+  FROM pts),
+tw AS (SELECT ((li >> 7) & 1) * 16384
+         + ((la >> 6) & 1) * 8192
+         + ((li >> 6) & 1) * 4096
+         + ((la >> 5) & 1) * 2048
+         + ((li >> 5) & 1) * 1024
+         + ((la >> 4) & 1) * 512
+         + ((li >> 4) & 1) * 256
+         + ((la >> 3) & 1) * 128
+         + ((li >> 3) & 1) * 64
+         + ((la >> 2) & 1) * 32
+         + ((li >> 2) & 1) * 16
+         + ((la >> 1) & 1) * 8
+         + ((li >> 1) & 1) * 4
+         + ((la >> 0) & 1) * 2
+         + ((li >> 0) & 1) * 1 AS total FROM ix),
+k AS (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 10) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 5) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 0) & 31) AS INT) + 1, 1) AS key FROM tw)
+SELECT key, CAST(count(*) AS BIGINT) AS doc_count
+FROM k GROUP BY 1 ORDER BY doc_count DESC, key
 """
     return sqls

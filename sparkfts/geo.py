@@ -236,3 +236,87 @@ def geo_distance_agg(
             F.col("doc_count").cast("long").alias("doc_count"),
         )
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_key(
+    lat_col: str | Column, lon_col: str | Column, precision: int
+) -> Column:
+    """Classic geohash (Niemeyer base-32) cell key column for
+    ``geohash_grid`` — ES precision range 1..12.
+
+    Integer formulation (equal to the textbook range-halving encoder,
+    pinned by the Wikipedia test vector in test_geo): with ``b = 5p``
+    total bits, longitude takes ``ceil(b/2)`` (bit 0, the MSB, is a
+    longitude bit) and latitude ``floor(b/2)``; each coordinate's bit
+    string is just ``floor((v - lo) / range * 2^bits)`` clamped, and
+    the geohash is the base-32 rendering of the interleaved word. All
+    int64 column arithmetic after two float divisions — identical
+    cross-engine."""
+    if not (1 <= precision <= 12):
+        raise ValueError("precision must be in [1, 12] (ES range)")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    lon_idx = F.greatest(
+        F.least(
+            F.floor(
+                (_c(lon_col) + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << lon_bits))
+            ).cast("long"),
+            F.lit((1 << lon_bits) - 1),
+        ),
+        F.lit(0),
+    )
+    lat_idx = F.greatest(
+        F.least(
+            F.floor(
+                (_c(lat_col) + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << lat_bits))
+            ).cast("long"),
+            F.lit((1 << lat_bits) - 1),
+        ),
+        F.lit(0),
+    )
+    total = F.lit(0).cast("long")
+    for j in range(bits):
+        src, src_bits = (
+            (lon_idx, lon_bits) if j % 2 == 0 else (lat_idx, lat_bits)
+        )
+        bit = F.shiftright(src, src_bits - 1 - j // 2).bitwiseAND(
+            F.lit(1)
+        )
+        total = total + bit * F.lit(1 << (bits - 1 - j))
+    chars = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    parts = [
+        F.element_at(
+            chars,
+            (
+                F.shiftright(total, 5 * (precision - 1 - c))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*parts)
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int,
+    size: int | None = None,
+) -> DataFrame:
+    """ES geohash_grid agg: ``(key, doc_count)`` per populated geohash
+    cell, count desc then key asc; optional top-``size`` (ES default
+    10000). Same one-groupBy shape as :func:`geotile_grid` — the key
+    space is bounded by 32^precision, partial aggregation collapses
+    map-side."""
+    keyed = df.select(geohash_key(lat_col, lon_col, precision).alias("key"))
+    out = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+    out = out.orderBy(F.desc("doc_count"), F.asc("key"))
+    return out.limit(int(size)) if size is not None else out

@@ -156,3 +156,81 @@ def test_geo_distance_agg(pts):
     assert rows[1]["doc_count"] == len(_points())
     with pytest.raises(ValueError):
         geo_distance_agg(pts, "lat", "lon", 0, 0, [])
+
+
+# ---- geohash_grid (round-5 wave 2) -----------------------------------------
+
+
+def _py_geohash(lat, lon, precision):
+    """Textbook range-halving encoder (Niemeyer)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, even, ch, out = 0, True, 0, []
+    while len(out) < precision:
+        if even:
+            mid = (lon_rng[0] + lon_rng[1]) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_rng[0] = mid
+            else:
+                ch <<= 1
+                lon_rng[1] = mid
+        else:
+            mid = (lat_rng[0] + lat_rng[1]) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_rng[0] = mid
+            else:
+                ch <<= 1
+                lat_rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_key_matches_textbook_encoder(spark):
+    from sparkfts.geo import geohash_key
+
+    pts = [
+        (57.64911, 10.40744),   # wikipedia vector -> u4pruydqqvj
+        (0.0, 0.0), (-90.0, -180.0), (89.999, 179.999),
+        (48.85, 2.35), (-33.86, 151.21), (40.71, -74.0),
+        (1e-9, -1e-9), (-45.5, 90.25),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (1, 3, 6, 11):
+        got = [
+            r["g"]
+            for r in df.select(
+                geohash_key("lat", "lon", p).alias("g")
+            ).collect()
+        ]
+        exp = [_py_geohash(la, lo, p) for la, lo in pts]
+        assert got == exp, p
+    assert _py_geohash(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    with pytest.raises(ValueError):
+        geohash_key("lat", "lon", 0)
+    with pytest.raises(ValueError):
+        geohash_key("lat", "lon", 13)
+
+
+def test_geohash_grid_counts(spark):
+    from sparkfts.geo import geohash_grid
+
+    pts = [(10.0 + i * 0.001, 20.0) for i in range(5)] + [
+        (-40.0, -70.0), (-40.1, -70.1)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = geohash_grid(df, "lat", "lon", precision=2).collect()
+    exp = {}
+    for la, lo in pts:
+        k = _py_geohash(la, lo, 2)
+        exp[k] = exp.get(k, 0) + 1
+    assert {(r["key"], r["doc_count"]) for r in got} == set(exp.items())
+    counts = [r["doc_count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+    top1 = geohash_grid(df, "lat", "lon", precision=2, size=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_count"] == max(counts)
