@@ -3294,6 +3294,49 @@ def q_fts_exists(spark, sf_dir):
     return res.select("rank", "doc_id")
 
 
+def q_pipeline_rate(spark, sf_dir):
+    """ES rate agg over the monthly date_histogram, unit=day: each
+    bucket's match count scaled by its TRUE day span (28-31 — the
+    documented actual-span pin vs ES's fixed-ratio calendar
+    conversion)."""
+    from sparkfts.pipelineaggs import rate_buckets
+
+    res = rate_buckets(
+        _month_buckets(spark, sf_dir), "doc_count",
+        interval="month", unit="day", out="rate",
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.floor(F.col("rate") * 1_000_000 + 0.5).cast("long")
+        .alias("rate_e6"),
+    )
+
+
+def q_diversified_sampler_agg(spark, sf_dir):
+    """ES diversified_sampler bounding a stats sub-agg: walk the OR
+    matches in global BM25 order, keep <= 2 docs per lang, stop after
+    5 keeps, stats(n_chars) over the kept sample."""
+    from sparkfts.aggs import diversified_sampler_agg
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = diversified_sampler_agg(
+        spark, idx, BM25_QUERY_OR,
+        docs.select("doc_id", "n_chars", "lang"),
+        "n_chars", "lang", shard_size=5, max_docs_per_value=2,
+        mode="or",
+    )
+    return res.select(
+        F.col("sample_count").cast("long").alias("sample_count"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.floor(F.col("avg_v") * 1_000_000 + 0.5).cast("long")
+        .alias("avg_e6"),
+    )
+
+
 def q_geohash_grid(spark, sf_dir):
     """ES geohash_grid agg at precision 3: classic Niemeyer base-32
     cells (integer bit-interleave formulation, pinned by the Wikipedia
@@ -3578,6 +3621,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_stats": q_exact_substring_stats,
         "fts_span_multi": q_fts_span_multi,
         "geohash_grid": q_geohash_grid,
+        "pipeline_rate": q_pipeline_rate,
+        "diversified_sampler_agg": q_diversified_sampler_agg,
     }
 
 
@@ -7210,5 +7255,38 @@ tw AS (SELECT ((li >> 7) & 1) * 16384
 k AS (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 10) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 5) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((total >> 0) & 31) AS INT) + 1, 1) AS key FROM tw)
 SELECT key, CAST(count(*) AS BIGINT) AS doc_count
 FROM k GROUP BY 1 ORDER BY doc_count DESC, key
+"""
+
+    sqls["pipeline_rate"] = f"""
+{mb_cte}
+SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(floor(CAST(doc_count AS DOUBLE)
+                  / ((epoch(to_timestamp(bucket_epoch)
+                            + INTERVAL 1 MONTH) - bucket_epoch)
+                     / 86400.0)
+                  * 1000000 + 0.5) AS BIGINT) AS rate_e6
+FROM mb ORDER BY bucket_epoch
+"""
+
+    div_cte = _bm25_scored_cte(sorted(set(BM25_QUERY_OR.split())), False)
+    sqls["diversified_sampler_agg"] = f"""
+{div_cte},
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored),
+j AS (SELECT r.rank, d.lang, CAST(d.n_chars AS BIGINT) AS v
+      FROM ranked r JOIN documents d USING (doc_id)),
+occ AS (SELECT rank, v,
+               row_number() OVER (PARTITION BY lang ORDER BY rank) AS o
+        FROM j),
+kept AS (SELECT v, row_number() OVER (ORDER BY rank) AS kr
+         FROM occ WHERE o <= 2)
+SELECT count(*) AS sample_count,
+       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS avg_e6
+FROM kept WHERE kr <= 5
 """
     return sqls

@@ -1747,3 +1747,67 @@ def sampler_agg(
         F.sum(v).alias("sum_v"),
         F.avg(v).alias("avg_v"),
     )
+
+
+def diversified_sampler_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_values: DataFrame,
+    field: str,
+    dedup_field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    mode: str = "and",
+) -> DataFrame:
+    """ES ``diversified_sampler`` bounding a ``stats`` sub-agg -> one
+    row ``(sample_count, min_v, max_v, sum_v, avg_v)``: walk the
+    matches in relevance order, keep at most ``max_docs_per_value``
+    docs per ``dedup_field`` value, stop after ``shard_size`` keeps —
+    the anti-bias sample (e.g. one doc per host).
+
+    Pins (documented, same spirit as :func:`sampler_agg`): the walk is
+    the GLOBAL BM25 order ((-score, doc_id) ties) rather than ES's
+    per-shard walks, so the sample is deterministic; docs missing
+    ``dedup_field`` (null) count as one shared value, ES's behavior.
+
+    Scale note: the diversity constraint is order-sensitive, so this
+    scores the FULL match set (two window functions: per-value
+    occurrence rank in global order, then the global keep cut) — the
+    exact-percentiles cost class, honest and bounded by the match set,
+    not the corpus. The windows partition by dedup value / nothing but
+    only (match set) rows flow; for selective queries this is small,
+    and for match-all-sized samples ES's own diversified sampler is
+    equally match-set-bound."""
+    from pyspark.sql import Window
+
+    from sparkfts.index import read_meta
+    from sparkfts.query import bm25_index_batch
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    if max_docs_per_value < 1:
+        raise ValueError("max_docs_per_value must be >= 1")
+    n_docs = int(read_meta(index_dir)["n_docs"])
+    ranked = bm25_index_batch(
+        spark, index_dir, [(0, query, n_docs)], mode=mode
+    ).select("doc_id", "rank")
+    joined = ranked.join(
+        doc_values.select("doc_id", field, dedup_field), "doc_id"
+    )
+    per_val = Window.partitionBy(dedup_field).orderBy(F.asc("rank"))
+    kept = joined.withColumn(
+        "_occ", F.row_number().over(per_val)
+    ).where(F.col("_occ") <= F.lit(int(max_docs_per_value)))
+    cut = Window.orderBy(F.asc("rank"))
+    sample = kept.withColumn(
+        "_keep_rank", F.row_number().over(cut)
+    ).where(F.col("_keep_rank") <= F.lit(int(shard_size)))
+    v = F.col(field).cast("long")
+    return sample.agg(
+        F.count("*").alias("sample_count"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("avg_v"),
+    )

@@ -291,3 +291,58 @@ def moving_percentile(
         out,
         F.when(n > 0, v_lo + frac * (v_hi - v_lo)).otherwise(F.lit(None)),
     )
+
+
+RATE_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    "week": 604800,
+}
+
+
+def rate_buckets(
+    buckets: DataFrame,
+    metric: str,
+    interval: str,
+    unit: str = "day",
+    bucket_col: str = "bucket",
+    out: str = "rate",
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: each bucket's
+    metric scaled to a per-``unit`` rate. ``interval`` is the PARENT
+    histogram's calendar_interval (explicit — a January month bucket
+    is also a year boundary, so it cannot be inferred from the
+    timestamps).
+
+    Pin (documented): the divisor is the bucket's ACTUAL span in
+    ``unit``s — a month bucket divides by its true day count (28-31),
+    stepped with calendar arithmetic; fixed units use exact second
+    ratios. ES's rate instead uses fixed average ratios for calendar
+    intervals (month = 1/12 year); the actual-span divisor is the
+    physically meaningful rate and is pinned here, cross-engine
+    reproducible from the same timestamp arithmetic.
+
+    Works on any :func:`sparkfts.aggs.date_histogram`-shaped frame
+    (bucket timestamp + numeric metric); coordinator-reduce sized."""
+    if unit not in RATE_UNIT_SECONDS:
+        raise ValueError(
+            f"unit must be one of {sorted(RATE_UNIT_SECONDS)}"
+        )
+    b = F.col(bucket_col)
+    months = {"month": 1, "quarter": 3, "year": 12}
+    if interval in months:
+        span_s = (
+            F.unix_timestamp(F.add_months(b, months[interval]))
+            - F.unix_timestamp(b)
+        )
+    elif interval in RATE_UNIT_SECONDS:
+        span_s = F.lit(RATE_UNIT_SECONDS[interval])
+    else:
+        raise ValueError(
+            f"interval must be one of "
+            f"{sorted(months) + sorted(RATE_UNIT_SECONDS)}"
+        )
+    return buckets.withColumn(
+        out,
+        F.col(metric).cast("double")
+        / (span_s.cast("double") / F.lit(float(RATE_UNIT_SECONDS[unit]))),
+    )
