@@ -3337,6 +3337,139 @@ def q_diversified_sampler_agg(spark, sf_dir):
     )
 
 
+def q_geo_centroid(spark, sf_dir):
+    """ES geo_centroid agg: arithmetic-mean coordinates of the point
+    set (degrees), count alongside."""
+    from sparkfts.geo import geo_centroid
+
+    res = geo_centroid(_geo_docs(spark, sf_dir), "lat", "lon")
+    return res.select(
+        F.floor(F.col("lat") * 1_000_000 + 0.5).cast("long")
+        .alias("lat_e6"),
+        F.floor(F.col("lon") * 1_000_000 + 0.5).cast("long")
+        .alias("lon_e6"),
+        F.col("count").alias("n_points"),
+    )
+
+
+def q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds agg (wrap_longitude=false pin): min/max box in
+    degrees — exact comparisons, no float slack needed."""
+    from sparkfts.geo import geo_bounds
+
+    res = geo_bounds(_geo_docs(spark, sf_dir), "lat", "lon")
+    return res.select(
+        F.floor(F.col("top") * 1_000_000 + 0.5).cast("long")
+        .alias("top_e6"),
+        F.floor(F.col("left") * 1_000_000 + 0.5).cast("long")
+        .alias("left_e6"),
+        F.floor(F.col("bottom") * 1_000_000 + 0.5).cast("long")
+        .alias("bottom_e6"),
+        F.floor(F.col("right") * 1_000_000 + 0.5).cast("long")
+        .alias("right_e6"),
+    )
+
+
+def q_categorize_text(spark, sf_dir):
+    """ES categorize_text agg, deterministic pin: category key = first
+    4 non-numeric analyzer tokens (digit-bearing tokens are the
+    variable parts ES's categorizer filters out)."""
+    from sparkfts.aggs import categorize_text
+
+    res = categorize_text(
+        _docs(spark, sf_dir), "text", max_matched_tokens=4, size=15
+    )
+    return res.select("category", F.col("doc_count").cast("long")
+                      .alias("doc_count"))
+
+
+def q_random_sampler_agg(spark, sf_dir):
+    """ES random_sampler agg bounding a stats sub-agg at probability
+    0.25 — pinned integer-LCG per-mille hash keep set (the
+    ops/sampling family), replayed exactly by the oracle."""
+    from sparkfts.aggs import random_sampler_agg
+
+    res = random_sampler_agg(
+        _docs(spark, sf_dir), "n_chars", probability_permille=250
+    )
+    return res.select(
+        "sample_count",
+        F.col("min_v").alias("min_v"),
+        F.col("max_v").alias("max_v"),
+        F.col("sum_v").alias("sum_v"),
+        F.floor(F.col("avg_v") * 1_000_000 + 0.5).cast("long")
+        .alias("avg_e6"),
+    )
+
+
+def q_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram, deterministic pin: exact
+    equal-frequency clustering (ntile over (value, doc_id) order) —
+    adaptive widths, every bucket populated, reproducible bounds."""
+    from sparkfts.aggs import variable_width_histogram
+
+    res = variable_width_histogram(
+        _docs(spark, sf_dir), "n_chars", buckets=8
+    )
+    return res.select(
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.floor(F.col("centroid") * 1_000_000 + 0.5).cast("long")
+        .alias("centroid_e6"),
+        F.col("doc_count").alias("doc_count"),
+    )
+
+
+def q_pipeline_bucket_correlation(spark, sf_dir):
+    """ES bucket_correlation sibling pipeline agg: Pearson correlation
+    of the monthly bucket counts against a linear ramp indicator
+    (trend detection, the count_correlation use case)."""
+    from sparkfts.pipelineaggs import bucket_correlation
+
+    buckets = _month_buckets(spark, sf_dir)
+    n = buckets.count()  # bounded: n_buckets rows
+    res = bucket_correlation(
+        buckets, "doc_count", [float(i) for i in range(1, n + 1)]
+    )
+    return res.select(
+        F.floor(F.col("correlation") * 1_000_000 + 0.5).cast("long")
+        .alias("corr_e6"),
+    )
+
+
+def q_pipeline_ks_test(spark, sf_dir):
+    """ES bucket_count_ks_test sibling pipeline agg vs the uniform
+    CDF — exact D statistics (two_sided / greater / less), the
+    documented deterministic pin."""
+    from sparkfts.pipelineaggs import bucket_count_ks_test
+
+    res = bucket_count_ks_test(_month_buckets(spark, sf_dir))
+    return res.select(
+        F.floor(F.col("d_statistic") * 1_000_000 + 0.5).cast("long")
+        .alias("d_e6"),
+        F.floor(F.col("d_plus") * 1_000_000 + 0.5).cast("long")
+        .alias("dplus_e6"),
+        F.floor(F.col("d_minus") * 1_000_000 + 0.5).cast("long")
+        .alias("dminus_e6"),
+    )
+
+
+def q_c4_clean_stats(spark, sf_dir):
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2 pinned
+    subset): per-doc line survival + page-drop accounting."""
+    from sparkfts.ops.textclean import c4_clean
+
+    res = c4_clean(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.col("page_dropped").cast("int").cast("long").alias("dropped"),
+        "clean_chars",
+    )
+
+
 def q_geohash_grid(spark, sf_dir):
     """ES geohash_grid agg at precision 3: classic Niemeyer base-32
     cells (integer bit-interleave formulation, pinned by the Wikipedia
@@ -3623,6 +3756,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid": q_geohash_grid,
         "pipeline_rate": q_pipeline_rate,
         "diversified_sampler_agg": q_diversified_sampler_agg,
+        "geo_centroid": q_geo_centroid,
+        "geo_bounds": q_geo_bounds,
+        "categorize_text": q_categorize_text,
+        "random_sampler_agg": q_random_sampler_agg,
+        "variable_width_histogram": q_variable_width_histogram,
+        "pipeline_bucket_correlation": q_pipeline_bucket_correlation,
+        "pipeline_ks_test": q_pipeline_ks_test,
+        "c4_clean_stats": q_c4_clean_stats,
     }
 
 
@@ -7288,5 +7429,117 @@ SELECT count(*) AS sample_count,
        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
             AS BIGINT) AS avg_e6
 FROM kept WHERE kr <= 5
+"""
+
+    geo_pts = (
+        f"SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon "
+        "FROM documents"
+    )
+    sqls["geo_centroid"] = f"""
+WITH p AS ({geo_pts})
+SELECT CAST(floor(avg(lat) * 1000000 + 0.5) AS BIGINT) AS lat_e6,
+       CAST(floor(avg(lon) * 1000000 + 0.5) AS BIGINT) AS lon_e6,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM p
+"""
+
+    sqls["geo_bounds"] = f"""
+WITH p AS ({geo_pts})
+SELECT CAST(floor(max(lat) * 1000000 + 0.5) AS BIGINT) AS top_e6,
+       CAST(floor(min(lon) * 1000000 + 0.5) AS BIGINT) AS left_e6,
+       CAST(floor(min(lat) * 1000000 + 0.5) AS BIGINT) AS bottom_e6,
+       CAST(floor(max(lon) * 1000000 + 0.5) AS BIGINT) AS right_e6
+FROM p
+"""
+
+    sqls["categorize_text"] = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+                     t -> NOT regexp_matches(t, '[0-9]')) AS l
+  FROM documents),
+k AS (SELECT array_to_string(l[1:4], ' ') AS category FROM toks)
+SELECT category, CAST(count(*) AS BIGINT) AS doc_count
+FROM k WHERE length(category) > 0
+GROUP BY 1 ORDER BY doc_count DESC, category LIMIT 15
+"""
+
+    sqls["random_sampler_agg"] = """
+WITH kept AS (
+  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647
+         * 1103515245 + 12345) % 2147483647 % 1000 < 250)
+SELECT CAST(count(*) AS BIGINT) AS sample_count,
+       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS avg_e6
+FROM kept
+"""
+
+    sqls["variable_width_histogram"] = """
+WITH t AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         ntile(8) OVER (ORDER BY n_chars, doc_id) AS b
+  FROM documents)
+SELECT CAST(b AS BIGINT) AS bucket_idx,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS centroid_e6,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["pipeline_bucket_correlation"] = f"""
+{mb_cte},
+r AS (SELECT CAST(doc_count AS DOUBLE) AS x,
+             CAST(row_number() OVER (ORDER BY bucket_epoch) AS DOUBLE)
+               AS y
+      FROM mb)
+SELECT CAST(floor((sum(x * y) - sum(x) * sum(y) / count(*))
+         / sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+              * (sum(y * y) - sum(y) * sum(y) / count(*)))
+         * 1000000 + 0.5) AS BIGINT) AS corr_e6
+FROM r
+"""
+
+    sqls["pipeline_ks_test"] = f"""
+{mb_cte},
+cd AS (SELECT CAST(sum(doc_count) OVER (ORDER BY bucket_epoch
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / sum(doc_count) OVER () AS ec,
+              CAST(row_number() OVER (ORDER BY bucket_epoch) AS DOUBLE)
+                / count(*) OVER () AS ef
+       FROM mb)
+SELECT CAST(floor(max(abs(ec - ef)) * 1000000 + 0.5) AS BIGINT) AS d_e6,
+       CAST(floor(max(greatest(ec - ef, 0)) * 1000000 + 0.5) AS BIGINT)
+         AS dplus_e6,
+       CAST(floor(max(greatest(ef - ec, 0)) * 1000000 + 0.5) AS BIGINT)
+         AS dminus_e6
+FROM cd
+"""
+
+    sqls["c4_clean_stats"] = """
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         (contains(lower(text), 'lorem ipsum')
+          OR contains(text, chr(123))) AS page_bad
+  FROM documents),
+k AS (
+  SELECT doc_id, page_bad, len(lines) AS n_lines_total,
+         list_filter(lines, ln ->
+             regexp_matches(ln, '[.!?"]\\s*$')
+             AND len(list_filter(string_split_regex(ln, '\\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+       CAST(n_lines_total AS BIGINT) AS n_lines_total,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(CASE WHEN page_bad OR len(kept) < 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS dropped,
+       CAST(CASE WHEN page_bad OR len(kept) < 3 THEN 0
+                 ELSE length(array_to_string(kept, chr(10))) END
+            AS BIGINT) AS clean_chars
+FROM k
 """
     return sqls

@@ -1811,3 +1811,124 @@ def diversified_sampler_agg(
         F.sum(v).alias("sum_v"),
         F.avg(v).alias("avg_v"),
     )
+
+
+def categorize_text(
+    docs: DataFrame,
+    field: str = "text",
+    max_matched_tokens: int = 5,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text`` agg -> ``(category, doc_count)``, count
+    desc then key asc, top ``size`` buckets.
+
+    Pin (documented): ES's categorizer is a stateful ML token-pattern
+    clusterer (Drain-style, 70%-similarity merges) whose buckets depend
+    on shard walk order; the deterministic cross-engine pin keys each
+    doc by its first ``max_matched_tokens`` non-numeric analyzer tokens
+    — tokens containing a digit are the "variable parts" ES's
+    categorizer filters out of category definitions. Docs with no
+    stable tokens are skipped (no empty category), matching ES's
+    behavior of requiring at least one token.
+
+    Scale shape: rowwise JVM expressions (tokenize/filter/slice/join in
+    whole-stage codegen) + ONE partially-aggregated groupBy on the
+    bounded category-key space; top-``size`` is a TakeOrdered."""
+    if max_matched_tokens < 1:
+        raise ValueError("max_matched_tokens must be >= 1")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    toks = F.expr(
+        f"regexp_extract_all(lower({field}), '[a-z0-9]+', 0)"
+    )
+    stable = F.filter(toks, lambda t: ~t.rlike("[0-9]"))
+    key = F.array_join(
+        F.slice(stable, 1, int(max_matched_tokens)), " "
+    )
+    return (
+        docs.select(key.alias("category"))
+        .where(F.length("category") > 0)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(int(size))
+    )
+
+
+def random_sampler_agg(
+    docs: DataFrame,
+    field: str,
+    probability_permille: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``random_sampler`` agg bounding a ``stats`` sub-agg -> one
+    row ``(sample_count, min_v, max_v, sum_v, avg_v)`` over a random
+    ``probability`` fraction of the docs.
+
+    Pin (documented): ES samples with a seeded RNG per shard; the
+    cross-engine deterministic pin is the repo's integer-LCG per-mille
+    hash on ``key_col`` (the :mod:`sparkfts.ops.sampling` family) —
+    keep a doc iff ``hash(doc) < probability_permille``. Replayable,
+    cluster-size-invariant, and DuckDB reproduces the exact keep set.
+
+    Scale shape: a pure rowwise keep predicate inside the scan's
+    codegen stage (no shuffle), then one scalar reduce."""
+    from sparkfts.ops.sampling import _keep_hash
+
+    if not 0 < probability_permille <= 1000:
+        raise ValueError("probability_permille must be in (0, 1000]")
+    kept = docs.where(
+        _keep_hash(key_col) < F.lit(int(probability_permille))
+    )
+    v = F.col(field).cast("long")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_count"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("avg_v"),
+    )
+
+
+def variable_width_histogram(
+    docs: DataFrame,
+    field: str,
+    buckets: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``variable_width_histogram`` agg -> one row per bucket
+    ``(bucket_idx, min_v, max_v, centroid, doc_count)``, buckets in
+    value order.
+
+    Pin (documented): ES's implementation is a one-pass approximate
+    clusterer whose bucket boundaries depend on shard document order;
+    the deterministic cross-engine pin is exact equal-frequency
+    clustering — ``ntile(buckets)`` over ``(value, key)`` order — which
+    preserves the agg's contract (adaptive widths, every bucket
+    populated, value-ordered) with reproducible bounds. Ties split by
+    ``key_col`` so both engines assign identical rows to buckets.
+
+    Scale shape: one total-order window over the input values — the
+    exact-percentiles cost class (documented: bounded by the frame the
+    caller passes, typically a match set; use
+    :func:`percentiles_approx_agg`-style sketches when the frame is
+    corpus-sized)."""
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    v = F.col(field).cast("double")
+    w = Window.orderBy(F.asc("_v"), F.asc(key_col))
+    tiled = docs.select(v.alias("_v"), key_col).withColumn(
+        "_b", F.ntile(int(buckets)).over(w)
+    )
+    return (
+        tiled.groupBy(F.col("_b").alias("bucket_idx"))
+        .agg(
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.avg("_v").alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+        )
+        .orderBy("bucket_idx")
+    )

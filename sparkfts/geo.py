@@ -320,3 +320,83 @@ def geohash_grid(
     out = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
     out = out.orderBy(F.desc("doc_count"), F.asc("key"))
     return out.limit(int(size)) if size is not None else out
+
+
+def geo_centroid(
+    df: DataFrame, lat_col: str, lon_col: str
+) -> DataFrame:
+    """ES ``geo_centroid`` agg -> one row ``(lat, lon, count)``: the
+    arithmetic mean of the coordinates in degrees (ES's documented
+    accumulation — a running weighted average per dimension; docs
+    without coordinates are excluded by the caller's frame).
+
+    One scalar reduce: partial sums collapse map-side, a single row
+    crosses the exchange."""
+    lat = _c(lat_col).cast("double")
+    lon = _c(lon_col).cast("double")
+    return df.agg(
+        F.avg(lat).alias("lat"),
+        F.avg(lon).alias("lon"),
+        F.count(F.lit(1)).cast("long").alias("count"),
+    )
+
+
+def geo_bounds(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    wrap_longitude: bool = False,
+) -> DataFrame:
+    """ES ``geo_bounds`` agg -> one row ``(top, left, bottom, right)``
+    in degrees.
+
+    ``wrap_longitude=False``: plain min/max per dimension (one scalar
+    reduce, map-side partials).
+
+    ``wrap_longitude=True`` (ES's default): the smallest longitude
+    interval covering every point, allowed to cross the antimeridian —
+    pinned as the exact complement of the LARGEST circular gap between
+    adjacent distinct longitudes (ties on gap size: the gap starting at
+    the smallest longitude; a wrapped box reports ``left > right``,
+    ES's encoding). Cost: one distinct on longitudes + one total-order
+    window over the distinct values — bounded by distinct coordinates,
+    the exact-percentiles cost class, and only taken when wrapping is
+    requested."""
+    from pyspark.sql import Window
+
+    lat = _c(lat_col).cast("double")
+    lon = _c(lon_col).cast("double")
+    base = df.agg(
+        F.max(lat).alias("top"),
+        F.min(lat).alias("bottom"),
+        F.min(lon).alias("left"),
+        F.max(lon).alias("right"),
+    )
+    if not wrap_longitude:
+        return base.select("top", "left", "bottom", "right")
+    lons = df.select(lon.alias("_lon")).where(
+        F.col("_lon").isNotNull()
+    ).distinct()
+    w = Window.orderBy(F.asc("_lon"))
+    gaps = lons.select(
+        "_lon",
+        F.lead("_lon").over(w).alias("_next"),
+        F.min("_lon").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+        ).alias("_first"),
+    ).select(
+        "_lon",
+        F.coalesce("_next", F.col("_first") + F.lit(360.0)).alias("_nxt"),
+    ).select(
+        "_lon",
+        (F.col("_nxt") - F.col("_lon")).alias("_gap"),
+        F.when(F.col("_nxt") >= 180.0, F.col("_nxt") - 360.0)
+        .otherwise(F.col("_nxt")).alias("_left"),
+    )
+    best = gaps.orderBy(F.desc("_gap"), F.asc("_lon")).limit(1).select(
+        F.col("_left").alias("left"), F.col("_lon").alias("right")
+    )
+    return base.select("top", "bottom").crossJoin(F.broadcast(best)).select(
+        "top", "left", "bottom", "right"
+    )

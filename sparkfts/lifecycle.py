@@ -678,3 +678,43 @@ def update_by_query(
         "updated": int(n_matched),
         "segment": f"stream_{batch_id:08d}",
     }
+
+
+def clone_index(src_index: str, dst_index: str) -> dict:
+    """ES ``_clone``: an exact copy of an index under a new name, same
+    shard count — ES hard-links segment files; so do we (falling back
+    to copy across filesystems), so a 100-TB clone is metadata-speed.
+
+    The destination must not exist (ES's rule). Commit is atomic via
+    the temp+rename idiom every writer here uses.
+    """
+    import shutil
+
+    if not os.path.isdir(src_index):
+        raise ValueError(f"source index {src_index!r} does not exist")
+    if os.path.exists(dst_index):
+        raise ValueError(f"target {dst_index!r} already exists")
+    tmp = dst_index + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = 0
+    for rel in _walk_files(src_index):
+        s = os.path.join(src_index, rel)
+        d = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+        n += 1
+    os.rename(tmp, dst_index)
+    return {"source": src_index, "target": dst_index, "n_files": n}
+
+
+def forcemerge(spark, index_dir: str) -> dict:
+    """ES ``_forcemerge`` (max_num_segments=1): compact all segments —
+    and reclaim tombstoned/superseded docs — into the root layout.
+    Thin alias over :func:`sparkfts.merge.merge_segments` (the ES name
+    a user of the rebuilt surface reaches for)."""
+    from sparkfts.merge import merge_segments
+
+    return merge_segments(spark, index_dir)

@@ -185,3 +185,67 @@ def canonicalize_urls(
         canon.alias("canon_url"),
         host.alias("host"),
     )
+
+
+def c4_clean(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2, the
+    standard web-corpus hygiene pass) -> DataFrame(doc_id,
+    n_lines_total, n_lines_kept, page_dropped, clean_chars,
+    clean_text).
+
+    Pinned rule subset (each rule is C4's, made deterministic):
+
+    - keep a line iff it ends in a terminal punctuation mark
+      (``. ! ? "``), has >= 5 whitespace-delimited words, and does not
+      contain the word "javascript" (case-insensitive);
+    - drop the whole page iff its ORIGINAL text contains
+      "lorem ipsum" (case-insensitive) or a curly brace ``{``, or
+      fewer than 3 lines survive (C4's >= 3 sentences pin, applied at
+      line granularity). Dropped pages keep their stats but report
+      ``clean_text = ''``.
+
+    (C4's remaining rules — langdetect, bad-words list, citation
+    markers — live in :mod:`sparkfts.ops.textstats` quality scores and
+    the curation funnel; this op is the line-structure stage.)
+
+    Scale shape: pure rowwise JVM array expressions (split / filter /
+    array_join inside whole-stage codegen) — no shuffle, no UDFs,
+    column pruning pushes through."""
+    lines = F.split(F.col(text_col), "\n")
+    def _n_words(ln):
+        return F.size(
+            F.filter(F.split(ln, "\\s+"), lambda w: w != F.lit(""))
+        )
+
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]\\s*$')
+        & (_n_words(ln) >= F.lit(5))
+        & ~F.lower(ln).contains("javascript"),
+    )
+    page_bad = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+    )
+    df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("_clean"),
+        page_bad.alias("_page_bad"),
+    )
+    dropped = F.col("_page_bad") | (F.col("n_lines_kept") < 3)
+    return df.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        dropped.alias("page_dropped"),
+        F.when(dropped, F.lit(0))
+        .otherwise(F.length("_clean"))
+        .cast("long")
+        .alias("clean_chars"),
+        F.when(dropped, F.lit("")).otherwise(F.col("_clean"))
+        .alias("clean_text"),
+    )

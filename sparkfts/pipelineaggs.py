@@ -346,3 +346,133 @@ def rate_buckets(
         F.col(metric).cast("double")
         / (span_s.cast("double") / F.lit(float(RATE_UNIT_SECONDS[unit]))),
     )
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    metric: str,
+    indicator: list[float],
+    order_by: str = "bucket",
+    out: str = "correlation",
+) -> DataFrame:
+    """ES ``bucket_correlation`` sibling pipeline agg -> one row
+    ``(out,)``: the Pearson correlation between the buckets' metric
+    (in ``order_by`` order) and a caller-provided indicator vector —
+    ES's count_correlation use case (metric drift vs an expected
+    curve).
+
+    The indicator must have exactly one value per bucket (ES fails the
+    request otherwise; so do we, fail-loud at plan time via a count
+    check folded into the join). Coordinator-reduce sized: the buckets
+    frame is already an aggregated n_buckets-row frame; one window +
+    one scalar reduce over it."""
+    from pyspark.sql import Window
+
+    if not indicator:
+        raise ValueError("indicator must be non-empty")
+    n = len(indicator)
+    w = Window.orderBy(F.asc(order_by))
+    spark = buckets.sparkSession
+    ind = spark.createDataFrame(
+        [(i + 1, float(x)) for i, x in enumerate(indicator)],
+        "_i int, _y double",
+    )
+    j = (
+        buckets.select(
+            F.col(metric).cast("double").alias("_x"),
+            F.row_number().over(w).alias("_i"),
+        )
+        .join(F.broadcast(ind), "_i", "full")
+    )
+    # fail-loud on length mismatch: a full join leaves a null side
+    agg = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_x").isNull() | F.col("_y").isNull(), 1)
+              .otherwise(0)).alias("_bad"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nn = F.col("_n").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nn
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nn
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nn
+    return agg.select(
+        F.when(
+            F.col("_bad") > 0,
+            F.raise_error(F.lit(
+                f"bucket_correlation: indicator length {n} does not "
+                "match bucket count"
+            )).cast("double"),
+        )
+        .otherwise(cov / F.sqrt(vx * vy))
+        .alias(out)
+    )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    metric: str = "doc_count",
+    fractions: list[float] | None = None,
+    order_by: str = "bucket",
+) -> DataFrame:
+    """ES ``bucket_count_ks_test`` sibling pipeline agg -> one row
+    ``(d_statistic, d_plus, d_minus)``: the exact Kolmogorov-Smirnov
+    distance between the buckets' count CDF (in ``order_by`` order)
+    and an expected CDF (``fractions``, default uniform — ES's
+    default).
+
+    Pin (documented): ES returns Monte-Carlo p-values for
+    less/greater/two_sided alternatives; the deterministic pin is the
+    exact D statistics themselves (``d_plus`` = greater, ``d_minus`` =
+    less, ``d_statistic`` = two_sided), from which any caller can table
+    p-values. Coordinator-reduce sized: cumulative-sum window + scalar
+    reduce over the already-aggregated bucket frame."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(order_by))
+    df = buckets.select(
+        F.col(metric).cast("double").alias("_c"),
+        F.row_number().over(w).alias("_i"),
+    )
+    if fractions is not None:
+        if not fractions:
+            raise ValueError("fractions must be non-empty when given")
+        spark = buckets.sparkSession
+        fr = spark.createDataFrame(
+            [(i + 1, float(x)) for i, x in enumerate(fractions)],
+            "_i int, _f double",
+        )
+        df = df.join(F.broadcast(fr), "_i", "full")
+        bad = F.col("_c").isNull() | F.col("_f").isNull()
+        df = df.select(
+            F.when(
+                bad,
+                F.raise_error(F.lit(
+                    "bucket_count_ks_test: fractions length does not "
+                    "match bucket count"
+                )).cast("double"),
+            ).otherwise(F.col("_c")).alias("_c"),
+            "_i", "_f",
+        )
+    else:
+        df = df.withColumn("_f", F.lit(1.0))
+    cum = Window.orderBy(F.asc("_i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.asc("_i")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdfs = df.select(
+        (F.sum("_c").over(cum) / F.sum("_c").over(tot)).alias("_ec"),
+        (F.sum("_f").over(cum) / F.sum("_f").over(tot)).alias("_ef"),
+    )
+    return cdfs.agg(
+        F.max(F.abs(F.col("_ec") - F.col("_ef"))).alias("d_statistic"),
+        F.max(F.greatest(F.col("_ec") - F.col("_ef"), F.lit(0.0)))
+        .alias("d_plus"),
+        F.max(F.greatest(F.col("_ef") - F.col("_ec"), F.lit(0.0)))
+        .alias("d_minus"),
+    )
