@@ -3470,6 +3470,36 @@ def q_c4_clean_stats(spark, sf_dir):
     )
 
 
+def q_fts_es_dsl(spark, sf_dir):
+    """ES query-DSL JSON executed end-to-end: the reference's emitted
+    body shape (bool.must fuzzy multi_match, reference
+    ElasticsearchToNeo4jSync.py:89-102) composed with should /
+    must_not / filter, parsed by sparkfts.esdsl onto the typed IR and
+    run in the single-pass bool-tree shard kernel. Identical semantics
+    to fts_bool_topk restricted by the term filter — the oracle is that
+    SQL with the filter predicate added."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.esdsl import parse_request
+
+    body = {
+        "size": 10,
+        "query": {"bool": {
+            "must": [{"multi_match": {
+                "query": BM25_QUERY_FUZZY, "fields": ["text"],
+                "operator": "and", "fuzziness": "AUTO"}}],
+            "should": [{"match": {"text": {
+                "query": "vector", "operator": "and",
+                "fuzziness": "AUTO"}}}],
+            "must_not": [{"match": {"text": "stream"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+    }
+    req = parse_request(body)
+    idx = _index_dir_for(spark, sf_dir)
+    res = bool_topk_batch(spark, idx, [req])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_geohash_grid(spark, sf_dir):
     """ES geohash_grid agg at precision 3: classic Niemeyer base-32
     cells (integer bit-interleave formulation, pinned by the Wikipedia
@@ -3764,6 +3794,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_bucket_correlation": q_pipeline_bucket_correlation,
         "pipeline_ks_test": q_pipeline_ks_test,
         "c4_clean_stats": q_c4_clean_stats,
+        "fts_es_dsl": q_fts_es_dsl,
     }
 
 
@@ -7541,5 +7572,30 @@ SELECT doc_id,
                  ELSE length(array_to_string(kept, chr(10))) END
             AS BIGINT) AS clean_chars
 FROM k
+"""
+
+    sqls["fts_es_dsl"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{_fuzzy_clause_ctes("m", must_terms)},
+{_fuzzy_clause_ctes("s", should_terms)},
+final AS (
+  SELECT m.doc_id, m.score + COALESCE(s.score, 0) AS score
+  FROM mscored m
+  LEFT JOIN (SELECT doc_id, score FROM sscored
+             WHERE nm = {len(should_terms)}) s USING (doc_id)
+  WHERE m.nm = {len(must_terms)}
+    AND m.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'stream')
+    AND m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM final ORDER BY score DESC, doc_id LIMIT 10
 """
     return sqls

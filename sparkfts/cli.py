@@ -937,6 +937,43 @@ def cmd_msearch(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_search_dsl(args: argparse.Namespace) -> None:
+    """ES search with a raw query-DSL JSON body (the exact payload the
+    reference hands to client.search): parse via sparkfts.esdsl, run in
+    the single-pass bool-tree kernel. Match-all bodies are rejected here
+    (use `query` with no terms / mget instead) — fail-loud."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.esdsl import EsDslError, parse_request_json
+
+    if (args.body is None) == (args.body_file is None):
+        raise SystemExit("search-dsl: give exactly one of --body/--body-file")
+    body = args.body
+    if body is None:
+        with open(args.body_file) as f:
+            body = f.read()
+    try:
+        req = parse_request_json(body, default_k=args.k)
+    except EsDslError as e:
+        raise SystemExit(f"search-dsl: {e}")
+    if req.is_match_all:
+        raise SystemExit(
+            "search-dsl: match_all has no relevance ranking here; "
+            "use the mget/count subcommands"
+        )
+    spark = _spark(args.cores, "sparkfts-search-dsl")
+    t0 = time.time()
+    rows = bool_topk_batch(spark, args.index, [req]).collect()
+    for r in rows:
+        print(json.dumps(
+            {"rank": r["rank"], "doc_id": r["doc_id"],
+             "score": r["score"]}
+        ))
+    print(
+        json.dumps({"hits": len(rows), "sec": round(time.time() - t0, 3)}),
+        file=sys.stderr,
+    )
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-stats")
     from sparkfts.index import index_stats
@@ -1615,6 +1652,19 @@ def main(argv: list[str] | None = None) -> None:
     ms.add_argument("--mode", choices=["and", "or"], default="and")
     ms.add_argument("--cores", default="*")
     ms.set_defaults(fn=cmd_msearch)
+
+    sd = sub.add_parser(
+        "search-dsl",
+        help="ES _search with a raw query-DSL JSON body "
+        "(bool/match/multi_match/dis_max/filter/wrapper subset)",
+    )
+    sd.add_argument("--index", required=True)
+    sd.add_argument("--body", help="inline JSON request body")
+    sd.add_argument("--body-file", help="path to a JSON request body")
+    sd.add_argument("--k", type=int, default=10,
+                    help="default size when the body has none")
+    sd.add_argument("--cores", type=int, default=None)
+    sd.set_defaults(fn=cmd_search_dsl)
 
     st = sub.add_parser("stats", help="index introspection (_stats)")
     st.add_argument("--index", required=True)

@@ -1,0 +1,342 @@
+"""ES query-DSL JSON -> typed IR parser (the last interop layer).
+
+The reference's entire query plane is one JSON body handed to
+``client.search`` (reference ElasticsearchHandler.py:52-74, built by
+``elasticsearchQueryBuilder``, reference ElasticsearchToNeo4jSync.py:
+89-102). Every other module here rebuilds what executes that JSON;
+this module closes the dialect gap itself: :func:`parse_request`
+lowers a request body onto the engine's typed IR
+(:class:`~sparkfts.querybuilder.Clause` / ``Bool`` / ``DisMax`` /
+``SearchRequest``) and the filter context onto a docmap SQL predicate,
+so a stored ES query a reference user runs today executes on the
+Spark engine unchanged (via :func:`sparkfts.booltree.bool_topk_batch`).
+
+Supported — the documented fail-loud v1 subset, chosen to cover the
+reference's emitted queries plus the standard bool composition around
+them:
+
+- scoring context: ``match``, ``multi_match`` (``best_fields``),
+  ``match_all``, ``bool`` (must / should / must_not / filter),
+  ``dis_max``, ``wrapper`` (base64-wrapped body, decoded and recursed)
+- filter context (root ``bool.filter``): ``term``, ``terms``,
+  ``range`` (gt/gte/lt/lte), ``exists``, nested ``bool.filter``
+- body keys: ``query``, ``size``
+
+Anything else raises :class:`EsDslError` naming the unsupported key —
+the repo-wide fail-loud contract: an unsupported ES feature must never
+silently change result semantics. Specialist query types that have
+dedicated engine surfaces (``match_phrase`` -> sparkfts.phrase,
+``prefix``/``wildcard``/``regexp`` -> sparkfts.prefix, spans ->
+sparkfts.spans, ``knn`` -> sparkfts.ops.similarity, ...) are rejected
+here by name with a pointer, not half-executed.
+
+Scale shape: pure driver-side parsing — the output IR executes in the
+single-pass bool-tree shard kernel; the filter SQL predicate evaluates
+JVM-side on the docmap exactly like ``SearchRequest.filter_expr``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+
+from sparkfts.querybuilder import Bool, Clause, DisMax, SearchRequest
+
+DEFAULT_FIELDS = ("text",)
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_POINTERS = {
+    "match_phrase": "sparkfts.phrase.phrase_topk_batch",
+    "match_phrase_prefix": "sparkfts.phrase.phrase_prefix_batch",
+    "match_bool_prefix": "sparkfts.prefix.bool_prefix_batch",
+    "prefix": "sparkfts.prefix.prefix_topk_batch",
+    "wildcard": "sparkfts.prefix.wildcard_topk_batch",
+    "regexp": "sparkfts.prefix.regexp_topk_batch",
+    "fuzzy": "match with fuzziness (this parser) or sparkfts.query",
+    "span_near": "sparkfts.spans",
+    "span_first": "sparkfts.spans",
+    "span_or": "sparkfts.spans",
+    "knn": "sparkfts.ops.similarity",
+    "more_like_this": "sparkfts.mlt",
+    "query_string": "sparkfts.querystring.parse_query_string",
+    "intervals": "sparkfts.intervals",
+    "percolate": "sparkfts.percolate",
+    "rank_feature": "sparkfts.scoring.rank_feature_topk",
+    "function_score": "sparkfts.docvalues.function_score_topk",
+    "script_score": "sparkfts.scripting",
+    "pinned": "sparkfts.query.pinned_topk",
+    "terms_set": "sparkfts.docvalues.terms_set_topk",
+    "has_child": "sparkfts.parentjoin",
+    "has_parent": "sparkfts.parentjoin",
+    "nested": "sparkfts.nested",
+    "geo_distance": "sparkfts.geo.geo_distance",
+    "geo_bounding_box": "sparkfts.geo.geo_bounding_box",
+    "distance_feature": "sparkfts.docvalues.distance_feature_topk",
+    "ids": "sparkfts.querybuilder.ids_topk",
+    "exists": "filter context (bool.filter) or querybuilder.exists_topk",
+    "sparse_vector": "sparkfts.sparsevec",
+}
+
+
+class EsDslError(ValueError):
+    """An ES-DSL construct outside the documented subset."""
+
+
+def _one_key(node: dict, ctx: str) -> tuple[str, object]:
+    if not isinstance(node, dict) or len(node) != 1:
+        raise EsDslError(
+            f"{ctx}: expected a single-key query object, got "
+            f"{type(node).__name__} with keys "
+            f"{sorted(node) if isinstance(node, dict) else node!r}"
+        )
+    return next(iter(node.items()))
+
+
+def _ident(name: str, ctx: str) -> str:
+    if not isinstance(name, str) or not _IDENT.match(name):
+        raise EsDslError(f"{ctx}: invalid field name {name!r}")
+    return name
+
+
+def _fuzziness(v, ctx: str) -> str:
+    if v is None:
+        return "0"
+    if isinstance(v, str):
+        if v.upper() == "AUTO":
+            return "AUTO"
+        v2 = v
+    else:
+        v2 = v
+    try:
+        n = int(v2)
+    except (TypeError, ValueError):
+        raise EsDslError(f"{ctx}: unsupported fuzziness {v!r}") from None
+    if n not in (0, 1, 2):
+        raise EsDslError(f"{ctx}: fuzziness must be AUTO or 0/1/2")
+    return str(n)
+
+
+def _operator(v, ctx: str) -> str:
+    op = (v or "or").lower()
+    if op not in ("and", "or"):
+        raise EsDslError(f"{ctx}: operator must be and/or, got {v!r}")
+    return op
+
+
+def _check_keys(spec: dict, allowed: set, ctx: str) -> None:
+    extra = set(spec) - allowed
+    if extra:
+        raise EsDslError(f"{ctx}: unsupported options {sorted(extra)}")
+
+
+def _parse_match(body, ctx: str) -> Clause:
+    field, spec = _one_key(body, ctx)
+    field = _ident(field, ctx)
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    if not isinstance(spec, dict) or "query" not in spec:
+        raise EsDslError(f"{ctx}: match needs a query string")
+    _check_keys(spec, {"query", "operator", "fuzziness"}, ctx)
+    return Clause(
+        query=str(spec["query"]),
+        fields=(field,),
+        operator=_operator(spec.get("operator"), ctx),
+        fuzziness=_fuzziness(spec.get("fuzziness"), ctx),
+    )
+
+
+def _parse_multi_match(spec, ctx: str) -> Clause:
+    if not isinstance(spec, dict) or "query" not in spec:
+        raise EsDslError(f"{ctx}: multi_match needs a query string")
+    _check_keys(
+        spec, {"query", "fields", "operator", "fuzziness", "type",
+               "tie_breaker"}, ctx,
+    )
+    mm_type = spec.get("type", "best_fields")
+    if mm_type != "best_fields":
+        raise EsDslError(
+            f"{ctx}: multi_match type {mm_type!r} unsupported here "
+            "(most_fields -> sparkfts.multifield.bm25_most_fields_batch)"
+        )
+    fields = tuple(spec.get("fields") or DEFAULT_FIELDS)
+    if not fields:
+        raise EsDslError(f"{ctx}: multi_match fields must be non-empty")
+    for f in fields:
+        _ident(str(f).split("^", 1)[0], ctx)
+    return Clause(
+        query=str(spec["query"]),
+        fields=fields,
+        operator=_operator(spec.get("operator"), ctx),
+        fuzziness=_fuzziness(spec.get("fuzziness"), ctx),
+        tie_breaker=float(spec.get("tie_breaker", 0.0)),
+    )
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def _unwrap(node: dict, ctx: str) -> dict:
+    """Decode ``wrapper`` queries (base64 JSON) transparently."""
+    depth = 0
+    while isinstance(node, dict) and set(node) == {"wrapper"}:
+        depth += 1
+        if depth > 8:
+            raise EsDslError(f"{ctx}: wrapper nesting too deep")
+        spec = node["wrapper"]
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise EsDslError(f"{ctx}: wrapper needs a base64 query")
+        try:
+            node = json.loads(base64.b64decode(spec["query"]))
+        except Exception as e:  # noqa: BLE001 — rewrap, fail-loud
+            raise EsDslError(f"{ctx}: wrapper does not decode: {e}")
+    return node
+
+
+def parse_query(node) -> Clause | Bool | DisMax:
+    """Scoring-context ES query object -> IR node (fail-loud)."""
+    kind, spec = _one_key(_unwrap(node, "query"), "query")
+    ctx = f"query.{kind}"
+    if kind == "match":
+        return _parse_match(spec, ctx)
+    if kind == "multi_match":
+        return _parse_multi_match(spec, ctx)
+    if kind == "bool":
+        return _parse_bool(spec, ctx, allow_filter=False)[0]
+    if kind == "dis_max":
+        if not isinstance(spec, dict) or not spec.get("queries"):
+            raise EsDslError(f"{ctx}: dis_max needs queries")
+        _check_keys(spec, {"queries", "tie_breaker"}, ctx)
+        return DisMax(
+            queries=tuple(parse_query(q) for q in spec["queries"]),
+            tie_breaker=float(spec.get("tie_breaker", 0.0)),
+        )
+    if kind in _POINTERS:
+        raise EsDslError(
+            f"{ctx}: use the dedicated surface: {_POINTERS[kind]}"
+        )
+    raise EsDslError(f"{ctx}: unsupported query type")
+
+
+def _sql_value(v, ctx: str) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise EsDslError(f"{ctx}: unsupported literal {v!r}")
+
+
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def filter_sql(node, ctx: str = "filter") -> str:
+    """Filter-context ES query object -> docmap SQL predicate
+    (``SearchRequest.filter_expr`` dialect, JVM-evaluated)."""
+    kind, spec = _one_key(_unwrap(node, ctx), ctx)
+    ctx = f"{ctx}.{kind}"
+    if kind == "term":
+        field, v = _one_key(spec, ctx)
+        if isinstance(v, dict):
+            _check_keys(v, {"value"}, ctx)
+            v = v["value"]
+        return f"{_ident(field, ctx)} = {_sql_value(v, ctx)}"
+    if kind == "terms":
+        field, vals = _one_key(spec, ctx)
+        if not isinstance(vals, list) or not vals:
+            raise EsDslError(f"{ctx}: terms needs a non-empty list")
+        vs = ", ".join(_sql_value(v, ctx) for v in vals)
+        return f"{_ident(field, ctx)} IN ({vs})"
+    if kind == "range":
+        field, bounds = _one_key(spec, ctx)
+        field = _ident(field, ctx)
+        if not isinstance(bounds, dict) or not bounds:
+            raise EsDslError(f"{ctx}: range needs bounds")
+        _check_keys(bounds, set(_RANGE_OPS), ctx)
+        parts = [
+            f"{field} {_RANGE_OPS[op]} {_sql_value(v, ctx)}"
+            for op, v in sorted(bounds.items())
+        ]
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        if not isinstance(spec, dict) or "field" not in spec:
+            raise EsDslError(f"{ctx}: exists needs a field")
+        return f"{_ident(spec['field'], ctx)} IS NOT NULL"
+    if kind == "bool":
+        _check_keys(spec, {"filter", "must"}, ctx)
+        subs = [
+            filter_sql(f, ctx)
+            for key in ("filter", "must")
+            for f in _as_list(spec.get(key, []))
+        ]
+        if not subs:
+            raise EsDslError(f"{ctx}: empty bool filter")
+        return "(" + " AND ".join(subs) + ")"
+    raise EsDslError(f"{ctx}: unsupported in filter context")
+
+
+def _parse_bool(
+    spec: dict, ctx: str, allow_filter: bool
+) -> tuple[Bool, str | None]:
+    if not isinstance(spec, dict):
+        raise EsDslError(f"{ctx}: bool must be an object")
+    _check_keys(spec, {"must", "should", "must_not", "filter"}, ctx)
+    if spec.get("filter") and not allow_filter:
+        raise EsDslError(
+            f"{ctx}: filter is supported on the ROOT bool only "
+            "(it lowers to SearchRequest.filter_expr)"
+        )
+    node = Bool(
+        must=tuple(parse_query(q) for q in _as_list(spec.get("must", []))),
+        should=tuple(
+            parse_query(q) for q in _as_list(spec.get("should", []))
+        ),
+        must_not=tuple(
+            parse_query(q) for q in _as_list(spec.get("must_not", []))
+        ),
+    )
+    if not node.must and not node.should:
+        raise EsDslError(
+            f"{ctx}: bool needs at least one scoring clause "
+            "(must or should)"
+        )
+    filt = None
+    if spec.get("filter"):
+        parts = [filter_sql(f) for f in _as_list(spec["filter"])]
+        filt = " AND ".join(parts)
+    return node, filt
+
+
+def parse_request(body: dict, default_k: int = 10) -> SearchRequest:
+    """Full ES search body -> :class:`SearchRequest` (fail-loud)."""
+    if not isinstance(body, dict):
+        raise EsDslError("request body must be a JSON object")
+    _check_keys(body, {"query", "size"}, "body")
+    k = int(body.get("size", default_k))
+    if k < 1:
+        raise EsDslError("size must be >= 1")
+    q = body.get("query")
+    if q is None:
+        return SearchRequest(clauses=(), k=k)
+    q = _unwrap(q, "query")
+    kind, spec = _one_key(q, "query")
+    if kind == "match_all":
+        if spec not in ({}, None):
+            raise EsDslError("query.match_all: boost unsupported")
+        return SearchRequest(clauses=(), k=k)
+    if kind == "bool":
+        node, filt = _parse_bool(spec, "query.bool", allow_filter=True)
+        return SearchRequest(clauses=(node,), k=k, filter_expr=filt)
+    return SearchRequest(clauses=(parse_query(q),), k=k)
+
+
+def parse_request_json(body_json: str, default_k: int = 10) -> SearchRequest:
+    """JSON-string convenience wrapper (the CLI entry point)."""
+    try:
+        body = json.loads(body_json)
+    except json.JSONDecodeError as e:
+        raise EsDslError(f"request body is not valid JSON: {e}") from None
+    return parse_request(body, default_k)

@@ -1,0 +1,256 @@
+"""ES query-DSL JSON parser (sparkfts.esdsl): parse parity, filter
+lowering, wrapper decoding, fail-loud subset edges, and end-to-end
+parity with hand-built IR through the bool-tree kernel."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from sparkfts.esdsl import (
+    EsDslError,
+    filter_sql,
+    parse_query,
+    parse_request,
+    parse_request_json,
+)
+from sparkfts.querybuilder import Bool, Clause, DisMax, SearchRequest
+
+
+# ---- parsing ----------------------------------------------------------------
+
+
+def test_reference_emitted_shape():
+    """The exact body shape elasticsearchQueryBuilder emits (reference
+    ElasticsearchToNeo4jSync.py:89-102): bool.must of fuzzy AUTO
+    conjunctive multi_match clauses."""
+    body = {
+        "query": {"bool": {"must": [
+            {"multi_match": {"query": "alpha beta",
+                             "fields": ["text", "title"],
+                             "operator": "and", "fuzziness": "AUTO"}},
+        ]}},
+        "size": 10,
+    }
+    req = parse_request(body)
+    assert req == SearchRequest(
+        clauses=(Bool(must=(Clause(
+            query="alpha beta", fields=("text", "title"),
+            operator="and", fuzziness="AUTO"),)),),
+        k=10,
+    )
+
+
+def test_match_defaults_are_es_defaults():
+    # ES match: operator=or, no fuzziness
+    c = parse_query({"match": {"text": "hello world"}})
+    assert c == Clause(query="hello world", fields=("text",),
+                       operator="or", fuzziness="0")
+    c = parse_query({"match": {"text": {"query": "x", "fuzziness": 1}}})
+    assert c.fuzziness == "1"
+
+
+def test_multi_match_boosts_and_tie_breaker():
+    c = parse_query({"multi_match": {
+        "query": "q", "fields": ["title^2", "text"],
+        "tie_breaker": 0.3}})
+    assert c.fields == ("title^2", "text")
+    assert c.tie_breaker == 0.3
+    assert c.operator == "or"
+
+
+def test_dis_max_and_nested_bool():
+    n = parse_query({"dis_max": {"tie_breaker": 0.5, "queries": [
+        {"match": {"text": "a"}},
+        {"bool": {"must": [{"match": {"text": "b"}}],
+                  "must_not": [{"match": {"text": "c"}}]}},
+    ]}})
+    assert isinstance(n, DisMax) and n.tie_breaker == 0.5
+    assert isinstance(n.queries[1], Bool)
+    assert n.queries[1].must_not[0].query == "c"
+
+
+def test_match_all_and_size():
+    req = parse_request({"query": {"match_all": {}}, "size": 7})
+    assert req.is_match_all and req.k == 7
+    assert parse_request({}).is_match_all
+
+
+def test_wrapper_decodes():
+    inner = {"match": {"text": "wrapped query"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    req = parse_request({"query": {"wrapper": {"query": b64}}})
+    assert req.clauses[0].query == "wrapped query"
+    with pytest.raises(EsDslError, match="decode"):
+        parse_query({"wrapper": {"query": "!!not-base64-json!!"}})
+
+
+def test_parse_request_json():
+    req = parse_request_json('{"query": {"match": {"text": "x"}}}')
+    assert req.clauses[0].query == "x"
+    with pytest.raises(EsDslError, match="not valid JSON"):
+        parse_request_json("{nope")
+
+
+# ---- filter context ---------------------------------------------------------
+
+
+def test_filter_lowering():
+    assert filter_sql({"term": {"lang": "en"}}) == "lang = 'en'"
+    assert filter_sql({"term": {"lang": {"value": "d'e"}}}) == (
+        "lang = 'd''e'"
+    )
+    assert filter_sql({"terms": {"lang": ["en", "de"]}}) == (
+        "lang IN ('en', 'de')"
+    )
+    assert filter_sql({"range": {"n_chars": {"gte": 10, "lt": 99}}}) == (
+        "(n_chars >= 10 AND n_chars < 99)"  # bounds in sorted-key order
+    )
+    assert filter_sql({"exists": {"field": "lang"}}) == (
+        "lang IS NOT NULL"
+    )
+    got = filter_sql({"bool": {"filter": [
+        {"term": {"lang": "en"}}, {"range": {"n_chars": {"gt": 5}}},
+    ]}})
+    assert got == "(lang = 'en' AND (n_chars > 5))"
+
+
+def test_root_bool_filter_becomes_filter_expr():
+    req = parse_request({"query": {"bool": {
+        "must": [{"match": {"text": "x"}}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n_chars": {"gte": 100}}}],
+    }}})
+    assert req.filter_expr == "lang = 'en' AND (n_chars >= 100)"
+
+
+# ---- fail-loud edges --------------------------------------------------------
+
+
+def test_fail_loud():
+    with pytest.raises(EsDslError, match="sparkfts.phrase"):
+        parse_query({"match_phrase": {"text": "a b"}})
+    with pytest.raises(EsDslError, match="unsupported query type"):
+        parse_query({"frobnicate": {}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_query({"match": {"text": {"query": "x", "boost": 2}}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_request({"query": {"bool": {
+            "must": [{"match": {"text": "x"}}],
+            "minimum_should_match": 2}}})
+    with pytest.raises(EsDslError, match="ROOT bool only"):
+        parse_query({"bool": {"must": [
+            {"bool": {"must": [{"match": {"text": "x"}}],
+                      "filter": [{"term": {"lang": "en"}}]}},
+        ]}})
+    with pytest.raises(EsDslError, match="scoring clause"):
+        parse_request({"query": {"bool": {
+            "must_not": [{"match": {"text": "x"}}]}}})
+    with pytest.raises(EsDslError, match="invalid field"):
+        parse_query({"match": {"bad-field; drop": "x"}})
+    with pytest.raises(EsDslError, match="invalid field"):
+        filter_sql({"term": {"x; DROP TABLE docs": 1}})
+    with pytest.raises(EsDslError, match="fuzziness"):
+        parse_query({"match": {"text": {"query": "x", "fuzziness": 3}}})
+    with pytest.raises(EsDslError, match="most_fields"):
+        parse_query({"multi_match": {"query": "x",
+                                     "type": "most_fields"}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_request({"query": {"match_all": {}}, "from": 5})
+    with pytest.raises(EsDslError, match="unsupported in filter"):
+        filter_sql({"match": {"text": "x"}})
+
+
+# ---- end-to-end parity ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsl_index(spark, pages_df, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("esdsl_idx"))
+    build_index(
+        pages_df, d, n_shards=4, n_tbuckets=8, docvalue_cols=("lang",)
+    )
+    return d
+
+
+def test_dsl_executes_like_hand_built_ir(
+    spark, dsl_index, queries
+):
+    from sparkfts.booltree import bool_topk_batch
+
+    q = queries[0]["query"]
+    body = {
+        "size": 10,
+        "query": {"bool": {
+            "must": [{"multi_match": {
+                "query": q, "fields": ["text"],
+                "operator": "and", "fuzziness": "AUTO"}}],
+            "should": [{"match": {"text": {
+                "query": "the", "operator": "and",
+                "fuzziness": "AUTO"}}}],
+            "filter": [{"exists": {"field": "lang"}}],
+        }},
+    }
+    hand = SearchRequest(
+        clauses=(Bool(
+            must=(Clause(query=q, fields=("text",)),),
+            should=(Clause(query="the", fields=("text",)),),
+        ),),
+        k=10,
+        filter_expr="lang IS NOT NULL",
+    )
+    got = bool_topk_batch(spark, dsl_index, [parse_request(body)]).collect()
+    exp = bool_topk_batch(spark, dsl_index, [hand]).collect()
+    assert got, "fixture too sparse"
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+
+
+# ---- CLI --------------------------------------------------------------------
+
+
+def _out_lines(capsys):
+    return [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line
+    ]
+
+
+def test_cli_search_dsl(spark, dsl_index, queries, capsys):
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.cli import main
+
+    q = queries[0]["query"]
+    body = json.dumps({
+        "size": 5,
+        "query": {"bool": {
+            "must": [{"multi_match": {
+                "query": q, "fields": ["text"],
+                "operator": "and", "fuzziness": "AUTO"}}],
+            "filter": [{"exists": {"field": "lang"}}],
+        }},
+    })
+    main(["search-dsl", "--index", dsl_index, "--body", body,
+          "--cores", "4"])
+    rows = _out_lines(capsys)
+    want = bool_topk_batch(
+        spark, dsl_index, [parse_request(json.loads(body))]
+    ).collect()
+    assert rows and [(r["rank"], r["doc_id"]) for r in rows] == [
+        (r["rank"], r["doc_id"]) for r in want
+    ]
+    # fail-loud matrix
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["search-dsl", "--index", dsl_index])
+    with pytest.raises(SystemExit, match="match_all"):
+        main(["search-dsl", "--index", dsl_index, "--body",
+              '{"query": {"match_all": {}}}'])
+    with pytest.raises(SystemExit, match="search-dsl"):
+        main(["search-dsl", "--index", dsl_index, "--body",
+              '{"query": {"match_phrase": {"text": "a b"}}}'])
