@@ -3500,6 +3500,83 @@ def q_fts_es_dsl(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_histogram_dense(spark, sf_dir):
+    """ES histogram with min_doc_count=0 + extended_bounds: the dense
+    Kibana-axis contract — zero buckets fill the ladder, bounds widen
+    it to [0, 12000] regardless of data."""
+    from sparkfts.aggs import histogram_facet
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = histogram_facet(
+        spark, idx, BM25_QUERY_OR, docs.select("doc_id", "n_chars"),
+        "n_chars", interval=200.0, mode="or",
+        min_doc_count=0, extended_bounds=(0.0, 12000.0),
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_terms_order_by_avg(spark, sf_dir):
+    """ES terms agg ordered by a nested stats metric
+    (order: {"stats.avg": "desc"}): top-3 langs by mean doc length."""
+    from sparkfts.aggs import terms_stats_nested
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = terms_stats_nested(
+        spark, idx, BM25_QUERY_OR,
+        docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars",
+        mode="or", size=3, order_by="avg", order_dir="desc",
+    )
+    return res.select(
+        "value",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("min").cast("long").alias("min_chars"),
+        F.col("max").cast("long").alias("max_chars"),
+        F.col("sum").cast("long").alias("sum_chars"),
+        F.floor(F.col("avg") * 1_000_000 + 0.5).cast("long")
+        .alias("avg_e6"),
+    )
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets agg (exact enumeration pin): co-occurring
+    (lang, source, length-band) value sets with support >= 5."""
+    from sparkfts.aggs import frequent_item_sets
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 2000).cast("long").alias("len_band"),
+    )
+    res = frequent_item_sets(
+        docs, ["lang", "source", "len_band"], min_support=5, size=15
+    )
+    return res.select(
+        "items",
+        F.col("set_size").cast("long").alias("set_size"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_geo_line_agg(spark, sf_dir):
+    """ES geo_line agg: per-lang track of the first 5 points in doc_id
+    order, micro-degree quantized coordinate string."""
+    from sparkfts.geo import geo_line
+
+    pts = _geo_docs(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    res = geo_line(pts, "lang", "lat", "lon", "doc_id", size=5)
+    return res.select(
+        F.col("bucket").alias("bucket"),
+        F.col("n_points").alias("n_points"),
+        F.col("line").alias("line"),
+    )
+
+
 def q_geohash_grid(spark, sf_dir):
     """ES geohash_grid agg at precision 3: classic Niemeyer base-32
     cells (integer bit-interleave formulation, pinned by the Wikipedia
@@ -3795,6 +3872,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ks_test": q_pipeline_ks_test,
         "c4_clean_stats": q_c4_clean_stats,
         "fts_es_dsl": q_fts_es_dsl,
+        "histogram_dense": q_histogram_dense,
+        "terms_order_by_avg": q_terms_order_by_avg,
+        "frequent_item_sets": q_frequent_item_sets,
+        "geo_line_agg": q_geo_line_agg,
     }
 
 
@@ -7597,5 +7678,69 @@ final AS (
 )
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM final ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    sqls["histogram_dense"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms})),
+c AS (
+  SELECT CAST(floor(d.n_chars / 200.0) AS BIGINT) AS bidx,
+         count(*) AS doc_count
+  FROM matched m JOIN documents d USING (doc_id) GROUP BY 1),
+b AS (SELECT least(min(bidx), 0) AS lo,
+             greatest(max(bidx), 60) AS hi FROM c),
+ladder AS (SELECT unnest(generate_series(lo, hi)) AS bidx FROM b)
+SELECT CAST(bidx * 200.0 AS BIGINT) AS bucket,
+       CAST(COALESCE(doc_count, 0) AS BIGINT) AS doc_count
+FROM ladder LEFT JOIN c USING (bidx) ORDER BY bucket
+"""
+
+    sqls["terms_order_by_avg"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE tok IN ({or_terms}))
+SELECT d.lang AS value, count(*) AS doc_count,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(floor(avg(CAST(d.n_chars AS DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS avg_e6
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY avg(CAST(d.n_chars AS DOUBLE)) DESC, value LIMIT 3
+"""
+
+    sqls["frequent_item_sets"] = """
+WITH it AS (
+  SELECT 'lang:' || lang AS i1, 'source:' || source AS i2,
+         'len_band:' || CAST(CAST(floor(n_chars / 2000) AS BIGINT)
+                             AS VARCHAR) AS i3
+  FROM documents),
+s AS (
+  SELECT i1 AS items, 1 AS set_size FROM it
+  UNION ALL SELECT i2, 1 FROM it
+  UNION ALL SELECT i3, 1 FROM it
+  UNION ALL SELECT i1 || '|' || i2, 2 FROM it
+  UNION ALL SELECT i1 || '|' || i3, 2 FROM it
+  UNION ALL SELECT i2 || '|' || i3, 2 FROM it
+  UNION ALL SELECT i1 || '|' || i2 || '|' || i3, 3 FROM it)
+SELECT items, CAST(set_size AS BIGINT) AS set_size,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM s GROUP BY 1, 2 HAVING count(*) >= 5
+ORDER BY doc_count DESC, set_size DESC, items LIMIT 15
+"""
+
+    sqls["geo_line_agg"] = f"""
+WITH p AS (
+  SELECT lang AS bucket, doc_id,
+         CAST(floor(({_GEO_LAT_SQL}) * 1000000 + 0.5) AS BIGINT)
+           AS lat6,
+         CAST(floor(({_GEO_LON_SQL}) * 1000000 + 0.5) AS BIGINT)
+           AS lon6
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                ORDER BY doc_id, lat6, lon6) AS rn FROM p)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_points,
+       string_agg(CAST(lat6 AS VARCHAR) || ',' || CAST(lon6 AS VARCHAR),
+                  ';' ORDER BY doc_id, lat6, lon6) AS line
+FROM r WHERE rn <= 5 GROUP BY bucket ORDER BY bucket
 """
     return sqls

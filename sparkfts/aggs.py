@@ -14,6 +14,8 @@ Facet ordering pins ES's: count desc, then key asc.
 
 from __future__ import annotations
 
+import math
+
 from sparkfts.session import session_cores as _session_cores
 
 import numpy as np
@@ -331,27 +333,64 @@ def histogram_facet(
     field: str,
     interval: float,
     mode: str = "and",
+    min_doc_count: int = 1,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ES ``histogram`` aggregation -> (bucket, doc_count), bucket asc.
 
     ES bucket key: ``floor(value / interval) * interval`` (fixed-width
-    buckets anchored at 0; empty buckets omitted — ES's
-    ``min_doc_count=1`` behavior). Grouped count partial-aggregates
-    map-side; only (partitions x buckets) rows shuffle.
+    buckets anchored at 0). Defaults match ES: ``min_doc_count=1``
+    omits empty buckets; ``min_doc_count=0`` fills the ladder between
+    the outermost populated buckets with zero buckets, and
+    ``extended_bounds=(lo, hi)`` widens that ladder to at least
+    [lo, hi] regardless of data (the Kibana dense-axis contract).
+    ``min_doc_count > 1`` prunes sparse buckets after counting.
+
+    Scale shape: grouped count partial-aggregates map-side; only
+    (partitions x buckets) rows shuffle. The dense ladder is generated
+    from ONE 1-row bounds reduce + ``sequence()`` explode (bounded by
+    bucket count, never doc count) and joined back broadcast-side.
     """
     if interval <= 0:
         raise ValueError("interval must be > 0")
+    if min_doc_count < 0:
+        raise ValueError("min_doc_count must be >= 0")
     matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
-    bucket = (
-        F.floor(F.col(field).cast("double") / F.lit(float(interval)))
-        * F.lit(float(interval))
-    ).alias("bucket")
-    return (
+    bidx = F.floor(
+        F.col(field).cast("double") / F.lit(float(interval))
+    ).alias("_bidx")
+    counts = (
         matched.join(doc_values.select("doc_id", field), "doc_id")
-        .groupBy(bucket)
+        .groupBy(bidx)
         .agg(F.count("*").alias("doc_count"))
-        .orderBy(F.asc("bucket"))
     )
+    if min_doc_count == 0:
+        lo = F.min("_bidx")
+        hi = F.max("_bidx")
+        if extended_bounds is not None:
+            elo, ehi = extended_bounds
+            if ehi < elo:
+                raise ValueError("extended_bounds must be (lo, hi)")
+            lo = F.least(
+                lo, F.lit(int(math.floor(float(elo) / float(interval))))
+            )
+            hi = F.greatest(
+                hi, F.lit(int(math.floor(float(ehi) / float(interval))))
+            )
+        ladder = counts.agg(lo.alias("_lo"), hi.alias("_hi")).select(
+            F.explode(F.sequence("_lo", "_hi")).alias("_bidx")
+        )
+        counts = ladder.join(counts, "_bidx", "left").na.fill(
+            {"doc_count": 0}
+        )
+    elif min_doc_count > 1:
+        counts = counts.where(
+            F.col("doc_count") >= F.lit(int(min_doc_count))
+        )
+    return counts.select(
+        (F.col("_bidx") * F.lit(float(interval))).alias("bucket"),
+        "doc_count",
+    ).orderBy(F.asc("bucket"))
 
 
 def cardinality_agg(
@@ -726,11 +765,18 @@ def terms_stats_nested(
     metric_field: str,
     mode: str = "and",
     size: int = 10,
+    order_by: str = "doc_count",
+    order_dir: str = "desc",
 ) -> DataFrame:
     """ES sub-aggregation: ``terms`` buckets with a nested ``stats``
     per bucket -> (value, doc_count, min, max, sum, avg), ordered
     count desc then key asc, top ``size`` buckets — the shape behind
     every Kibana "top categories with per-category metrics" panel.
+
+    ``order_by`` / ``order_dir``: ES's ``order: {"stats.avg": "desc"}``
+    — rank buckets by any computed column (doc_count, min, max, sum,
+    avg) in either direction, ties broken by key asc. Same plan, the
+    TakeOrdered just keys on the metric.
 
     Composition layer over the same matched-join frame as
     :func:`terms_facet`: the score-free match kernel produces
@@ -743,7 +789,7 @@ def terms_stats_nested(
     """
     matched = match_docs_batch(spark, index_dir, [(0, query)], mode)
     c = F.col(metric_field).cast("double")
-    return (
+    grouped = (
         matched.join(
             doc_values.select("doc_id", bucket_field, metric_field),
             "doc_id",
@@ -756,9 +802,15 @@ def terms_stats_nested(
             F.sum(c).alias("sum"),
             F.avg(c).alias("avg"),
         )
-        .orderBy(F.desc("doc_count"), F.asc("value"))
-        .limit(size)
     )
+    if order_by not in ("doc_count", "min", "max", "sum", "avg"):
+        raise ValueError(f"unknown order_by {order_by!r}")
+    if order_dir not in ("asc", "desc"):
+        raise ValueError(f"order_dir must be asc/desc, got {order_dir!r}")
+    key = (
+        F.asc(order_by) if order_dir == "asc" else F.desc(order_by)
+    )
+    return grouped.orderBy(key, F.asc("value")).limit(size)
 
 
 DATE_INTERVALS = (
@@ -1931,4 +1983,83 @@ def variable_width_histogram(
             F.count(F.lit(1)).cast("long").alias("doc_count"),
         )
         .orderBy("bucket_idx")
+    )
+
+
+def frequent_item_sets(
+    docs: DataFrame,
+    fields: list[str],
+    min_support: int = 2,
+    max_size: int | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` agg -> ``(items, set_size,
+    doc_count)``: co-occurring sets of field values with at least
+    ``min_support`` supporting docs, top ``size`` sets ordered
+    doc_count desc, set_size desc (bigger = more informative, ES's
+    ranking intent), key asc.
+
+    Pin (documented): ES's implementation samples transactions and
+    returns approximate closed sets; here each doc contributes exactly
+    one item per listed field (``"field:value"``, null fields
+    skipped), so the itemset universe per doc is tiny (<= 2^n_fields
+    subsets) and EXACT enumeration is cheap — the deterministic
+    cross-engine pin. ``fields`` is capped at 5 (32 subsets/doc).
+
+    Scale shape: one rowwise subset-key projection (driver-enumerated
+    masks -> a 2^n-wide array, exploded) + ONE partially-aggregated
+    groupBy on the bounded itemset space; top-``size`` is a
+    TakeOrdered. No joins, no per-doc combinatorics beyond the fixed
+    mask list.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if len(set(fields)) != len(fields):
+        raise ValueError("fields must be distinct")
+    if len(fields) > 5:
+        raise ValueError("at most 5 fields (2^n subset blowup)")
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    cap = len(fields) if max_size is None else int(max_size)
+    if cap < 1:
+        raise ValueError("max_size must be >= 1")
+    subset_cols = []
+    n = len(fields)
+    for mask in range(1, 2 ** n):
+        members = [fields[i] for i in range(n) if mask >> i & 1]
+        if len(members) > cap:
+            continue
+        key = F.concat_ws(
+            "|",
+            *[
+                F.concat(F.lit(f + ":"), F.col(f).cast("string"))
+                for f in members
+            ],
+        )
+        valid = F.lit(True)
+        for f in members:
+            valid = valid & F.col(f).isNotNull()
+        subset_cols.append(
+            F.when(
+                valid,
+                F.struct(
+                    key.alias("items"),
+                    F.lit(len(members)).cast("long").alias("set_size"),
+                ),
+            )
+        )
+    exploded = docs.select(
+        F.explode(F.array(*subset_cols)).alias("s")
+    ).where(F.col("s").isNotNull())
+    return (
+        exploded.groupBy(
+            F.col("s.items").alias("items"),
+            F.col("s.set_size").alias("set_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= F.lit(int(min_support)))
+        .orderBy(
+            F.desc("doc_count"), F.desc("set_size"), F.asc("items")
+        )
+        .limit(int(size))
     )

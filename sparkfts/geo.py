@@ -400,3 +400,66 @@ def geo_bounds(
     return base.select("top", "bottom").crossJoin(F.broadcast(best)).select(
         "top", "left", "bottom", "right"
     )
+
+
+def geo_line(
+    df: DataFrame,
+    bucket_col: str,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    size: int = 100,
+) -> DataFrame:
+    """ES ``geo_line`` agg -> one row per bucket ``(bucket, n_points,
+    line)``: the track connecting each bucket's points in ``sort_col``
+    order, truncated to the FIRST ``size`` points by sort order (ES's
+    truncation rule), rendered as ``"lat,lon;lat,lon;..."`` with
+    coordinates quantized to integer micro-degrees (exact cross-engine
+    string).
+
+    Scale shape: one window partitioned by bucket bounds every group
+    to ``size`` rows BEFORE any collection (the per-group top-N
+    shape), then one grouped sort_array+join over <= size points per
+    bucket — per-bucket memory is config-bounded, never data-bounded.
+    Ties on ``sort_col`` break by (lat, lon) so the string is
+    deterministic."""
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    lat6 = F.floor(_c(lat_col).cast("double") * 1e6 + 0.5).cast("long")
+    lon6 = F.floor(_c(lon_col).cast("double") * 1e6 + 0.5).cast("long")
+    w = Window.partitionBy("bucket").orderBy(
+        F.asc(sort_col), F.asc("_lat6"), F.asc("_lon6")
+    )
+    pts = (
+        df.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(sort_col),
+            lat6.alias("_lat6"),
+            lon6.alias("_lon6"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(size)))
+    )
+    pt = F.struct(
+        F.col(sort_col), F.col("_lat6"), F.col("_lon6")
+    )
+    return (
+        pts.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(pt)),
+                    lambda p: F.concat_ws(
+                        ",",
+                        p["_lat6"].cast("string"),
+                        p["_lon6"].cast("string"),
+                    ),
+                ),
+                ";",
+            ).alias("line"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,210 @@
+"""Round-5 wave-5 surface: histogram min_doc_count/extended_bounds,
+terms order-by-metric, frequent_item_sets, geo_line."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def r5e_index(spark, pages_df, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("r5e_idx"))
+    build_index(pages_df, d, n_shards=2, n_tbuckets=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def doc_values(spark, pages_df):
+    from sparkfts.tokens import prepare_pages
+
+    return (
+        prepare_pages(pages_df)
+        .select("doc_id", "url")
+        .join(
+            pages_df.select(
+                "url", "lang", F.length("text").alias("n_chars")
+            ),
+            "url",
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---- histogram min_doc_count / extended_bounds -----------------------------
+
+
+def test_histogram_dense_fills_and_widens(
+    spark, r5e_index, doc_values, queries
+):
+    from sparkfts.aggs import histogram_facet
+
+    q = queries[0]["query"]
+    sparse = histogram_facet(
+        spark, r5e_index, q, doc_values, "n_chars", 50.0, mode="or"
+    ).collect()
+    dense = histogram_facet(
+        spark, r5e_index, q, doc_values, "n_chars", 50.0, mode="or",
+        min_doc_count=0,
+    ).collect()
+    # dense is a contiguous ladder covering the sparse buckets exactly
+    sd = {r["bucket"]: r["doc_count"] for r in sparse}
+    dd = {r["bucket"]: r["doc_count"] for r in dense}
+    assert {b for b, c in dd.items() if c > 0} == set(sd)
+    assert all(dd[b] == c for b, c in sd.items())
+    buckets = [r["bucket"] for r in dense]
+    assert buckets == sorted(buckets)
+    assert len(buckets) == int((max(buckets) - min(buckets)) / 50.0) + 1
+    # extended bounds widen beyond the data
+    lo, hi = min(buckets) - 200.0, max(buckets) + 300.0
+    wide = histogram_facet(
+        spark, r5e_index, q, doc_values, "n_chars", 50.0, mode="or",
+        min_doc_count=0, extended_bounds=(lo, hi),
+    ).collect()
+    wb = [r["bucket"] for r in wide]
+    assert min(wb) <= lo and max(wb) >= hi - 50.0
+    assert sum(r["doc_count"] for r in wide) == sum(sd.values())
+    # min_doc_count > 1 prunes
+    pruned = histogram_facet(
+        spark, r5e_index, q, doc_values, "n_chars", 50.0, mode="or",
+        min_doc_count=2,
+    ).collect()
+    assert {r["bucket"] for r in pruned} == {
+        b for b, c in sd.items() if c >= 2
+    }
+    with pytest.raises(ValueError):
+        histogram_facet(
+            spark, r5e_index, q, doc_values, "n_chars", 50.0,
+            min_doc_count=-1,
+        )
+    with pytest.raises(ValueError):
+        histogram_facet(
+            spark, r5e_index, q, doc_values, "n_chars", 50.0,
+            min_doc_count=0, extended_bounds=(10.0, 5.0),
+        )
+
+
+# ---- terms order-by-metric --------------------------------------------------
+
+
+def test_terms_order_by_metric(spark, r5e_index, doc_values, queries):
+    from sparkfts.aggs import terms_stats_nested
+
+    q = queries[0]["query"]
+    base = terms_stats_nested(
+        spark, r5e_index, q, doc_values, "lang", "n_chars", mode="or",
+        size=100,
+    ).collect()
+    assert len(base) >= 2, "fixture too sparse"
+    by_avg = terms_stats_nested(
+        spark, r5e_index, q, doc_values, "lang", "n_chars", mode="or",
+        size=100, order_by="avg", order_dir="desc",
+    ).collect()
+    want = sorted(base, key=lambda r: (-r["avg"], r["value"]))
+    assert [(r["value"], r["avg"]) for r in by_avg] == [
+        (r["value"], r["avg"]) for r in want
+    ]
+    by_min_asc = terms_stats_nested(
+        spark, r5e_index, q, doc_values, "lang", "n_chars", mode="or",
+        size=2, order_by="min", order_dir="asc",
+    ).collect()
+    want2 = sorted(base, key=lambda r: (r["min"], r["value"]))[:2]
+    assert [r["value"] for r in by_min_asc] == [r["value"] for r in want2]
+    with pytest.raises(ValueError, match="order_by"):
+        terms_stats_nested(
+            spark, r5e_index, q, doc_values, "lang", "n_chars",
+            order_by="median",
+        )
+    with pytest.raises(ValueError, match="order_dir"):
+        terms_stats_nested(
+            spark, r5e_index, q, doc_values, "lang", "n_chars",
+            order_dir="down",
+        )
+
+
+# ---- frequent_item_sets -----------------------------------------------------
+
+
+def test_frequent_item_sets_mirror(spark):
+    from sparkfts.aggs import frequent_item_sets
+
+    rows = [
+        ("en", "web", 1), ("en", "web", 1), ("en", "web", 2),
+        ("de", "web", 1), ("de", "news", 1), ("en", "news", 2),
+        ("en", None, 1),  # null item: contributes lang+band sets only
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, b long")
+    got = [
+        (r["items"], r["set_size"], r["doc_count"])
+        for r in frequent_item_sets(
+            df, ["lang", "source", "b"], min_support=2, size=100
+        ).collect()
+    ]
+    # python mirror: exact subset enumeration, same key rendering
+    cnt: Counter = Counter()
+    for lang, source, b in rows:
+        items = [
+            x for x in (
+                ("lang", lang), ("source", source), ("b", b)
+            ) if x[1] is not None
+        ]
+        for n in range(1, len(items) + 1):
+            for combo in combinations(items, n):
+                cnt["|".join(f"{f}:{v}" for f, v in combo)] = (
+                    cnt["|".join(f"{f}:{v}" for f, v in combo)] + 1
+                )
+    want = [
+        (k, k.count("|") + 1, c) for k, c in cnt.items() if c >= 2
+    ]
+    want.sort(key=lambda t: (-t[2], -t[1], t[0]))
+    assert got == want
+    # max_size caps set size
+    capped = frequent_item_sets(
+        df, ["lang", "source", "b"], min_support=2, max_size=1, size=100
+    ).collect()
+    assert all(r["set_size"] == 1 for r in capped)
+    with pytest.raises(ValueError):
+        frequent_item_sets(df, [], min_support=2)
+    with pytest.raises(ValueError):
+        frequent_item_sets(df, ["lang", "lang"], min_support=2)
+    with pytest.raises(ValueError):
+        frequent_item_sets(df, ["lang"], min_support=0)
+
+
+# ---- geo_line ---------------------------------------------------------------
+
+
+def test_geo_line_mirror(spark):
+    from sparkfts.geo import geo_line
+
+    rows = [
+        ("a", 3, 10.0, 20.0), ("a", 1, 11.5, 21.5), ("a", 2, -9.25, 0.5),
+        ("b", 1, 0.0, 0.0),
+        ("a", 4, 5.0, 5.0), ("a", 5, 6.0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts long, lat double, lon double"
+    )
+    got = {
+        r["bucket"]: (r["n_points"], r["line"])
+        for r in geo_line(df, "g", "lat", "lon", "ts", size=4).collect()
+    }
+
+    def q6(x):
+        import math
+        return int(math.floor(x * 1e6 + 0.5))
+
+    a_pts = sorted(
+        [(ts, q6(lat), q6(lon)) for g, ts, lat, lon in rows if g == "a"]
+    )[:4]
+    assert got["a"] == (
+        4, ";".join(f"{la},{lo}" for _, la, lo in a_pts)
+    )
+    assert got["b"] == (1, "0,0")
+    with pytest.raises(ValueError):
+        geo_line(df, "g", "lat", "lon", "ts", size=0)
