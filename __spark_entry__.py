@@ -3577,6 +3577,53 @@ def q_geo_line_agg(spark, sf_dir):
     )
 
 
+def q_significant_terms_chi2(spark, sf_dir):
+    """ES significant_terms with the chi_square heuristic (pinned
+    textbook 2x2 chi-square, include_negatives=false)."""
+    from sparkfts.aggs import significant_terms
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = significant_terms(
+        spark, idx, BM25_QUERY_OR, mode="or", size=10, min_doc_count=3,
+        heuristic="chi_square",
+    )
+    return res.select(
+        "term", "df_fg", "df_bg",
+        F.floor(F.col("score_chi2") * 1_000 + 0.5).cast("long").alias(
+            "score_e3"
+        ),
+    )
+
+
+def q_ip_range_agg(spark, sf_dir):
+    """ES ip_range agg over a synthesized ip doc value (half-open
+    [from, to) + CIDR masks, request order): the geo_distance_agg
+    conditional-sum shape on the int64 form of the dotted quad."""
+    from sparkfts.aggs import ip_range_agg
+
+    h = (F.col("doc_id") * 1103515245 + 54321) % 16777216
+    ip = F.concat_ws(
+        ".",
+        F.lit(10).cast("string"),
+        ((h / 65536).cast("long") % 256).cast("string"),
+        ((h / 256).cast("long") % 256).cast("string"),
+        (h % 256).cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select(ip.alias("ip"))
+    res = ip_range_agg(docs, "ip", [
+        {"to": "10.64.0.0"},
+        {"from": "10.64.0.0", "to": "10.192.0.0"},
+        {"from": "10.192.0.0"},
+        {"mask": "10.128.0.0/9"},
+        {"mask": "10.32.77.0/24"},
+    ])
+    return res.select(
+        F.col("range_idx").cast("long").alias("range_idx"),
+        "key",
+        F.col("doc_count").alias("doc_count"),
+    )
+
+
 def q_geohash_grid(spark, sf_dir):
     """ES geohash_grid agg at precision 3: classic Niemeyer base-32
     cells (integer bit-interleave formulation, pinned by the Wikipedia
@@ -3876,6 +3923,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_order_by_avg": q_terms_order_by_avg,
         "frequent_item_sets": q_frequent_item_sets,
         "geo_line_agg": q_geo_line_agg,
+        "significant_terms_chi2": q_significant_terms_chi2,
+        "ip_range_agg": q_ip_range_agg,
     }
 
 
@@ -7742,5 +7791,66 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_points,
        string_agg(CAST(lat6 AS VARCHAR) || ',' || CAST(lon6 AS VARCHAR),
                   ';' ORDER BY doc_id, lat6, lon6) AS line
 FROM r WHERE rn <= 5 GROUP BY bucket ORDER BY bucket
+"""
+
+    sqls["significant_terms_chi2"] = f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ({or_terms})),
+nm AS (SELECT count(*) AS n FROM matched),
+nd AS (SELECT count(*) AS n FROM documents),
+fg AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df_fg
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+bg AS (SELECT tok AS term, count(DISTINCT doc_id) AS df_bg
+       FROM toks GROUP BY 1),
+cells AS (
+  SELECT f.term, f.df_fg, b.df_bg,
+         CAST(f.df_fg AS DOUBLE) AS a,
+         (SELECT n FROM nm) - CAST(f.df_fg AS DOUBLE) AS b2,
+         CAST(b.df_bg AS DOUBLE) - CAST(f.df_fg AS DOUBLE) AS c,
+         ((SELECT n FROM nd) - (SELECT n FROM nm))
+           - (CAST(b.df_bg AS DOUBLE) - CAST(f.df_fg AS DOUBLE)) AS d
+  FROM fg f JOIN bg b USING (term)
+  WHERE f.df_fg / (SELECT n * 1.0 FROM nm)
+        > b.df_bg / (SELECT n * 1.0 FROM nd)),
+scored AS (
+  SELECT term, df_fg, df_bg,
+         (SELECT n * 1.0 FROM nd) * (a * d - b2 * c) * (a * d - b2 * c)
+           / ((a + b2) * (c + d) * (a + c) * (b2 + d)) AS s
+  FROM cells)
+SELECT term, df_fg, df_bg,
+       CAST(floor(s * 1000 + 0.5) AS BIGINT) AS score_e3
+FROM scored WHERE s > 0 ORDER BY s DESC, term LIMIT 10
+"""
+
+    ip_lo = 10 * 16777216
+    sqls["ip_range_agg"] = f"""
+WITH v AS (
+  SELECT {ip_lo} + (doc_id * 1103515245 + 54321) % 16777216 AS ip
+  FROM documents)
+SELECT CAST(0 AS BIGINT) AS range_idx, '*-10.64.0.0' AS key,
+       CAST(sum(CASE WHEN ip < {ip_lo + 64 * 65536} THEN 1 ELSE 0 END)
+            AS BIGINT) AS doc_count FROM v
+UNION ALL
+SELECT 1, '10.64.0.0-10.192.0.0',
+       CAST(sum(CASE WHEN ip >= {ip_lo + 64 * 65536}
+                      AND ip < {ip_lo + 192 * 65536}
+                THEN 1 ELSE 0 END) AS BIGINT) FROM v
+UNION ALL
+SELECT 2, '10.192.0.0-*',
+       CAST(sum(CASE WHEN ip >= {ip_lo + 192 * 65536}
+                THEN 1 ELSE 0 END) AS BIGINT) FROM v
+UNION ALL
+SELECT 3, '10.128.0.0/9',
+       CAST(sum(CASE WHEN ip >= {ip_lo + 128 * 65536}
+                      AND ip < {ip_lo + 128 * 65536 + 8388608}
+                THEN 1 ELSE 0 END) AS BIGINT) FROM v
+UNION ALL
+SELECT 4, '10.32.77.0/24',
+       CAST(sum(CASE WHEN ip >= {ip_lo + 32 * 65536 + 77 * 256}
+                      AND ip < {ip_lo + 32 * 65536 + 77 * 256 + 256}
+                THEN 1 ELSE 0 END) AS BIGINT) FROM v
+ORDER BY range_idx
 """
     return sqls

@@ -937,14 +937,29 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     sample_size: int | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation -> (term, df_fg, df_bg,
-    score_jlh), score desc then term asc, top ``size``.
+    score), score desc then term asc, top ``size``.
 
-    Pinned scoring = ES's JLH: with foreground rate ``fg = df_fg /
-    n_matched`` and background rate ``bg = df_bg / n_docs``,
+    Pinned scoring, default = ES's JLH: with foreground rate ``fg =
+    df_fg / n_matched`` and background rate ``bg = df_bg / n_docs``,
     ``score = (fg - bg) * (fg / bg)`` for terms with ``df_fg >=
-    min_doc_count`` and ``fg > bg``.
+    min_doc_count`` and ``fg > bg`` (score column ``score_jlh``).
+
+    ``heuristic`` selects ES's alternative significance heuristics,
+    pinned to the textbook statistics over the 2x2 contingency table
+    ``a=df_fg, b=n_matched-df_fg, c=df_bg-df_fg,
+    d=(n_docs-n_matched)-(df_bg-df_fg)`` (documented pin — ES/Lucene's
+    classes apply the same tables with implementation-specific
+    scalings; ranks agree, absolute values are pinned here to the
+    textbook forms; the ``fg > bg`` positivity filter matches ES's
+    ``include_negatives=false`` default):
+
+    - ``"chi_square"``: ``N * (a*d - b*c)^2 /
+      ((a+b)*(c+d)*(a+c)*(b+d))`` (column ``score_chi2``)
+    - ``"mutual_information"``: pointwise MI ``ln(fg / bg)``
+      (column ``score_mi``)
 
     ``sample_size``: ES ``sampler``-style bounded foreground — the
     significance statistics run over a DETERMINISTIC per-shard sample
@@ -1043,12 +1058,31 @@ def significant_terms(
     n_docs = meta["n_docs"]
     fg_rate = F.col("df_fg") / F.lit(float(n_matched))
     bg_rate = F.col("df_bg") / F.lit(float(n_docs))
+    if heuristic == "jlh":
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        out = "score_jlh"
+    elif heuristic == "chi_square":
+        a = F.col("df_fg").cast("double")
+        b = F.lit(float(n_matched)) - a
+        c = F.col("df_bg").cast("double") - a
+        d = F.lit(float(n_docs - n_matched)) - c
+        num = a * d - b * c
+        score = (
+            F.lit(float(n_docs)) * num * num
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        out = "score_chi2"
+    elif heuristic == "mutual_information":
+        score, out = F.log(fg_rate / bg_rate), "score_mi"
+    else:
+        raise ValueError(f"unknown heuristic {heuristic!r}")
     return (
         fg.join(bg, "term")
-        .withColumn("score_jlh", (fg_rate - bg_rate) * (fg_rate / bg_rate))
-        .where(F.col("score_jlh") > 0)
-        .select("term", "df_fg", "df_bg", "score_jlh")
-        .orderBy(F.desc("score_jlh"), F.asc("term"))
+        .where(fg_rate > bg_rate)
+        .withColumn(out, score)
+        .where(F.col(out) > 0)
+        .select("term", "df_fg", "df_bg", out)
+        .orderBy(F.desc(out), F.asc("term"))
         .limit(size)
     )
 
@@ -2062,4 +2096,101 @@ def frequent_item_sets(
             F.desc("doc_count"), F.desc("set_size"), F.asc("items")
         )
         .limit(int(size))
+    )
+
+
+def ip_to_long(col: str | F.Column) -> F.Column:
+    """Dotted-quad IPv4 string -> int64 (big-endian octet weights) —
+    the comparable form ES's ip field type sorts/ranges on."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.split(c, "\\.")
+    return (
+        p[0].cast("long") * F.lit(16777216)
+        + p[1].cast("long") * F.lit(65536)
+        + p[2].cast("long") * F.lit(256)
+        + p[3].cast("long")
+    )
+
+
+def _parse_ip(s: str) -> int:
+    parts = s.split(".")
+    if len(parts) != 4 or not all(
+        p.isdigit() and 0 <= int(p) <= 255 for p in parts
+    ):
+        raise ValueError(f"not an IPv4 address: {s!r}")
+    a, b, c, d = (int(p) for p in parts)
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def ip_range_agg(
+    docs: DataFrame,
+    ip_col: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES ``ip_range`` aggregation -> ``(range_idx, key, doc_count)``
+    in request order (ES keeps ranges as given; empty ranges report 0).
+
+    Each range is ``{"from": "a.b.c.d"?, "to": "a.b.c.d"?}`` —
+    half-open ``[from, to)``, ES's rule — or ``{"mask": "a.b.c.d/n"}``
+    (the CIDR block, expanded to its exact address range). ``key`` is
+    the mask string, or ``"from-to"`` with ``*`` for open ends.
+
+    Scale shape (the :func:`geo_distance_agg` pattern): the dotted
+    string converts to int64 once, rowwise in codegen, and feeds N
+    conditional sums that partial-aggregate map-side — one scalar row
+    per range crosses the exchange. No joins, no shuffle keyed on data.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    v = ip_to_long(ip_col)
+    aggs, meta = [], []
+    for i, r in enumerate(ranges):
+        extra = set(r) - {"from", "to", "mask"}
+        if extra:
+            raise ValueError(f"range {i}: unknown keys {sorted(extra)}")
+        if "mask" in r:
+            if "from" in r or "to" in r:
+                raise ValueError(f"range {i}: mask excludes from/to")
+            ip_s, _, bits_s = r["mask"].partition("/")
+            bits = int(bits_s)
+            if not 0 <= bits <= 32:
+                raise ValueError(f"range {i}: bad prefix /{bits_s}")
+            span = 1 << (32 - bits)
+            lo = _parse_ip(ip_s) & ~(span - 1)
+            hi = lo + span
+            key = r["mask"]
+        else:
+            lo = _parse_ip(r["from"]) if r.get("from") else None
+            hi = _parse_ip(r["to"]) if r.get("to") else None
+            key = (
+                (r.get("from") or "*") + "-" + (r.get("to") or "*")
+            )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(int(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(int(hi)))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__r{i}"))
+        meta.append(key)
+    row = docs.agg(*aggs)
+    kdf = docs.sparkSession.createDataFrame(
+        list(enumerate(meta)), "range_idx int, key string"
+    )
+    counts = row.select(
+        F.stack(
+            F.lit(len(meta)),
+            *[
+                x
+                for i in range(len(meta))
+                for x in (F.lit(i), F.col(f"__r{i}"))
+            ],
+        ).alias("range_idx", "doc_count")
+    )
+    return (
+        kdf.join(counts, "range_idx")
+        .orderBy("range_idx")
+        .select(
+            "range_idx", "key",
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
     )

@@ -208,3 +208,100 @@ def test_geo_line_mirror(spark):
     assert got["b"] == (1, "0,0")
     with pytest.raises(ValueError):
         geo_line(df, "g", "lat", "lon", "ts", size=0)
+
+
+# ---- significant_terms heuristics --------------------------------------------
+
+
+def test_significant_terms_heuristics(spark, r5e_index, queries):
+    import math
+
+    from sparkfts.aggs import significant_terms
+
+    q = queries[0]["query"]
+    jlh = significant_terms(
+        spark, r5e_index, q, mode="or", size=10**6, min_doc_count=2
+    ).collect()
+    assert jlh, "fixture too sparse"
+    stats = {r["term"]: (r["df_fg"], r["df_bg"]) for r in jlh}
+    n_matched = None
+    # recover n_matched from any term with df_fg == df_bg == full set?
+    # simpler: recompute via the mi heuristic's closed form below using
+    # a chi mirror — so fetch counts from the kernel once more:
+    chi = significant_terms(
+        spark, r5e_index, q, mode="or", size=10**6, min_doc_count=2,
+        heuristic="chi_square",
+    ).collect()
+    mi = significant_terms(
+        spark, r5e_index, q, mode="or", size=10**6, min_doc_count=2,
+        heuristic="mutual_information",
+    ).collect()
+    # same (term, df_fg, df_bg) triples survive all three heuristics
+    # (the fg>bg filter is shared)
+    assert {(r["term"], r["df_fg"], r["df_bg"]) for r in chi} == {
+        (r["term"], r["df_fg"], r["df_bg"]) for r in jlh
+    } == {(r["term"], r["df_fg"], r["df_bg"]) for r in mi}
+    # mi ranking mirrors ln(fg_rate/bg_rate): verify the value given
+    # n_matched and n_docs solved from any one term's jlh+mi pair is
+    # consistent across ALL terms
+    from sparkfts.index import read_meta
+
+    n_docs = int(read_meta(r5e_index)["n_docs"])
+    # solve n_matched from the first mi row: mi = ln(fg*nd/(nm*bg))
+    r0 = mi[0]
+    nm = r0["df_fg"] * n_docs / (math.exp(r0["score_mi"]) * r0["df_bg"])
+    nm = round(nm)
+    for r in mi:
+        want = math.log(
+            (r["df_fg"] / nm) / (r["df_bg"] / n_docs)
+        )
+        assert math.isclose(r["score_mi"], want, rel_tol=1e-9), r["term"]
+    for r in chi:
+        a = float(r["df_fg"])
+        b = nm - a
+        c = float(r["df_bg"]) - a
+        d = (n_docs - nm) - c
+        num = a * d - b * c
+        want = n_docs * num * num / ((a + b) * (c + d) * (a + c) * (b + d))
+        assert math.isclose(r["score_chi2"], want, rel_tol=1e-9), r["term"]
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_terms(spark, r5e_index, q, heuristic="gnd")
+
+
+# ---- ip_range ----------------------------------------------------------------
+
+
+def test_ip_range_agg(spark):
+    from sparkfts.aggs import ip_range_agg, ip_to_long
+
+    ips = ["10.0.0.1", "10.0.1.255", "10.0.2.0", "192.168.1.1",
+           "10.0.1.0", "255.255.255.255", "0.0.0.0"]
+    df = spark.createDataFrame([(s,) for s in ips], "ip string")
+    got = ip_range_agg(df, "ip", [
+        {"to": "10.0.1.0"},
+        {"from": "10.0.1.0", "to": "10.0.2.0"},
+        {"from": "10.0.2.0"},
+        {"mask": "10.0.0.0/23"},   # [10.0.0.0, 10.0.2.0)
+        {"mask": "10.0.1.77/24"},  # non-aligned host -> [10.0.1.0, 10.0.2.0)
+    ]).collect()
+    assert [(r["range_idx"], r["key"], r["doc_count"]) for r in got] == [
+        (0, "*-10.0.1.0", 2),            # 10.0.0.1, 0.0.0.0
+        (1, "10.0.1.0-10.0.2.0", 2),     # 10.0.1.0, 10.0.1.255
+        (2, "10.0.2.0-*", 3),            # 10.0.2.0, 192..., 255...
+        (3, "10.0.0.0/23", 3),
+        (4, "10.0.1.77/24", 2),
+    ]
+    # int64 form is exact big-endian
+    v = df.select(ip_to_long("ip").alias("v")).collect()
+    assert {r["v"] for r in v} == {
+        (int(a) << 24) + (int(b) << 16) + (int(c) << 8) + int(d)
+        for a, b, c, d in (s.split(".") for s in ips)
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        ip_range_agg(df, "ip", [])
+    with pytest.raises(ValueError, match="IPv4"):
+        ip_range_agg(df, "ip", [{"from": "10.0.0.999"}])
+    with pytest.raises(ValueError, match="prefix"):
+        ip_range_agg(df, "ip", [{"mask": "10.0.0.0/33"}])
+    with pytest.raises(ValueError, match="excludes"):
+        ip_range_agg(df, "ip", [{"mask": "10.0.0.0/8", "to": "1.2.3.4"}])
