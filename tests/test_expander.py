@@ -140,3 +140,51 @@ def test_shingle_index_matches_concatenated_phrase(spark, tmp_path_factory):
     uni = bm25_index_batch(spark, idx, [(0, "city", 10)],
                            mode="or").collect()
     assert len(uni) == 3
+
+
+def test_search_as_you_type_equivalence(spark, tmp_path_factory):
+    """ES search_as_you_type, covered by composition (SURVEY §2.17):
+    typing a prefix and running a PLAIN match on the edge_ngram index
+    retrieves exactly the docs a prefix query retrieves on the
+    standard index — the field type's ``_index_prefix`` subfield
+    contract (match_bool_prefix on the standard index is the other
+    half, tested in test_bool_prefix). Fresh index pair: the module
+    fixture's edge index is mutated by the streaming test above."""
+    import pandas as pd
+
+    from sparkfts.index import build_index
+    from sparkfts.prefix import prefix_topk_batch
+    from sparkfts.query import bm25_index_batch
+
+    rows = [
+        ("https://e.ex/1", "spark partition shuffle strategy"),
+        ("https://e.ex/2", "sparse vectors sparkle in spring"),
+        ("https://e.ex/3", "unrelated words entirely here now"),
+        ("https://e.ex/4", "spark spark spark repeated often"),
+    ]
+    base = tmp_path_factory.mktemp("sayt")
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    orig_idx = str(base / "orig")
+    build_index(
+        spark.createDataFrame(pdf), orig_idx, n_shards=2, n_tbuckets=4
+    )
+    edge_idx = str(base / "edge")
+    build_index(
+        spark.createDataFrame(pdf), edge_idx, n_shards=2, n_tbuckets=4,
+        expander="edge:2-10",
+    )
+    for p in ("sp", "spa", "spar", "spark", "shuf", "unrel", "ve"):
+        sayt = {
+            r["doc_id"]
+            for r in bm25_index_batch(
+                spark, edge_idx, [(0, p, 10)], mode="or"
+            ).collect()
+        }
+        pref = {
+            r["doc_id"]
+            for r in prefix_topk_batch(
+                spark, orig_idx, [(0, p, 10)]
+            ).collect()
+        }
+        assert sayt == pref, p
+    assert sayt  # the loop's last prefix ("ve") matches doc 2
