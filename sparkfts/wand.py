@@ -282,7 +282,10 @@ def score_grouped(
 def parse_minimum_should_match(spec, n_terms: int) -> int:
     """ES ``minimum_should_match`` value grammar -> the required count
     for a query with ``n_terms`` optional clauses (pinned to ES's
-    documented table; result clamped to [1, n_terms]):
+    documented table; result floored at 1 — ES treats computed values
+    < 1 as 1 — but NOT capped: a requirement above ``n_terms`` is
+    unsatisfiable and the kernels correctly return empty result sets,
+    Lucene's BooleanQuery behavior):
 
     - positive int ``N`` -> N
     - negative int ``-N`` -> n_terms - N (N optional clauses may miss)
@@ -317,7 +320,7 @@ def parse_minimum_should_match(spec, n_terms: int) -> int:
                     f"bad minimum_should_match value {s!r} (int, 'P%', "
                     "'-P%' or a single 'N<spec' conditional)"
                 )
-        return max(1, min(n, n_terms))
+        return max(1, n)
 
     if isinstance(spec, int):
         return _basic(spec)

@@ -249,7 +249,9 @@ def test_parse_minimum_should_match():
     from sparkfts.wand import parse_minimum_should_match as p
 
     assert p(3, 5) == 3
-    assert p(3, 2) == 2          # clamped to n_terms
+    assert p(3, 2) == 3          # above n_terms: unsatisfiable -> empty
+    # result set (Lucene BooleanQuery), pinned end-to-end in
+    # test_edge_round2.test_min_should_match_above_term_count_empty
     assert p(-1, 4) == 3         # one clause may miss
     assert p("-25%", 4) == 3     # floor(25% of 4)=1 may miss
     assert p("75%", 4) == 3
