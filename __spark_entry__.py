@@ -538,6 +538,28 @@ def q_fts_query_string(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+SQS_QUERY = '"table hash" | (spark + str*) -vector'
+
+
+def q_fts_simple_qs(spark, sf_dir):
+    """ES simple_query_string (lenient search-box syntax): phrase leaf
+    OR'd with an AND group holding a trailing-star prefix, minus a
+    negated term. The phrase-bearing tree takes the composed plan
+    (sparkfts/simpleqs.py: one bool-tree kernel pass for term+prefix
+    leaves, one positions pass for the phrase, one Catalyst fold on
+    doc_id); phrase-free queries route to the single-pass kernel."""
+    from sparkfts.phrase import build_positions
+    from sparkfts.simpleqs import simple_query_string_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "positions")):
+        build_positions(
+            _docs_as_pages(_docs(spark, sf_dir)), idx, id_source="column"
+        )
+    res = simple_query_string_topk_batch(spark, idx, [(0, SQS_QUERY, 10)])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_or_wand_topk(spark, sf_dir):
     from sparkfts.query import bm25_index_batch
 
@@ -3744,6 +3766,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_multi_index_topk": q_fts_multi_index_topk,
         "fts_query_string": q_fts_query_string,
+        "fts_simple_qs": q_fts_simple_qs,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -4252,6 +4275,81 @@ FROM agg
 WHERE h_spark = 1 AND (h_stream = 1 OR h_query = 1)
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # simple_query_string '"table hash" | (spark + str*) -vector':
+    # leaf scores per the engine pins (phrase = idf-sum * tf_norm(tfp),
+    # term = BM25, prefix = best-expansion-wins over LIKE 'str%'); OR
+    # sums MATCHING members in member order; '-vector' excludes.
+    sqls["fts_simple_qs"] = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') tk
+           FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                unnest(tk) AS tok FROM t),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+pterms(term, i) AS (VALUES ('table', 0), ('hash', 1)),
+pdfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE tok IN ('table', 'hash') GROUP BY 1),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM pterms p JOIN pdfs d USING (term) CROSS JOIN stats s),
+phits AS (
+  SELECT tk.doc_id, tk.pos - p.i AS st
+  FROM toks tk JOIN pterms p ON tk.tok = p.term
+  WHERE tk.pos - p.i >= 0
+  GROUP BY 1, 2 HAVING count(*) = 2),
+pfreq AS (SELECT doc_id, count(*) AS tfp FROM phits GROUP BY 1),
+phrase_s AS (
+  SELECT f.doc_id,
+         i.isum * (f.tfp / (f.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 AS s
+  FROM pfreq f JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s),
+stf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = 'spark'
+        GROUP BY 1),
+sdf AS (SELECT count(*) AS df FROM stf),
+spark_s AS (
+  SELECT stf.doc_id,
+         ln(1 + (s.n_docs - sdf.df + 0.5) / (sdf.df + 0.5))
+           * (stf.tf / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                        / s.avgdl))) * 2.2 AS s
+  FROM stf JOIN dl USING (doc_id) CROSS JOIN sdf CROSS JOIN stats s),
+ptf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+        WHERE tok LIKE 'str%' GROUP BY 1, 2),
+pdf2 AS (SELECT term, count(*) AS df FROM ptf GROUP BY 1),
+prefix_s AS (
+  SELECT ptf.doc_id,
+         max( ln(1 + (s.n_docs - pdf2.df + 0.5) / (pdf2.df + 0.5))
+              * (ptf.tf / (ptf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                           / s.avgdl))) * 2.2 ) AS s
+  FROM ptf JOIN pdf2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY ptf.doc_id),
+leaves AS (
+  SELECT doc_id,
+         max(CASE WHEN lid = 0 THEN s END) AS s_ph,
+         max(CASE WHEN lid = 1 THEN s END) AS s_sp,
+         max(CASE WHEN lid = 2 THEN s END) AS s_px
+  FROM (
+    SELECT doc_id, s, 0 AS lid FROM phrase_s
+    UNION ALL SELECT doc_id, s, 1 FROM spark_s
+    UNION ALL SELECT doc_id, s, 2 FROM prefix_s
+  ) GROUP BY doc_id),
+folded AS (
+  SELECT doc_id,
+         COALESCE(s_ph, 0)
+           + CASE WHEN s_sp IS NOT NULL AND s_px IS NOT NULL
+                  THEN s_sp + s_px ELSE 0 END AS score
+  FROM leaves
+  WHERE (s_ph IS NOT NULL
+         OR (s_sp IS NOT NULL AND s_px IS NOT NULL))
+    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks
+                       WHERE tok = 'vector'))
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM folded ORDER BY score DESC, doc_id LIMIT 10
 """
 
     mi_terms = sorted(set(BM25_QUERY_AND.split()))

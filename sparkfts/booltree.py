@@ -71,6 +71,7 @@ from sparkfts.stats import idf as idf_fn
 #   ("bool", must, should, must_not)           nested tree; members = nodes
 _FUZZY = "\x00f"
 _EXACT = "\x00e"
+_PREFIX = "\x00p"
 
 
 def _to_node(obj, stopwords=None, multifield: bool = False,
@@ -93,6 +94,22 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
                 float(getattr(obj, "tie_breaker", 0.0)),
             )
         return ("clause", obj.operator, keys)
+    from sparkfts.querybuilder import Prefix
+
+    if isinstance(obj, Prefix):
+        # term-level: lowercase only, never analyzed (the prefix.py pin)
+        p = obj.prefix.strip().lower()
+        if not p:
+            raise ValueError("empty prefix in bool tree")
+        keys = (p + _PREFIX,)
+        if multifield:
+            from sparkfts.multifield import parse_field_boosts
+
+            specs = tuple(
+                (f, float(b)) for f, b in parse_field_boosts(obj.fields)
+            )
+            return ("clause", "or", keys, specs, 0.0)
+        return ("clause", "or", keys)
     if isinstance(obj, Bool):
         return (
             "bool",
@@ -138,6 +155,7 @@ def _make_bool_scorer(
     exclude=None,
     filtered: bool = False,
     multifield: bool = False,
+    all_matches: bool = False,
 ):
     """Kernel factory: evaluate every request's bool tree over ONE shard.
 
@@ -357,8 +375,13 @@ def _make_bool_scorer(
                     # this shard -> nothing can match here
                     if rid in _filter_rids:
                         continue
+                # all_matches: k = in-shard match count -> the selection
+                # cut is a no-op and _topk degenerates to the same
+                # include/exclude masking + (-score, doc_id) sort, so the
+                # full-match-set path shares every tie/tombstone rule
                 ids, scores = _topk(
-                    ids, scores, k, exclude=exclude, include=include
+                    ids, scores, int(ids.size) if all_matches else k,
+                    exclude=exclude, include=include,
                 )
                 if ids.size:
                     out_rid.append(np.full(ids.size, rid, np.int32))
@@ -403,7 +426,17 @@ def _field_expansions(
     keys = {k for f, k in field_keys if f == fld}
     fuzzy_terms = sorted(k[:-2] for k in keys if k.endswith(_FUZZY))
     exact_terms = sorted(k[:-2] for k in keys if k.endswith(_EXACT))
+    prefix_terms = sorted(k[:-2] for k in keys if k.endswith(_PREFIX))
     out: dict = {}
+    if prefix_terms:
+        from sparkfts.prefix import expand_prefix
+
+        pexp = expand_prefix(
+            spark, fdir, list(enumerate(prefix_terms)), n_docs,
+            max_expansions,
+        )
+        for i, p in enumerate(prefix_terms):
+            out[(fld, p + _PREFIX)] = tuple(pexp.get(i, ()))
     if fuzzy_terms:
         exp = fuzzy_expand_index(
             spark, fdir, [(0, fuzzy_terms, 0)], n_docs,
@@ -439,6 +472,7 @@ def bool_local(
     requests: list,
     max_expansions: int | None = None,
     multifield: bool = False,
+    all_matches: bool = False,
 ) -> DataFrame | None:
     """Per-shard top-k stage of :func:`bool_topk_batch` ->
     DataFrame(request_id, doc_id, score) with <= n_shards * k rows per
@@ -590,6 +624,7 @@ def bool_local(
         exclude=exclude,
         filtered=bool(filter_map),
         multifield=multifield,
+        all_matches=all_matches,
     )
     scorer.filter_rids.update(filter_map)
     result_schema = "request_id int, doc_id long, score double"
@@ -616,6 +651,32 @@ def bool_local(
     else:
         local = postings.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
+        )
+    return local
+
+
+def bool_matches_batch(
+    spark: SparkSession,
+    index_dir: str,
+    requests: list,
+    max_expansions: int | None = None,
+    multifield: bool = False,
+) -> DataFrame:
+    """COMPLETE match sets for a batch of
+    :class:`~sparkfts.querybuilder.SearchRequest` bool trees in ONE
+    single-pass plan -> DataFrame(request_id, doc_id, score), no top-k,
+    no global window (each request's ``k`` is ignored). Frames stay
+    shard-partitioned (a doc lives in exactly one shard, so no dedup is
+    needed) — the composition building block for phrase-bearing
+    :mod:`sparkfts.simpleqs` trees, where the match sets are joined on
+    ``doc_id`` rather than paged."""
+    local = bool_local(
+        spark, index_dir, requests, max_expansions, multifield,
+        all_matches=True,
+    )
+    if local is None:
+        return spark.createDataFrame(
+            [], "request_id int, doc_id long, score double"
         )
     return local
 

@@ -192,6 +192,62 @@ def cmd_query(args: argparse.Namespace) -> None:
         )
         _print_hits(rows, time.time() - t0, min_score=args.min_score)
         return
+    if args.syntax == "simple_query_string":
+        bad = [
+            flag
+            for flag, on in (
+                ("--phrase", args.phrase),
+                ("--prefix", args.prefix),
+                ("--wildcard", args.wildcard),
+                ("--regexp", args.regexp),
+                ("--fuzzy", args.fuzzy),
+                ("--fields", args.fields),
+                ("--synonyms", args.synonyms),
+                ("--filter", args.filter),
+                ("--must-not", args.must_not),
+                ("--search-after", args.search_after),
+                ("--offset", args.offset),
+                ("--slop", args.slop),
+                ("--transpositions", args.transpositions),
+                ("--min-should-match", args.min_should_match != 1),
+                ("--no-blockmax", args.no_blockmax),
+                ("--routing", args.routing is not None),
+                ("--fuzzy-prefix-length", bool(args.fuzzy_prefix_length)),
+                ("--scroll", bool(args.scroll)),
+            )
+            if on
+        ]
+        if bad:
+            raise SystemExit(
+                f"{' / '.join(bad)} not supported with --syntax "
+                "simple_query_string (the syntax carries phrase/prefix/"
+                "fuzziness/negation/grouping itself)"
+            )
+        flags = (
+            args.flags
+            if args.flags in ("ALL", "NONE")
+            else [f for f in args.flags.split(",") if f]
+        )
+        spark = _spark(args.cores, "sparkfts-query")
+        from sparkfts.index import load_docmap
+        from sparkfts.simpleqs import simple_query_string_topk_batch
+
+        t0 = time.time()
+        res = simple_query_string_topk_batch(
+            spark, args.index, [(0, args.query, args.k)],
+            default_operator=args.default_operator,
+            flags=flags,
+            max_expansions=args.max_expansions,
+        )
+        urls = load_docmap(spark, args.index).select("doc_id", "url")
+        rows = (
+            res.join(urls, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+            .collect()
+        )
+        _print_hits(rows, time.time() - t0, min_score=args.min_score)
+        return
     new_modes = [
         ("--span-near", args.span_near),
         ("--span-first", args.span_first is not None),
@@ -1472,13 +1528,23 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
                    help="bool.filter: docmap predicate, e.g. \"lang = 'en'\" "
                         "(needs an index built with --docvalues)")
-    q.add_argument("--syntax", choices=["dsl", "query_string"],
+    q.add_argument("--syntax",
+                   choices=["dsl", "query_string", "simple_query_string"],
                    default="dsl",
                    help="query_string parses Lucene syntax "
-                        "(AND/OR/NOT, parens, +/-, term~, field:term)")
+                        "(AND/OR/NOT, parens, +/-, term~, field:term; "
+                        "FAILS LOUD on anything else); "
+                        "simple_query_string is the lenient search-box "
+                        "syntax (+|/-, \"phrase\"~N, term*, term~, "
+                        "parens; invalid parts are discarded)")
     q.add_argument("--default-operator", choices=["and", "or"],
                    default="or",
-                   help="query_string combinator for bare adjacent terms")
+                   help="query_string / simple_query_string combinator "
+                        "for bare adjacent terms")
+    q.add_argument("--flags", default="ALL",
+                   help="simple_query_string feature flags: ALL, NONE, "
+                        "or comma-list of AND,OR,NOT,PREFIX,PHRASE,"
+                        "PRECEDENCE,ESCAPE,FUZZY,NEAR")
     q.add_argument("--must-not", default=None, metavar="QUERY",
                    help="bool.must_not: exclude docs matching this query")
     q.add_argument("--span-near", action="store_true",

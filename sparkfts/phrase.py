@@ -406,9 +406,15 @@ def match_phrase_batch(
     slop: int = 0,
     filter_expr: str | None = None,
     include_doc_ids: dict[int, list[int]] | None = None,
+    all_matches: bool = False,
 ) -> DataFrame:
     """Answer a batch of match_phrase top-k queries -> (query_id, rank,
     doc_id, score). Requires ``build_positions`` to have run.
+
+    ``all_matches=True`` returns the COMPLETE per-query match set
+    ``(query_id, doc_id, score)`` straight off the per-shard scorer —
+    no rank window, ``k``/``offset`` ignored (the composition building
+    block for phrase leaves in :mod:`sparkfts.simpleqs`).
 
     ``slop``: ES match_phrase slop — ordered window-tolerant matching
     with total inserted gap <= slop (pinned spec: oracle.phrase
@@ -426,11 +432,17 @@ def match_phrase_batch(
     meta = read_meta(index_dir)
     sw, stem = analysis_opts(meta)
     analyzed = [
-        (qid, tokenize(text, sw, stem), k + int(offset))
+        # all_matches disables the per-shard cut (the scorer's
+        # doc_scores[:k]) so the complete match set survives
+        (qid, tokenize(text, sw, stem),
+         (1 << 62) if all_matches else k + int(offset))
         for qid, text, k in queries
     ]
     analyzed = [(qid, t, k) for qid, t, k in analyzed if t]
+    _empty_all = "query_id int, doc_id long, score double"
     if not analyzed or meta["n_docs"] == 0:
+        if all_matches:
+            return spark.createDataFrame([], _empty_all)
         return _empty_results(spark)
 
     all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
@@ -465,6 +477,8 @@ def match_phrase_batch(
             {int(d) for ids in include_doc_ids.values() for d in ids}
         )
         if not union_ids:
+            if all_matches:
+                return spark.createDataFrame([], _empty_all)
             return _empty_results(spark)
         pos = pos.where(F.col("doc_id").isin(union_ids))
     scorer = _make_phrase_scorer(
@@ -492,6 +506,8 @@ def match_phrase_batch(
         local = pos.groupby("shard").applyInPandas(
             lambda pdf: scorer(pdf), result_schema
         )
+    if all_matches:
+        return local.select("query_id", "doc_id", "score")
     from sparkfts.index import lit_map
 
     k_map = lit_map((qid, k) for qid, _, k in analyzed)

@@ -98,6 +98,23 @@ class DisMax:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """ES ``prefix`` query as a bool-tree LEAF: matches docs containing
+    any dictionary term starting with ``prefix`` (term-level — the
+    prefix is lowercased but NOT analyzed, matching
+    :func:`sparkfts.prefix.prefix_topk_batch`). Scored as one
+    best-expansion-wins group (``max`` over expansions of
+    ``idf * tf_norm * (k1+1)`` — the exact pin of
+    :mod:`sparkfts.prefix`), so a :class:`Prefix` leaf inside a
+    :class:`Bool` scores identically to the standalone prefix query.
+    ``fields`` follows :class:`Clause` (boost specs under a multi-field
+    index; ignored on a single-field index)."""
+
+    prefix: str
+    fields: tuple = DEFAULT_FIELDS
+
+
+@dataclass(frozen=True)
 class SearchRequest:
     """Typed IR for one search: AND of clauses; no clauses = match-all.
 
