@@ -1940,6 +1940,50 @@ def _month_buckets(spark, sf_dir):
     )
 
 
+def q_pipeline_percentiles_bucket(spark, sf_dir):
+    """ES sibling percentiles_bucket over the monthly doc_counts
+    (exact percentile_cont interpolation — the percentiles_agg pin;
+    ES documents the same linear interpolation between closest bucket
+    values)."""
+    from sparkfts.pipelineaggs import percentiles_bucket
+
+    res = percentiles_bucket(
+        _month_buckets(spark, sf_dir), "doc_count",
+        [25.0, 50.0, 75.0, 95.0],
+    )
+    return res.select(
+        F.floor(F.col("pct")).cast("long").alias("pct"),
+        F.floor(F.col("value") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("value_e6"),
+    )
+
+
+def q_pipeline_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality parent pipeline agg ("total unique
+    users so far" over a daily histogram), EXACT pin: each user_id is
+    attributed to its FIRST day (min bucket), per-day first-seen counts
+    cumsum in bucket order — the true distinct count per prefix, where
+    ES merges HLL sketches (sparkfts/pipelineaggs.py
+    cumulative_cardinality; one partial-agg groupBy(user) + one bounded
+    groupBy(day) + coordinator cumsum)."""
+    from sparkfts.pipelineaggs import cumulative_cardinality
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = ev.select(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("b"),
+        "user_id",
+    )
+    res = cumulative_cardinality(rows, "b", "user_id")
+    return res.select(
+        F.col("bucket").alias("bucket_epoch"),
+        F.col("first_seen").cast("long").alias("first_seen"),
+        F.col("cumulative_cardinality").cast("long").alias("cum"),
+    )
+
+
 def q_pipeline_cumsum(spark, sf_dir):
     """ES cumulative_sum pipeline agg over the monthly date_histogram."""
     from sparkfts.pipelineaggs import cumulative_sum
@@ -2471,6 +2515,60 @@ def q_dup_ngram_coverage(spark, sf_dir):
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_dup").cast("long").alias("n_dup"),
+    )
+
+
+def q_children_agg(spark, sf_dir):
+    """ES `children` AGGREGATION (join field): switch scope from the
+    matching parent orders (o_orderstatus='F', o_totalprice>150000) to
+    their lineitem children, then a terms sub-agg on l_returnflag with
+    doc_count + summed quantity (sparkfts/parentjoin.py children_scope:
+    filtered DISTINCT parent keys semi-joined into the child scan — the
+    ES routed-shard colocation expressed as a co-partitioned semi
+    join)."""
+    from sparkfts.parentjoin import children_scope
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    scope = children_scope(
+        o, li, "o_orderkey", "l_orderkey",
+        "o_orderstatus = 'F' AND o_totalprice > 150000",
+    )
+    return (
+        scope.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.floor(F.sum("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_parent_agg(spark, sf_dir):
+    """ES `parent` AGGREGATION (the `children` inverse): the DISTINCT
+    parent orders having at least one returned lineitem child
+    (l_returnflag='R'), each counted once regardless of child
+    multiplicity, then a terms sub-agg on o_orderstatus with doc_count
+    + avg total price (parentjoin.parent_scope: distinct child keys
+    semi-joined into the parent scan)."""
+    from sparkfts.parentjoin import parent_scope
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    scope = parent_scope(
+        o, li, "o_orderkey", "l_orderkey", "l_returnflag = 'R'"
+    )
+    return (
+        scope.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.floor(F.avg("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_price_e2"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -3855,6 +3953,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_boosting_topk": q_fts_boosting_topk,
         "fts_constant_score": q_fts_constant_score,
         "pipeline_cumsum": q_pipeline_cumsum,
+        "pipeline_percentiles_bucket": q_pipeline_percentiles_bucket,
+        "pipeline_cumulative_cardinality": q_pipeline_cumulative_cardinality,
         "pipeline_derivative": q_pipeline_derivative,
         "pipeline_moving_avg": q_pipeline_moving_avg,
         "pipeline_stats_bucket": q_pipeline_stats_bucket,
@@ -3888,6 +3988,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "unigram_token_counts": q_unigram_token_counts,
         "has_child_topk": q_has_child_topk,
+        "children_agg": q_children_agg,
+        "parent_agg": q_parent_agg,
         "has_parent_topk": q_has_parent_topk,
         "has_child_inner_hits": q_has_child_inner_hits,
         "geo_distance_topk": q_geo_distance_topk,
@@ -5868,6 +5970,40 @@ mb AS (
   FROM matched m JOIN documents d USING (doc_id)
   GROUP BY 1)
 """
+    sqls["pipeline_percentiles_bucket"] = f"""
+{mb_cte}
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS value_e6
+FROM (
+  SELECT 25 AS pct,
+         quantile_cont(CAST(doc_count AS DOUBLE), 0.25) AS v FROM mb
+  UNION ALL SELECT 50, quantile_cont(CAST(doc_count AS DOUBLE), 0.50)
+  FROM mb
+  UNION ALL SELECT 75, quantile_cont(CAST(doc_count AS DOUBLE), 0.75)
+  FROM mb
+  UNION ALL SELECT 95, quantile_cont(CAST(doc_count AS DOUBLE), 0.95)
+  FROM mb
+) ORDER BY pct
+"""
+
+    sqls["pipeline_cumulative_cardinality"] = """
+WITH f AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(date_trunc('day', ts)))) AS BIGINT)
+           AS bucket
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+per AS (SELECT bucket, count(*) AS c FROM f GROUP BY 1),
+ab AS (SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts)))
+                            AS BIGINT) AS bucket
+       FROM events)
+SELECT bucket AS bucket_epoch,
+       CAST(COALESCE(c, 0) AS BIGINT) AS first_seen,
+       CAST(sum(COALESCE(c, 0)) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+FROM ab LEFT JOIN per USING (bucket)
+ORDER BY bucket_epoch
+"""
+
     sqls["pipeline_cumsum"] = f"""
 {mb_cte}
 SELECT bucket_epoch, CAST(doc_count AS BIGINT) AS doc_count,
@@ -6788,6 +6924,26 @@ UNION ALL SELECT CAST(3 AS INT), 'sample', n2.c, n3.c FROM n2, n3
 """
 
     # --- ES parent-child joins (has_child / has_parent / inner_hits) ----
+    sqls["children_agg"] = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'F'
+                       AND o_totalprice > 150000)
+GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["parent_agg"] = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(floor(avg(o_totalprice) * 100 + 0.5) AS BIGINT)
+         AS avg_price_e2
+FROM orders
+WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem
+                     WHERE l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
     sqls["has_child_topk"] = """
 WITH folded AS (
   SELECT l_orderkey AS k, count(*) AS child_count,

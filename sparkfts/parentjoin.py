@@ -189,3 +189,59 @@ def has_child_inner_hits(
         F.broadcast(top), F.col(child_key) == F.col("__join_key")
     )
     return out.drop("__join_key", "__cscore")
+
+
+def children_scope(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_filter: str | Column,
+) -> DataFrame:
+    """ES ``children`` AGGREGATION scope switch: the child documents
+    of the parents matching ``parent_filter`` — the frame any sub-
+    aggregation (terms / stats / histogram...) then runs over, exactly
+    how ES nests sub-aggs inside ``children``.
+
+    Plan: the parent side is filtered + projected to its key and
+    DISTINCT'd before a ``left_semi`` join into the child table — the
+    exchange carries one column per matching parent (broadcastable;
+    AQE decides), the child scan keeps its pushed filters, and no child
+    row is duplicated or widened. ES's equivalent is a shard-local
+    ordinal lookup (children are routed to the parent's shard); the
+    semi-join on a co-partitioned/bucketed key is the same
+    colocation."""
+    keys = (
+        parents.where(_as_col(parent_filter))
+        .select(F.col(parent_key).alias("__jk"))
+        .distinct()
+    )
+    return children.join(
+        keys, children[child_key] == keys["__jk"], "left_semi"
+    )
+
+
+def parent_scope(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_filter: str | Column,
+) -> DataFrame:
+    """ES ``parent`` AGGREGATION scope switch (the ``children``
+    inverse): the DISTINCT parent documents having at least one child
+    matching ``child_filter`` — each parent counted ONCE no matter how
+    many children matched (the ES join-field dedup), ready for any
+    sub-aggregation.
+
+    Plan: child filter pushed into the child scan, child side reduced
+    to distinct keys (map-side partial) before the semi-join into the
+    parent table."""
+    keys = (
+        children.where(_as_col(child_filter))
+        .select(F.col(child_key).alias("__jk"))
+        .distinct()
+    )
+    return parents.join(
+        keys, parents[parent_key] == keys["__jk"], "left_semi"
+    )

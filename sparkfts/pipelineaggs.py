@@ -293,6 +293,84 @@ def moving_percentile(
     )
 
 
+def percentiles_bucket(
+    buckets: DataFrame,
+    metric: str,
+    percents: list[float] | None = None,
+) -> DataFrame:
+    """ES sibling ``percentiles_bucket`` pipeline agg -> one row per
+    requested percent ``(pct, value)`` over the parent's per-bucket
+    metric. ES documents linear interpolation between closest bucket
+    values for non-exact ranks — the same ``percentile_cont`` pin as
+    :func:`sparkfts.aggs.percentiles_agg` (DuckDB ``quantile_cont``
+    reproduces it bit-for-bit). Coordinator-reduce sized: the input is
+    the reduced bucket frame."""
+    pcts = percents if percents is not None else [25.0, 50.0, 75.0, 95.0]
+    if any(not (0.0 <= p <= 100.0) for p in pcts):
+        raise ValueError("percents must be in [0, 100]")
+    vals = buckets.coalesce(1).agg(
+        F.percentile(
+            F.col(metric).cast("double"),
+            F.array(*[F.lit(p / 100.0) for p in pcts]),
+        ).alias("vals")
+    )
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    return vals.select(
+        F.explode(
+            F.arrays_zip(pct_arr.alias("pct"), F.col("vals").alias("value"))
+        ).alias("z")
+    ).select(F.col("z.pct").alias("pct"), F.col("z.value").alias("value"))
+
+
+def cumulative_cardinality(
+    rows: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    out: str = "cumulative_cardinality",
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` parent pipeline agg -> one row per
+    bucket ``(bucket, first_seen, <out>)``: how many DISTINCT values
+    have appeared in this bucket or any earlier one (the "total unique
+    visitors so far" dashboard line).
+
+    Unlike every other helper in this module it takes the RAW
+    ``(bucket, value)`` rows, not the reduced bucket frame — cross-
+    bucket distinctness cannot be recovered from per-bucket
+    cardinalities, which is exactly why ES carries mergeable HLL
+    sketches across buckets. This engine pins the EXACT form (ES is
+    HLL-approximate): a value is attributed to its FIRST bucket
+    (``min(bucket)``), per-bucket first-seen counts are summed in
+    bucket order, and ``cumulative_cardinality[i]`` equals the true
+    distinct count of values in buckets ``<= i``.
+
+    Plan: one corpus-scale ``groupBy(value).min(bucket)`` (map-side
+    partial agg — the same shuffle class as the exact cardinality
+    agg), one bounded ``groupBy(bucket)`` count, then the coordinator
+    cumsum over n_buckets rows. Buckets present in ``rows`` but with
+    no first-seen values still get a row (count carries forward)."""
+    firsts = (
+        rows.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.min(bucket_col).alias("bucket"))
+    )
+    per = firsts.groupBy("bucket").agg(F.count("*").alias("first_seen"))
+    all_buckets = (
+        rows.select(F.col(bucket_col).alias("bucket")).distinct()
+    )
+    joined = (
+        all_buckets.join(per, "bucket", "left")
+        .na.fill({"first_seen": 0})
+    )
+    w = Window.orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        joined.coalesce(1)
+        .withColumn(out, F.sum("first_seen").over(w))
+        .orderBy("bucket")
+    )
+
+
 RATE_UNIT_SECONDS = {
     "second": 1, "minute": 60, "hour": 3600, "day": 86400,
     "week": 604800,
