@@ -17,7 +17,12 @@ them:
 
 - scoring context: ``match``, ``multi_match`` (``best_fields``),
   ``match_all``, ``bool`` (must / should / must_not / filter),
-  ``dis_max``, ``wrapper`` (base64-wrapped body, decoded and recursed)
+  ``dis_max``, ``wrapper`` (base64-wrapped body, decoded and recursed),
+  ``prefix`` (a bool-tree :class:`~sparkfts.querybuilder.Prefix` leaf),
+  ``query_string`` and phrase-free ``simple_query_string`` (both lower
+  through their own parsers onto the same Bool IR; ES ``a|b|c`` pipe
+  flag syntax accepted; phrase-bearing simple_query_string points to
+  its composed executor)
 - filter context (root ``bool.filter``): ``term``, ``terms``,
   ``range`` (gt/gte/lt/lte), ``exists``, nested ``bool.filter``
 - body keys: ``query``, ``size``
@@ -51,7 +56,6 @@ _POINTERS = {
     "match_phrase": "sparkfts.phrase.phrase_topk_batch",
     "match_phrase_prefix": "sparkfts.phrase.phrase_prefix_batch",
     "match_bool_prefix": "sparkfts.prefix.bool_prefix_batch",
-    "prefix": "sparkfts.prefix.prefix_topk_batch",
     "wildcard": "sparkfts.prefix.wildcard_topk_batch",
     "regexp": "sparkfts.prefix.regexp_topk_batch",
     "fuzzy": "match with fuzziness (this parser) or sparkfts.query",
@@ -60,7 +64,6 @@ _POINTERS = {
     "span_or": "sparkfts.spans",
     "knn": "sparkfts.ops.similarity",
     "more_like_this": "sparkfts.mlt",
-    "query_string": "sparkfts.querystring.parse_query_string",
     "intervals": "sparkfts.intervals",
     "percolate": "sparkfts.percolate",
     "rank_feature": "sparkfts.scoring.rank_feature_topk",
@@ -101,21 +104,25 @@ def _ident(name: str, ctx: str) -> str:
 
 
 def _fuzziness(v, ctx: str) -> str:
+    """AUTO or 0 only. The engine's pinned fuzziness model is ES AUTO
+    (length-laddered 0/1/2 edits, sparkfts.analysis.auto_fuzz); a FIXED
+    edit distance 1/2 has no kernel path — accepting it would silently
+    execute exact (the round-5 fix: it previously did exactly that),
+    so it fails loud instead."""
     if v is None:
         return "0"
-    if isinstance(v, str):
-        if v.upper() == "AUTO":
-            return "AUTO"
-        v2 = v
-    else:
-        v2 = v
+    if isinstance(v, str) and v.upper() == "AUTO":
+        return "AUTO"
     try:
-        n = int(v2)
+        n = int(v)
     except (TypeError, ValueError):
         raise EsDslError(f"{ctx}: unsupported fuzziness {v!r}") from None
-    if n not in (0, 1, 2):
-        raise EsDslError(f"{ctx}: fuzziness must be AUTO or 0/1/2")
-    return str(n)
+    if n == 0:
+        return "0"
+    raise EsDslError(
+        f"{ctx}: fixed fuzziness {n} is outside the engine's pinned "
+        "AUTO model — use fuzziness AUTO (auto_fuzz ladder) or 0"
+    )
 
 
 def _operator(v, ctx: str) -> str:
@@ -213,6 +220,81 @@ def parse_query(node) -> Clause | Bool | DisMax:
             queries=tuple(parse_query(q) for q in spec["queries"]),
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
         )
+    if kind == "prefix":
+        from sparkfts.querybuilder import Prefix
+
+        field, spec = _one_key(spec, ctx)
+        field = _ident(field, ctx)
+        if isinstance(spec, str):
+            spec = {"value": spec}
+        if not isinstance(spec, dict) or "value" not in spec:
+            raise EsDslError(f"{ctx}: prefix needs a value")
+        _check_keys(spec, {"value"}, ctx)
+        val = str(spec["value"]).strip().lower()
+        if not val:
+            raise EsDslError(f"{ctx}: empty prefix value")
+        return Prefix(prefix=val, fields=(field,))
+    if kind == "query_string":
+        from sparkfts.querystring import QueryStringError, parse_query_string
+
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise EsDslError(f"{ctx}: query_string needs a query")
+        _check_keys(spec, {"query", "default_operator", "fields"}, ctx)
+        fields = tuple(
+            _ident(f, ctx) for f in _as_list(spec.get("fields") or ["text"])
+        )
+        try:
+            return parse_query_string(
+                str(spec["query"]),
+                _operator(spec.get("default_operator"), ctx),
+                fields,
+            )
+        except QueryStringError as e:
+            raise EsDslError(f"{ctx}: {e}") from None
+    if kind == "simple_query_string":
+        from sparkfts.simpleqs import (
+            _has_phrase,
+            _prune,
+            parse_simple_query_string,
+        )
+
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise EsDslError(f"{ctx}: simple_query_string needs a query")
+        _check_keys(
+            spec, {"query", "default_operator", "flags", "fields"}, ctx
+        )
+        fields = tuple(
+            _ident(f, ctx) for f in _as_list(spec.get("fields") or ["text"])
+        )
+        flags = spec.get("flags", "ALL")
+        if isinstance(flags, str) and flags not in ("ALL", "NONE"):
+            flags = [f for f in flags.split("|") if f]  # ES pipe syntax
+        try:
+            node = parse_simple_query_string(
+                str(spec["query"]),
+                _operator(spec.get("default_operator"), ctx),
+                flags,
+                fields,
+            )
+        except ValueError as e:
+            raise EsDslError(f"{ctx}: {e}") from None
+        if node is not None:
+            # default-analyzer pruning (no index meta at parse time);
+            # stopword/stemmer-configured indexes prune at the executor
+            # instead — sparkfts.simpleqs.simple_query_string_topk_batch
+            node = _prune(node, None, None)
+        if node is None:
+            raise EsDslError(
+                f"{ctx}: no positive clause survives — ES semantics "
+                "match NOTHING; handle the empty result client-side"
+            )
+        if _has_phrase(node):
+            raise EsDslError(
+                f"{ctx}: phrase-bearing simple_query_string needs the "
+                "positions kernel: use sparkfts.simpleqs."
+                "simple_query_string_topk_batch"
+            )
+        return node
     if kind in _POINTERS:
         raise EsDslError(
             f"{ctx}: use the dedicated surface: {_POINTERS[kind]}"

@@ -48,8 +48,13 @@ def test_match_defaults_are_es_defaults():
     c = parse_query({"match": {"text": "hello world"}})
     assert c == Clause(query="hello world", fields=("text",),
                        operator="or", fuzziness="0")
-    c = parse_query({"match": {"text": {"query": "x", "fuzziness": 1}}})
-    assert c.fuzziness == "1"
+    # fixed edit distances have no kernel path — they previously lowered
+    # to fuzziness="1" which EXECUTED EXACT (silent semantics change);
+    # round-5 pin: fail loud, point at AUTO
+    with pytest.raises(EsDslError, match="AUTO"):
+        parse_query({"match": {"text": {"query": "x", "fuzziness": 1}}})
+    c = parse_query({"match": {"text": {"query": "x", "fuzziness": 0}}})
+    assert c.fuzziness == "0"
 
 
 def test_multi_match_boosts_and_tie_breaker():
@@ -254,3 +259,76 @@ def test_cli_search_dsl(spark, dsl_index, queries, capsys):
     with pytest.raises(SystemExit, match="search-dsl"):
         main(["search-dsl", "--index", dsl_index, "--body",
               '{"query": {"match_phrase": {"text": "a b"}}}'])
+
+
+def test_prefix_lowering_and_execution(spark, dsl_index):
+    """prefix query -> Prefix bool-tree leaf; end-to-end == the
+    standalone prefix query (round-5 widening)."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.prefix import prefix_topk_batch
+    from sparkfts.querybuilder import Prefix
+
+    node = parse_query({"prefix": {"text": {"value": "Th"}}})
+    assert node == Prefix(prefix="th", fields=("text",))
+    assert parse_query({"prefix": {"text": "th"}}) == node  # shorthand
+
+    req = parse_request(
+        {"query": {"prefix": {"text": "th"}}, "size": 15}
+    )
+    got = bool_topk_batch(spark, dsl_index, [req]).collect()
+    want = prefix_topk_batch(spark, dsl_index, [(0, "th", 15)]).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
+    assert got
+
+    with pytest.raises(EsDslError, match="value"):
+        parse_query({"prefix": {"text": {}}})
+    with pytest.raises(EsDslError, match="empty"):
+        parse_query({"prefix": {"text": "  "}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_query({"prefix": {"text": {"value": "a", "rewrite": "x"}}})
+
+
+def test_query_string_lowering(spark, dsl_index, queries):
+    """query_string body == querystring.query_string_topk_batch."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querystring import query_string_topk_batch
+
+    q = "the AND NOT of"
+    req = parse_request(
+        {"query": {"query_string": {"query": q}}, "size": 10}
+    )
+    got = bool_topk_batch(spark, dsl_index, [req]).collect()
+    want = query_string_topk_batch(spark, dsl_index, [(0, q, 10)]).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
+
+    # parse errors rewrap as EsDslError (still fail-loud)
+    with pytest.raises(EsDslError, match="query.query_string"):
+        parse_query({"query_string": {"query": '"quoted"'}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_query({"query_string": {"query": "a", "boost": 2}})
+
+
+def test_simple_query_string_lowering(spark, dsl_index, queries):
+    """Phrase-free simple_query_string == its executor's fast path;
+    phrase-bearing / no-positive fail loud with pointers."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.simpleqs import simple_query_string_topk_batch
+
+    q = "the + wo* | -zzzqx of"
+    req = parse_request(
+        {"query": {"simple_query_string": {
+            "query": q, "flags": "AND|OR|NOT|PREFIX"}}, "size": 10}
+    )
+    got = bool_topk_batch(spark, dsl_index, [req]).collect()
+    want = simple_query_string_topk_batch(
+        spark, dsl_index, [(0, q, 10)], flags=["AND", "OR", "NOT", "PREFIX"]
+    ).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
+    assert got
+
+    with pytest.raises(EsDslError, match="positions kernel"):
+        parse_query({"simple_query_string": {"query": '"a b"'}})
+    with pytest.raises(EsDslError, match="NOTHING"):
+        parse_query({"simple_query_string": {"query": "-only -negative"}})
+    with pytest.raises(EsDslError, match="flag"):
+        parse_query({"simple_query_string": {"query": "a", "flags": "BOGUS"}})
