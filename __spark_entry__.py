@@ -602,6 +602,23 @@ def q_fts_fuzzy_index_topk(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_fuzzy_fixed(spark, sf_dir):
+    """ES FIXED fuzziness (match {query, fuzziness: 1}): the max edit
+    distance applies as-is regardless of term length — 'stream' is 6
+    chars so AUTO would allow 2 edits; the round-5 _FUZZY1 expansion
+    class pins 1 (sparkfts/booltree.py tags; sparkfts/query.py
+    fuzzy_expand_index fuzziness=)."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Clause, SearchRequest
+
+    idx = _index_dir_for(spark, sf_dir)
+    req = SearchRequest(
+        clauses=(Clause(query="stream", fuzziness="1"),), k=10
+    )
+    res = bool_topk_batch(spark, idx, [req])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_fuzzy_transpositions(spark, sf_dir):
     """ES default fuzzy semantics (``fuzzy_transpositions: true``):
     Damerau-Levenshtein expansion, a transposition = ONE edit. The query
@@ -3871,6 +3888,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
         "fts_fuzzy_transpositions": q_fts_fuzzy_transpositions,
+        "fts_fuzzy_fixed": q_fts_fuzzy_fixed,
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "fts_bool_topk": q_fts_bool_topk,
@@ -4558,6 +4576,40 @@ SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
+
+    # fixed fuzziness 1 on a 6-char term (AUTO would be 2)
+    sqls["fts_fuzzy_fixed"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(q_term, maxd, qlen) AS (VALUES ('stream', 1, 6)),
+exp AS (
+  SELECT q.q_term, d.term, d.df,
+         1.0 - levenshtein(d.term, q.q_term) * 1.0 / q.qlen AS boost
+  FROM dict d JOIN qterms q
+    ON abs(length(d.term) - q.qlen) <= q.maxd
+   AND levenshtein(d.term, q.q_term) <= q.maxd
+),
+contrib AS (
+  SELECT e.q_term, tf.doc_id,
+         max(e.boost * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+             * 2.2) AS best
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY e.q_term, tf.doc_id
+),
+scored AS (
+  SELECT doc_id, sum(best) AS score FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     tterms = tokenize_query(BM25_QUERY_TRANSPOSED)
     tvals = ", ".join(

@@ -69,9 +69,12 @@ from sparkfts.stats import idf as idf_fn
 #   ("clause", mode, (group_key, ...), specs)  leaf over ((field, boost),...)
 #   ("terms_any", (term, ...))                 exact term-union (must_not)
 #   ("bool", must, should, must_not)           nested tree; members = nodes
-_FUZZY = "\x00f"
-_EXACT = "\x00e"
-_PREFIX = "\x00p"
+_FUZZY = "\x00f"    # fuzziness AUTO (the length ladder)
+_EXACT = "\x00e"    # fuzziness 0 / exact
+_PREFIX = "\x00p"   # Prefix leaf (dictionary range expansion)
+_FUZZY1 = "\x001"   # FIXED max edit distance 1 (ES fixed fuzziness)
+_FUZZY2 = "\x002"   # FIXED max edit distance 2
+_FUZZ_TAG = {"AUTO": _FUZZY, "0": _EXACT, "1": _FUZZY1, "2": _FUZZY2}
 
 
 def _to_node(obj, stopwords=None, multifield: bool = False,
@@ -81,8 +84,12 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
 
     if isinstance(obj, Clause):
         terms = tokenize_query(obj.query, stopwords, stemmer)
-        fuzzy = str(obj.fuzziness).upper() == "AUTO"
-        keys = tuple(t + (_FUZZY if fuzzy else _EXACT) for t in terms)
+        tag = _FUZZ_TAG.get(str(obj.fuzziness).upper())
+        if tag is None:
+            raise ValueError(
+                f"fuzziness must be AUTO or 0/1/2, got {obj.fuzziness!r}"
+            )
+        keys = tuple(t + tag for t in terms)
         if multifield:
             from sparkfts.multifield import parse_field_boosts
 
@@ -428,6 +435,20 @@ def _field_expansions(
     exact_terms = sorted(k[:-2] for k in keys if k.endswith(_EXACT))
     prefix_terms = sorted(k[:-2] for k in keys if k.endswith(_PREFIX))
     out: dict = {}
+    # fixed-distance fuzzy classes (ES fixed fuzziness 1/2): same
+    # expansion join as AUTO, maxd pinned per class
+    for fixed, tag in (("1", _FUZZY1), ("2", _FUZZY2)):
+        f_terms = sorted(k[:-2] for k in keys if k.endswith(tag))
+        if not f_terms:
+            continue
+        from sparkfts.query import fuzzy_expand_index
+
+        exp = fuzzy_expand_index(
+            spark, fdir, [(0, f_terms, 0)], n_docs,
+            f_meta["n_tbuckets"], max_expansions, fuzziness=fixed,
+        )
+        for t in f_terms:
+            out[(fld, t + tag)] = tuple(exp.get((0, t), ()))
     if prefix_terms:
         from sparkfts.prefix import expand_prefix
 

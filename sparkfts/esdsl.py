@@ -104,11 +104,10 @@ def _ident(name: str, ctx: str) -> str:
 
 
 def _fuzziness(v, ctx: str) -> str:
-    """AUTO or 0 only. The engine's pinned fuzziness model is ES AUTO
-    (length-laddered 0/1/2 edits, sparkfts.analysis.auto_fuzz); a FIXED
-    edit distance 1/2 has no kernel path — accepting it would silently
-    execute exact (the round-5 fix: it previously did exactly that),
-    so it fails loud instead."""
+    """AUTO (the auto_fuzz length ladder), or a FIXED edit distance
+    0/1/2 — all four execute natively in the bool-tree kernel (fixed
+    distances via the round-5 ``_FUZZY1``/``_FUZZY2`` expansion
+    classes; before that, 1/2 silently lowered to an exact clause)."""
     if v is None:
         return "0"
     if isinstance(v, str) and v.upper() == "AUTO":
@@ -117,12 +116,9 @@ def _fuzziness(v, ctx: str) -> str:
         n = int(v)
     except (TypeError, ValueError):
         raise EsDslError(f"{ctx}: unsupported fuzziness {v!r}") from None
-    if n == 0:
-        return "0"
-    raise EsDslError(
-        f"{ctx}: fixed fuzziness {n} is outside the engine's pinned "
-        "AUTO model — use fuzziness AUTO (auto_fuzz ladder) or 0"
-    )
+    if n in (0, 1, 2):
+        return str(n)
+    raise EsDslError(f"{ctx}: fuzziness must be AUTO or 0/1/2")
 
 
 def _operator(v, ctx: str) -> str:

@@ -842,6 +842,7 @@ def fuzzy_expand_index(
     max_expansions: int | None = None,
     transpositions: bool = False,
     prefix_length: int = 0,
+    fuzziness: str = "AUTO",
 ) -> dict[tuple[int, str], list[tuple[str, float]]]:
     """Expand query terms against the index term dictionary (distributed).
 
@@ -872,9 +873,25 @@ def fuzzy_expand_index(
     from sparkfts.editdist import fuzzy_join_cond
     from sparkfts.index import load_terms
 
+    # ``fuzziness``: "AUTO" (the length ladder) or a FIXED max edit
+    # distance "1"/"2" (ES match/fuzzy fixed fuzziness — applied as-is
+    # regardless of term length). "0" is the degenerate exact case.
+    fz = str(fuzziness).upper()
+    if fz == "AUTO":
+        _maxd = auto_fuzz
+    else:
+        if fz not in ("0", "1", "2"):
+            raise ValueError(
+                f"fuzziness must be AUTO or 0/1/2, got {fuzziness!r}"
+            )
+        _fixed = int(fz)
+
+        def _maxd(_t: str) -> int:
+            return _fixed
+
     pl = max(0, int(prefix_length))
     qrows = [
-        (qid, t, auto_fuzz(t), len(t), t[:pl])
+        (qid, t, _maxd(t), len(t), t[:pl])
         for qid, terms, _ in analyzed
         for t in terms
     ]
@@ -922,7 +939,7 @@ def fuzzy_expand_index(
         refined = []
         for r in rows:
             dam = damerau_levenshtein(r["q_term"], r["term"])
-            if dam <= auto_fuzz(r["q_term"]):
+            if dam <= _maxd(r["q_term"]):
                 refined.append(
                     {
                         "query_id": r["query_id"],

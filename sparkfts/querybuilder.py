@@ -58,7 +58,9 @@ def equalize_list_values(data: dict) -> dict:
 class Clause:
     """One fuzzy full-text clause (one ``multi_match``); ``operator``
     combines the clause's own terms (and = conjunctive, or = any);
-    ``fuzziness="AUTO"`` expands terms ES-style, ``"0"`` pins exact."""
+    ``fuzziness="AUTO"`` expands terms ES-style (length ladder),
+    ``"1"``/``"2"`` pin a FIXED max edit distance (ES fixed
+    fuzziness), ``"0"`` pins exact."""
 
     query: str
     fields: tuple[str, ...] = DEFAULT_FIELDS

@@ -27,12 +27,13 @@ character is LITERAL text and the analyzer deals with it):
   :class:`~sparkfts.querybuilder.Prefix` bool-tree leaf (term-level:
   lowercased, never analyzed; best-expansion-wins scoring, the
   :mod:`sparkfts.prefix` pin). A ``*`` elsewhere in a word is literal.
-- ``term~`` / ``term~N`` fuzziness (flag ``FUZZY``): pinned mapping
-  ``~`` and ``~N>=1`` -> ES ``AUTO`` (length-laddered 0/1/2 edits,
-  :mod:`sparkfts.fuzzy`), ``~0`` -> exact. (Lucene's SimpleQueryParser
-  maps bare ``~`` to a fixed edit distance 2; AUTO is this engine's
-  pinned fuzziness model everywhere, so the deviation is documented
-  here once.)
+- ``term~`` / ``term~N`` fuzziness (flag ``FUZZY``): ``~0`` exact,
+  ``~1`` / ``~2`` a FIXED max edit distance (the kernel's
+  ``_FUZZY1``/``_FUZZY2`` expansion classes), ``~N>2`` caps at 2
+  (Lucene's bound); bare ``~`` -> ES ``AUTO`` (length-laddered 0/1/2
+  edits — Lucene's SimpleQueryParser defaults bare ``~`` to fixed 2;
+  AUTO is this engine's pinned default everywhere, documented here
+  once).
 - ``( ... )`` grouping (flag ``PRECEDENCE``).
 - ``\\x`` escapes the special character ``x`` (flag ``ESCAPE``).
 
@@ -233,8 +234,12 @@ def _lex(q: str, flags: frozenset) -> list[tuple]:
         if j < n and q[j] == "~" and "FUZZY" in flags:
             val, j2 = _digits(j + 1)
             j = j2
-            # pinned mapping (module docstring): ~ / ~N>=1 -> AUTO, ~0 -> exact
-            fuzz = "0" if val == 0 else "AUTO"
+            # pinned mapping (module docstring): bare ~ -> AUTO,
+            # ~0 -> exact, ~1/~2 -> FIXED edit distance, ~N>2 caps at 2
+            if val is None:
+                fuzz = "AUTO"
+            else:
+                fuzz = str(min(val, 2))
         is_prefix = False
         if "PREFIX" in flags and text.endswith("*"):
             text = text.rstrip("*")

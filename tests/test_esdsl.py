@@ -48,11 +48,12 @@ def test_match_defaults_are_es_defaults():
     c = parse_query({"match": {"text": "hello world"}})
     assert c == Clause(query="hello world", fields=("text",),
                        operator="or", fuzziness="0")
-    # fixed edit distances have no kernel path — they previously lowered
-    # to fuzziness="1" which EXECUTED EXACT (silent semantics change);
-    # round-5 pin: fail loud, point at AUTO
-    with pytest.raises(EsDslError, match="AUTO"):
-        parse_query({"match": {"text": {"query": "x", "fuzziness": 1}}})
+    # fixed edit distances execute natively since round 5 (before that
+    # fuzziness 1/2 silently lowered to an EXACT clause)
+    c = parse_query({"match": {"text": {"query": "x", "fuzziness": 1}}})
+    assert c.fuzziness == "1"
+    c = parse_query({"match": {"text": {"query": "x", "fuzziness": "2"}}})
+    assert c.fuzziness == "2"
     c = parse_query({"match": {"text": {"query": "x", "fuzziness": 0}}})
     assert c.fuzziness == "0"
 

@@ -148,3 +148,132 @@ def test_children_scope_then_subagg_matches_sql(spark):
         ).collect()
     )
     assert got == want and got
+
+
+@pytest.fixture(scope="module")
+def ff_index(spark, corpus, tmp_path_factory):
+    from sparkfts.index import build_index
+
+    d = str(tmp_path_factory.mktemp("ff_idx"))
+    build_index(
+        spark.createDataFrame(corpus.to_pandas()), d,
+        n_shards=4, n_tbuckets=8,
+    )
+    return d
+
+
+def test_fixed_fuzziness_kernel_vs_mirror(spark, corpus, ff_index):
+    """Clause(fuzziness='1'/'2') executes a FIXED-distance expansion in
+    the bool-tree kernel — mirrored brute-force over the corpus (the
+    oracle.fuzzy scoring pin with maxd pinned, not the AUTO ladder)."""
+    from collections import Counter
+
+    from sparkfts.analysis import tokenize
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Clause, SearchRequest
+    from sparkfts.stats import idf as idf_fn
+    from sparkfts.tokens import prepare_pages
+
+    prepared = prepare_pages(
+        spark.createDataFrame(corpus.to_pandas())
+    ).select("doc_id", "text").collect()
+    toks = {r["doc_id"]: tokenize(r["text"]) for r in prepared}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = Counter()
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] += 1
+
+    import numpy as np
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+        return int(d[lb])
+
+    q = "worde"  # 5 chars: AUTO would give 1; test 1 vs 2 explicitly
+    for maxd in (1, 2):
+        req = SearchRequest(
+            clauses=(Clause(query=q, fuzziness=str(maxd)),), k=15
+        )
+        got = bool_topk_batch(spark, ff_index, [req]).collect()
+
+        exps = [
+            (t, (1.0 - lev(q, t) / len(q)) * idf_fn(n_docs, c))
+            for t, c in df.items()
+            if abs(len(t) - len(q)) <= maxd and lev(q, t) <= maxd
+        ]
+        expect = []
+        for d_id, tk in toks.items():
+            best = 0.0
+            hit = False
+            for t, w in exps:
+                tf = tk.count(t)
+                if not tf:
+                    continue
+                hit = True
+                dl = len(tk)
+                s = w * (
+                    tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ) * 2.2
+                best = max(best, s)
+            if hit:
+                expect.append((d_id, best))
+        expect.sort(key=lambda x: (-x[1], x[0]))
+        expect = expect[:15]
+        assert [(r["doc_id"]) for r in got] == [d for d, _ in expect], maxd
+        assert np.allclose(
+            [r["score"] for r in got], [s for _, s in expect], atol=1e-9
+        )
+        assert expect, "no fuzzy matches — corpus drifted"
+
+
+def test_fixed_fuzziness_monotone_and_validation(spark, corpus, ff_index):
+    """match set (maxd=1) ⊆ (maxd=2); bad fuzziness fails loud."""
+    from sparkfts.booltree import bool_matches_batch, bool_topk_batch
+    from sparkfts.querybuilder import Clause, SearchRequest
+
+    q = "worde"
+    sets = {}
+    for maxd in ("1", "2"):
+        req = SearchRequest(clauses=(Clause(query=q, fuzziness=maxd),), k=1)
+        sets[maxd] = {
+            r["doc_id"]
+            for r in bool_matches_batch(spark, ff_index, [req]).collect()
+        }
+    assert sets["1"] <= sets["2"]
+    with pytest.raises(ValueError, match="fuzziness"):
+        bool_topk_batch(
+            spark, ff_index,
+            [SearchRequest(clauses=(Clause(query=q, fuzziness="3"),), k=5)],
+        )
+
+
+def test_simpleqs_fixed_fuzziness(spark, corpus, ff_index):
+    """simple_query_string ~1/~2 == fixed-distance clauses; ~5 caps."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Clause, SearchRequest
+    from sparkfts.simpleqs import (
+        parse_simple_query_string,
+        simple_query_string_topk_batch,
+    )
+
+    t = parse_simple_query_string("worde~1 | other~5")
+    assert [c.fuzziness for c in t.should] == ["1", "2"]
+    got = simple_query_string_topk_batch(
+        spark, ff_index, [(0, "worde~2", 10)]
+    ).collect()
+    want = bool_topk_batch(
+        spark, ff_index,
+        [SearchRequest(clauses=(Clause(query="worde", fuzziness="2"),),
+                       k=10)],
+    ).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
