@@ -619,6 +619,35 @@ def q_fts_fuzzy_fixed(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_bool_termlevel(spark, sf_dir):
+    """ES bool composing TERM-LEVEL leaf queries (round-5 widening):
+    wildcard 'st*m' AND regexp 'quer(y|ies)' AND fuzzy term 'vektor'
+    (AUTO -> maxd 2 -> 'vector') — all three execute as expansion
+    groups inside ONE single-pass bool-tree kernel plan
+    (sparkfts/booltree.py _WILD/_REGEX/fuzzy tags), scores summed in
+    member order."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import (
+        Bool,
+        FuzzyTerm,
+        Regexp,
+        SearchRequest,
+        Wildcard,
+    )
+
+    idx = _index_dir_for(spark, sf_dir)
+    req = SearchRequest(
+        clauses=(Bool(must=(
+            Wildcard(pattern="st*m"),
+            Regexp(pattern="quer(y|ies)"),
+            FuzzyTerm(term="vektor"),
+        )),),
+        k=10,
+    )
+    res = bool_topk_batch(spark, idx, [req])
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_fuzzy_transpositions(spark, sf_dir):
     """ES default fuzzy semantics (``fuzzy_transpositions: true``):
     Damerau-Levenshtein expansion, a transposition = ONE edit. The query
@@ -3889,6 +3918,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_fuzzy_index_topk": q_fts_fuzzy_index_topk,
         "fts_fuzzy_transpositions": q_fts_fuzzy_transpositions,
         "fts_fuzzy_fixed": q_fts_fuzzy_fixed,
+        "fts_bool_termlevel": q_fts_bool_termlevel,
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_must_not_topk": q_fts_must_not_topk,
         "fts_bool_topk": q_fts_bool_topk,
@@ -4576,6 +4606,52 @@ SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM scored WHERE nm = {len(fterms)} ORDER BY score DESC, doc_id LIMIT 10
 """
     sqls["fts_fuzzy_index_topk"] = sqls["fts_fuzzy_topk"]
+
+    # bool of term-level leaves: wildcard st*m AND regexp quer(y|ies)
+    # AND fuzzy vektor (AUTO: len 6 -> maxd 2); member-order sum
+    sqls["fts_bool_termlevel"] = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w_s AS (
+  SELECT tf.doc_id,
+         max( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                         / s.avgdl))) * 2.2 ) AS s
+  FROM dict d JOIN tf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE regexp_full_match(d.term, 'st.*m') GROUP BY tf.doc_id),
+r_s AS (
+  SELECT tf.doc_id,
+         max( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                         / s.avgdl))) * 2.2 ) AS s
+  FROM dict d JOIN tf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE regexp_full_match(d.term, 'quer(y|ies)') GROUP BY tf.doc_id),
+f_s AS (
+  SELECT tf.doc_id,
+         max( (1.0 - levenshtein(d.term, 'vektor') * 1.0 / 6)
+              * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                         / s.avgdl))) * 2.2 ) AS s
+  FROM dict d JOIN tf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE abs(length(d.term) - 6) <= 2
+    AND levenshtein(d.term, 'vektor') <= 2
+  GROUP BY tf.doc_id),
+scored AS (
+  SELECT w.doc_id, w.s + r.s + f.s AS score
+  FROM w_s w JOIN r_s r USING (doc_id) JOIN f_s f USING (doc_id))
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
     # fixed fuzziness 1 on a 6-char term (AUTO would be 2)
     sqls["fts_fuzzy_fixed"] = f"""

@@ -74,6 +74,8 @@ _EXACT = "\x00e"    # fuzziness 0 / exact
 _PREFIX = "\x00p"   # Prefix leaf (dictionary range expansion)
 _FUZZY1 = "\x001"   # FIXED max edit distance 1 (ES fixed fuzziness)
 _FUZZY2 = "\x002"   # FIXED max edit distance 2
+_WILD = "\x00w"     # Wildcard leaf (pattern expansion)
+_REGEX = "\x00r"    # Regexp leaf (anchored-pattern expansion)
 _FUZZ_TAG = {"AUTO": _FUZZY, "0": _EXACT, "1": _FUZZY1, "2": _FUZZY2}
 
 
@@ -101,22 +103,45 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
                 float(getattr(obj, "tie_breaker", 0.0)),
             )
         return ("clause", obj.operator, keys)
-    from sparkfts.querybuilder import Prefix
+    from sparkfts.querybuilder import FuzzyTerm, Prefix, Regexp, Wildcard
+
+    def _termlevel(keys: tuple, fields) -> tuple:
+        if multifield:
+            from sparkfts.multifield import parse_field_boosts
+
+            specs = tuple(
+                (f, float(b)) for f, b in parse_field_boosts(fields)
+            )
+            return ("clause", "or", keys, specs, 0.0)
+        return ("clause", "or", keys)
 
     if isinstance(obj, Prefix):
         # term-level: lowercase only, never analyzed (the prefix.py pin)
         p = obj.prefix.strip().lower()
         if not p:
             raise ValueError("empty prefix in bool tree")
-        keys = (p + _PREFIX,)
-        if multifield:
-            from sparkfts.multifield import parse_field_boosts
+        return _termlevel((p + _PREFIX,), obj.fields)
+    if isinstance(obj, Wildcard):
+        p = obj.pattern.strip().lower()  # lower_patterns=True pin
+        if not p.strip("*?"):
+            raise ValueError("wildcard pattern needs a literal char")
+        return _termlevel((p + _WILD,), obj.fields)
+    if isinstance(obj, Regexp):
+        from sparkfts.prefix import validate_regexp
 
-            specs = tuple(
-                (f, float(b)) for f, b in parse_field_boosts(obj.fields)
+        p = obj.pattern.strip()  # case preserved (lower_patterns=False pin)
+        validate_regexp(p)
+        return _termlevel((p + _REGEX,), obj.fields)
+    if isinstance(obj, FuzzyTerm):
+        tag = _FUZZ_TAG.get(str(obj.fuzziness).upper())
+        if tag is None:
+            raise ValueError(
+                f"fuzziness must be AUTO or 0/1/2, got {obj.fuzziness!r}"
             )
-            return ("clause", "or", keys, specs, 0.0)
-        return ("clause", "or", keys)
+        t = obj.term.strip().lower()  # term-level: never analyzed
+        if not t:
+            raise ValueError("empty fuzzy term in bool tree")
+        return _termlevel((t + tag,), obj.fields)
     if isinstance(obj, Bool):
         return (
             "bool",
@@ -433,7 +458,6 @@ def _field_expansions(
     keys = {k for f, k in field_keys if f == fld}
     fuzzy_terms = sorted(k[:-2] for k in keys if k.endswith(_FUZZY))
     exact_terms = sorted(k[:-2] for k in keys if k.endswith(_EXACT))
-    prefix_terms = sorted(k[:-2] for k in keys if k.endswith(_PREFIX))
     out: dict = {}
     # fixed-distance fuzzy classes (ES fixed fuzziness 1/2): same
     # expansion join as AUTO, maxd pinned per class
@@ -449,15 +473,24 @@ def _field_expansions(
         )
         for t in f_terms:
             out[(fld, t + tag)] = tuple(exp.get((0, t), ()))
-    if prefix_terms:
-        from sparkfts.prefix import expand_prefix
+    # dictionary-expansion leaf classes share one treatment: expander
+    # collect -> (pattern, weight) tuples under the tagged key
+    _EXPANDERS = {
+        _PREFIX: "expand_prefix",
+        _WILD: "expand_wildcard",
+        _REGEX: "expand_regexp",
+    }
+    for tag, fn_name in _EXPANDERS.items():
+        pats = sorted(k[:-2] for k in keys if k.endswith(tag))
+        if not pats:
+            continue
+        import sparkfts.prefix as _pfx
 
-        pexp = expand_prefix(
-            spark, fdir, list(enumerate(prefix_terms)), n_docs,
-            max_expansions,
+        exp = getattr(_pfx, fn_name)(
+            spark, fdir, list(enumerate(pats)), n_docs, max_expansions,
         )
-        for i, p in enumerate(prefix_terms):
-            out[(fld, p + _PREFIX)] = tuple(pexp.get(i, ()))
+        for i, p in enumerate(pats):
+            out[(fld, p + tag)] = tuple(exp.get(i, ()))
     if fuzzy_terms:
         exp = fuzzy_expand_index(
             spark, fdir, [(0, fuzzy_terms, 0)], n_docs,

@@ -18,11 +18,15 @@ them:
 - scoring context: ``match``, ``multi_match`` (``best_fields``),
   ``match_all``, ``bool`` (must / should / must_not / filter),
   ``dis_max``, ``wrapper`` (base64-wrapped body, decoded and recursed),
-  ``prefix`` (a bool-tree :class:`~sparkfts.querybuilder.Prefix` leaf),
-  ``query_string`` and phrase-free ``simple_query_string`` (both lower
-  through their own parsers onto the same Bool IR; ES ``a|b|c`` pipe
-  flag syntax accepted; phrase-bearing simple_query_string points to
-  its composed executor)
+  the term-level leaves ``prefix`` / ``wildcard`` / ``regexp`` /
+  ``fuzzy`` (bool-tree expansion-group leaves —
+  :class:`~sparkfts.querybuilder.Prefix` / ``Wildcard`` / ``Regexp`` /
+  ``FuzzyTerm``; ``fuzzy`` is pinned plain-Levenshtein, the Damerau
+  path stays on its dedicated surface), ``query_string`` and
+  phrase-free ``simple_query_string`` (both lower through their own
+  parsers onto the same Bool IR; ES ``a|b|c`` pipe flag syntax
+  accepted; phrase-bearing simple_query_string points to its composed
+  executor)
 - filter context (root ``bool.filter``): ``term``, ``terms``,
   ``range`` (gt/gte/lt/lte), ``exists``, nested ``bool.filter``
 - body keys: ``query``, ``size``
@@ -56,9 +60,6 @@ _POINTERS = {
     "match_phrase": "sparkfts.phrase.phrase_topk_batch",
     "match_phrase_prefix": "sparkfts.phrase.phrase_prefix_batch",
     "match_bool_prefix": "sparkfts.prefix.bool_prefix_batch",
-    "wildcard": "sparkfts.prefix.wildcard_topk_batch",
-    "regexp": "sparkfts.prefix.regexp_topk_batch",
-    "fuzzy": "match with fuzziness (this parser) or sparkfts.query",
     "span_near": "sparkfts.spans",
     "span_first": "sparkfts.spans",
     "span_or": "sparkfts.spans",
@@ -216,20 +217,52 @@ def parse_query(node) -> Clause | Bool | DisMax:
             queries=tuple(parse_query(q) for q in spec["queries"]),
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
         )
-    if kind == "prefix":
-        from sparkfts.querybuilder import Prefix
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        # term-level leaf queries (round-5: all four compose inside
+        # bool via the kernel's expansion-group classes)
+        from sparkfts.querybuilder import (
+            FuzzyTerm,
+            Prefix,
+            Regexp,
+            Wildcard,
+        )
 
         field, spec = _one_key(spec, ctx)
         field = _ident(field, ctx)
         if isinstance(spec, str):
             spec = {"value": spec}
         if not isinstance(spec, dict) or "value" not in spec:
-            raise EsDslError(f"{ctx}: prefix needs a value")
-        _check_keys(spec, {"value"}, ctx)
-        val = str(spec["value"]).strip().lower()
+            raise EsDslError(f"{ctx}: {kind} needs a value")
+        allowed = {"value"}
+        if kind == "fuzzy":
+            allowed |= {"fuzziness"}
+        _check_keys(spec, allowed, ctx)
+        val = str(spec["value"]).strip()
         if not val:
-            raise EsDslError(f"{ctx}: empty prefix value")
-        return Prefix(prefix=val, fields=(field,))
+            raise EsDslError(f"{ctx}: empty {kind} value")
+        try:
+            if kind == "prefix":
+                return Prefix(prefix=val.lower(), fields=(field,))
+            if kind == "wildcard":
+                node = Wildcard(pattern=val.lower(), fields=(field,))
+            elif kind == "regexp":
+                node = Regexp(pattern=val, fields=(field,))
+            else:
+                node = FuzzyTerm(
+                    term=val.lower(),
+                    fuzziness=_fuzziness(spec.get("fuzziness", "AUTO"), ctx),
+                    fields=(field,),
+                )
+            # validate eagerly (the bool-tree lowering would raise the
+            # same errors at execution time; surface them at parse)
+            from sparkfts.booltree import _to_node
+
+            _to_node(node)
+        except EsDslError:
+            raise
+        except ValueError as e:
+            raise EsDslError(f"{ctx}: {e}") from None
+        return node
     if kind == "query_string":
         from sparkfts.querystring import QueryStringError, parse_query_string
 

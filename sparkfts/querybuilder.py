@@ -117,6 +117,46 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """ES ``wildcard`` query as a bool-tree LEAF (``*`` = any sequence,
+    ``?`` = one char; term-level: pattern lowercased, never analyzed).
+    Scored best-expansion-wins over the dictionary expansion — the
+    :func:`sparkfts.prefix.wildcard_topk_batch` pin, bit-identical to
+    the standalone query."""
+
+    pattern: str
+    fields: tuple = DEFAULT_FIELDS
+
+
+@dataclass(frozen=True)
+class Regexp:
+    """ES ``regexp`` query as a bool-tree LEAF (implicitly anchored,
+    validated subset — :func:`sparkfts.prefix.validate_regexp`; case
+    PRESERVED, matching the standalone path's ``lower_patterns=False``
+    pin). Scored best-expansion-wins over the dictionary expansion."""
+
+    pattern: str
+    fields: tuple = DEFAULT_FIELDS
+
+
+@dataclass(frozen=True)
+class FuzzyTerm:
+    """ES ``fuzzy`` query as a bool-tree LEAF: TERM-level fuzzy match —
+    the term is lowercased but NEVER analyzed (unlike a fuzzy
+    :class:`Clause`, whose text runs the analyzer chain; under a
+    stemmer the two differ, exactly as ES ``fuzzy`` vs fuzzy ``match``
+    differ). ``fuzziness``: "AUTO" (length ladder) / "0" / "1" / "2".
+    Pinned to plain-Levenshtein expansion (the engine default; ES
+    defaults ``fuzzy_transpositions: true`` — the Damerau path lives on
+    the dedicated surface, :func:`sparkfts.query.
+    bm25_index_fuzzy_batch`)."""
+
+    term: str
+    fuzziness: str = "AUTO"
+    fields: tuple = DEFAULT_FIELDS
+
+
+@dataclass(frozen=True)
 class SearchRequest:
     """Typed IR for one search: AND of clauses; no clauses = match-all.
 

@@ -333,3 +333,99 @@ def test_simple_query_string_lowering(spark, dsl_index, queries):
         parse_query({"simple_query_string": {"query": "-only -negative"}})
     with pytest.raises(EsDslError, match="flag"):
         parse_query({"simple_query_string": {"query": "a", "flags": "BOGUS"}})
+
+
+def test_termlevel_leaves_lowering_and_parity(spark, dsl_index):
+    """wildcard / regexp / fuzzy DSL queries -> bool-tree leaves;
+    end-to-end == their standalone dedicated surfaces."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.prefix import regexp_topk_batch, wildcard_topk_batch
+    from sparkfts.querybuilder import FuzzyTerm, Regexp, Wildcard
+
+    node = parse_query({"wildcard": {"text": {"value": "Th*e"}}})
+    assert node == Wildcard(pattern="th*e", fields=("text",))
+    req = parse_request({"query": {"wildcard": {"text": "th*"}}, "size": 12})
+    got = bool_topk_batch(spark, dsl_index, [req]).collect()
+    want = wildcard_topk_batch(spark, dsl_index, [(0, "th*", 12)]).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
+    assert got
+
+    node = parse_query({"regexp": {"text": {"value": "th(e|at)"}}})
+    assert node == Regexp(pattern="th(e|at)", fields=("text",))
+    req = parse_request(
+        {"query": {"regexp": {"text": "th(e|at)"}}, "size": 12}
+    )
+    got = bool_topk_batch(spark, dsl_index, [req]).collect()
+    want = regexp_topk_batch(
+        spark, dsl_index, [(0, "th(e|at)", 12)]
+    ).collect()
+    assert [tuple(r)[1:] for r in got] == [tuple(r)[1:] for r in want]
+    assert got
+
+    node = parse_query(
+        {"fuzzy": {"text": {"value": "worde", "fuzziness": 1}}}
+    )
+    assert node == FuzzyTerm(term="worde", fuzziness="1", fields=("text",))
+    # fuzzy == a fuzzy match Clause when the analyzer is identity on
+    # the term (single standard-analyzer token)
+    from sparkfts.querybuilder import Clause, SearchRequest
+
+    a = bool_topk_batch(
+        spark, dsl_index,
+        [SearchRequest(clauses=(node,), k=10)],
+    ).collect()
+    b = bool_topk_batch(
+        spark, dsl_index,
+        [SearchRequest(clauses=(Clause(query="worde", fuzziness="1"),),
+                       k=10)],
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a
+
+    # fail-loud: invalid regexp / empty values / stray options
+    with pytest.raises(EsDslError):
+        parse_query({"regexp": {"text": {"value": "(a"}}})
+    with pytest.raises(EsDslError, match="empty"):
+        parse_query({"wildcard": {"text": "  "}})
+    with pytest.raises(EsDslError, match="literal"):
+        parse_query({"wildcard": {"text": "**"}})
+    with pytest.raises(EsDslError, match="unsupported options"):
+        parse_query({"wildcard": {"text": {"value": "a*", "boost": 2}}})
+    with pytest.raises(EsDslError, match="fuzziness"):
+        parse_query({"fuzzy": {"text": {"value": "x", "fuzziness": 5}}})
+
+
+def test_termlevel_leaves_compose_in_bool(spark, dsl_index):
+    """A bool mixing wildcard + fuzzy leaves with must_not — one
+    single-pass kernel plan; match set == intersection minus exclusion
+    computed from the standalone surfaces."""
+    from sparkfts.booltree import bool_matches_batch, bool_topk_batch
+    from sparkfts.prefix import wildcard_topk_batch
+
+    body = {"query": {"bool": {
+        "must": [{"wildcard": {"text": "th*"}},
+                 {"fuzzy": {"text": {"value": "worde"}}}],
+        "must_not": [{"match": {"text": "zzzneverzzz"}}],
+    }}, "size": 500}
+    req = parse_request(body)
+    got = {
+        r["doc_id"]
+        for r in bool_matches_batch(spark, dsl_index, [req]).collect()
+    }
+    wild = {
+        r["doc_id"]
+        for r in wildcard_topk_batch(
+            spark, dsl_index, [(0, "th*", 10_000)]
+        ).collect()
+    }
+    from sparkfts.querybuilder import FuzzyTerm, SearchRequest
+
+    fz = {
+        r["doc_id"]
+        for r in bool_matches_batch(
+            spark, dsl_index,
+            [SearchRequest(clauses=(FuzzyTerm(term="worde"),), k=1)],
+        ).collect()
+    }
+    assert got == (wild & fz)
+    assert got
