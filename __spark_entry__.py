@@ -560,6 +560,20 @@ def q_fts_simple_qs(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_qs_boost(spark, sf_dir):
+    """Lucene ^boost through query_string (round 5): 'spark^2
+    (stream query)^0.5' — OR of a double-weighted term and a
+    half-weighted group; kernel applies each boost as ONE multiply
+    after the node's own fold (booltree ("boost",...) wrapper)."""
+    from sparkfts.querystring import query_string_topk_batch
+
+    idx = _index_dir_for(spark, sf_dir)
+    res = query_string_topk_batch(
+        spark, idx, [(0, "spark^2 (stream query)^0.5", 10)]
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_or_wand_topk(spark, sf_dir):
     from sparkfts.query import bm25_index_batch
 
@@ -3911,6 +3925,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_multi_index_topk": q_fts_multi_index_topk,
         "fts_query_string": q_fts_query_string,
         "fts_simple_qs": q_fts_simple_qs,
+        "fts_qs_boost": q_fts_qs_boost,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -4500,6 +4515,43 @@ folded AS (
                        WHERE tok = 'vector'))
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM folded ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # query_string boost: 'spark^2 (stream query)^0.5' (default OR) —
+    # score = 2*s(spark) + 0.5*(s(stream)+s(query)) over the union
+    sqls["fts_qs_boost"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'stream', 'query') GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pt AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+           * 2.2 AS ts
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         2.0 * COALESCE(max(CASE WHEN term = 'spark' THEN ts END), 0)
+         + 0.5 * (COALESCE(max(CASE WHEN term = 'stream' THEN ts END), 0)
+                  + COALESCE(max(CASE WHEN term = 'query' THEN ts END), 0))
+           AS score
+  FROM pt GROUP BY doc_id
+)
+SELECT doc_id, {_SCORE_E4} AS score_e4
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """
 
     mi_terms = sorted(set(BM25_QUERY_AND.split()))

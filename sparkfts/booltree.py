@@ -81,8 +81,17 @@ _FUZZ_TAG = {"AUTO": _FUZZY, "0": _EXACT, "1": _FUZZY1, "2": _FUZZY2}
 
 def _to_node(obj, stopwords=None, multifield: bool = False,
              stemmer: str | None = None):
-    """Clause | Bool -> node spec; group keys carry the fuzzy/exact tag."""
+    """Clause | Bool -> node spec; group keys carry the fuzzy/exact tag.
+
+    A node carrying an ES query-level ``boost != 1`` wraps as
+    ``("boost", inner_spec, b)`` — the kernel multiplies the inner
+    node's scores once after its own fold (the Lucene BoostQuery
+    pin)."""
     from sparkfts.querybuilder import Bool, Clause
+
+    def _boosted(spec: tuple, b) -> tuple:
+        b = float(b)
+        return spec if b == 1.0 else ("boost", spec, b)
 
     if isinstance(obj, Clause):
         terms = tokenize_query(obj.query, stopwords, stemmer)
@@ -92,46 +101,53 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
                 f"fuzziness must be AUTO or 0/1/2, got {obj.fuzziness!r}"
             )
         keys = tuple(t + tag for t in terms)
+        cb = float(getattr(obj, "boost", 1.0))
         if multifield:
             from sparkfts.multifield import parse_field_boosts
 
             specs = tuple(
                 (f, float(b)) for f, b in parse_field_boosts(obj.fields)
             )
-            return (
-                "clause", obj.operator, keys, specs,
-                float(getattr(obj, "tie_breaker", 0.0)),
+            return _boosted(
+                (
+                    "clause", obj.operator, keys, specs,
+                    float(getattr(obj, "tie_breaker", 0.0)),
+                ),
+                cb,
             )
-        return ("clause", obj.operator, keys)
+        return _boosted(("clause", obj.operator, keys), cb)
     from sparkfts.querybuilder import FuzzyTerm, Prefix, Regexp, Wildcard
 
-    def _termlevel(keys: tuple, fields) -> tuple:
+    def _termlevel(keys: tuple, fields, leaf_boost=1.0) -> tuple:
         if multifield:
             from sparkfts.multifield import parse_field_boosts
 
             specs = tuple(
                 (f, float(b)) for f, b in parse_field_boosts(fields)
             )
-            return ("clause", "or", keys, specs, 0.0)
-        return ("clause", "or", keys)
+            return _boosted(("clause", "or", keys, specs, 0.0), leaf_boost)
+        return _boosted(("clause", "or", keys), leaf_boost)
 
     if isinstance(obj, Prefix):
         # term-level: lowercase only, never analyzed (the prefix.py pin)
         p = obj.prefix.strip().lower()
         if not p:
             raise ValueError("empty prefix in bool tree")
-        return _termlevel((p + _PREFIX,), obj.fields)
+        return _termlevel((p + _PREFIX,), obj.fields,
+                          getattr(obj, "boost", 1.0))
     if isinstance(obj, Wildcard):
         p = obj.pattern.strip().lower()  # lower_patterns=True pin
         if not p.strip("*?"):
             raise ValueError("wildcard pattern needs a literal char")
-        return _termlevel((p + _WILD,), obj.fields)
+        return _termlevel((p + _WILD,), obj.fields,
+                          getattr(obj, "boost", 1.0))
     if isinstance(obj, Regexp):
         from sparkfts.prefix import validate_regexp
 
         p = obj.pattern.strip()  # case preserved (lower_patterns=False pin)
         validate_regexp(p)
-        return _termlevel((p + _REGEX,), obj.fields)
+        return _termlevel((p + _REGEX,), obj.fields,
+                          getattr(obj, "boost", 1.0))
     if isinstance(obj, FuzzyTerm):
         tag = _FUZZ_TAG.get(str(obj.fuzziness).upper())
         if tag is None:
@@ -141,13 +157,20 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
         t = obj.term.strip().lower()  # term-level: never analyzed
         if not t:
             raise ValueError("empty fuzzy term in bool tree")
-        return _termlevel((t + tag,), obj.fields)
+        return _termlevel((t + tag,), obj.fields,
+                          getattr(obj, "boost", 1.0))
     if isinstance(obj, Bool):
-        return (
-            "bool",
-            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.must),
-            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.should),
-            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.must_not),
+        return _boosted(
+            (
+                "bool",
+                tuple(_to_node(c, stopwords, multifield, stemmer)
+                      for c in obj.must),
+                tuple(_to_node(c, stopwords, multifield, stemmer)
+                      for c in obj.should),
+                tuple(_to_node(c, stopwords, multifield, stemmer)
+                      for c in obj.must_not),
+            ),
+            getattr(obj, "boost", 1.0),
         )
     from sparkfts.querybuilder import DisMax
 
@@ -162,6 +185,9 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
 
 def _walk_keys(node, keys: set, mn_terms: set) -> None:
     """Collect ``(field_or_None, group_key)`` pairs + must_not terms."""
+    if node[0] == "boost":
+        _walk_keys(node[1], keys, mn_terms)
+        return
     if node[0] == "clause":
         if len(node) >= 4:
             for fld, _b in node[3]:
@@ -296,6 +322,11 @@ def _make_bool_scorer(
 
             def eval_node(node):
                 kind = node[0]
+                if kind == "boost":
+                    # ES/Lucene BoostQuery: one multiply after the
+                    # inner node's own fold (float64)
+                    ids, sc = eval_node(node[1])
+                    return ids, sc * node[2]
                 if kind == "clause":
                     return eval_clause(node)
                 if kind == "terms_any":

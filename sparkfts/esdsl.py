@@ -129,6 +129,17 @@ def _operator(v, ctx: str) -> str:
     return op
 
 
+def _boost_val(spec: dict, ctx: str) -> float:
+    b = spec.get("boost", 1.0)
+    try:
+        b = float(b)
+    except (TypeError, ValueError):
+        raise EsDslError(f"{ctx}: invalid boost {b!r}") from None
+    if b < 0:
+        raise EsDslError(f"{ctx}: negative boost")
+    return b
+
+
 def _check_keys(spec: dict, allowed: set, ctx: str) -> None:
     extra = set(spec) - allowed
     if extra:
@@ -142,12 +153,13 @@ def _parse_match(body, ctx: str) -> Clause:
         spec = {"query": spec}
     if not isinstance(spec, dict) or "query" not in spec:
         raise EsDslError(f"{ctx}: match needs a query string")
-    _check_keys(spec, {"query", "operator", "fuzziness"}, ctx)
+    _check_keys(spec, {"query", "operator", "fuzziness", "boost"}, ctx)
     return Clause(
         query=str(spec["query"]),
         fields=(field,),
         operator=_operator(spec.get("operator"), ctx),
         fuzziness=_fuzziness(spec.get("fuzziness"), ctx),
+        boost=_boost_val(spec, ctx),
     )
 
 
@@ -156,7 +168,7 @@ def _parse_multi_match(spec, ctx: str) -> Clause:
         raise EsDslError(f"{ctx}: multi_match needs a query string")
     _check_keys(
         spec, {"query", "fields", "operator", "fuzziness", "type",
-               "tie_breaker"}, ctx,
+               "tie_breaker", "boost"}, ctx,
     )
     mm_type = spec.get("type", "best_fields")
     if mm_type != "best_fields":
@@ -175,6 +187,7 @@ def _parse_multi_match(spec, ctx: str) -> Clause:
         operator=_operator(spec.get("operator"), ctx),
         fuzziness=_fuzziness(spec.get("fuzziness"), ctx),
         tie_breaker=float(spec.get("tie_breaker", 0.0)),
+        boost=_boost_val(spec, ctx),
     )
 
 
@@ -233,25 +246,29 @@ def parse_query(node) -> Clause | Bool | DisMax:
             spec = {"value": spec}
         if not isinstance(spec, dict) or "value" not in spec:
             raise EsDslError(f"{ctx}: {kind} needs a value")
-        allowed = {"value"}
+        allowed = {"value", "boost"}
         if kind == "fuzzy":
             allowed |= {"fuzziness"}
         _check_keys(spec, allowed, ctx)
+        lb = _boost_val(spec, ctx)
         val = str(spec["value"]).strip()
         if not val:
             raise EsDslError(f"{ctx}: empty {kind} value")
         try:
             if kind == "prefix":
-                return Prefix(prefix=val.lower(), fields=(field,))
+                return Prefix(prefix=val.lower(), fields=(field,),
+                              boost=lb)
             if kind == "wildcard":
-                node = Wildcard(pattern=val.lower(), fields=(field,))
+                node = Wildcard(pattern=val.lower(), fields=(field,),
+                                boost=lb)
             elif kind == "regexp":
-                node = Regexp(pattern=val, fields=(field,))
+                node = Regexp(pattern=val, fields=(field,), boost=lb)
             else:
                 node = FuzzyTerm(
                     term=val.lower(),
                     fuzziness=_fuzziness(spec.get("fuzziness", "AUTO"), ctx),
                     fields=(field,),
+                    boost=lb,
                 )
             # validate eagerly (the bool-tree lowering would raise the
             # same errors at execution time; surface them at parse)
@@ -394,7 +411,8 @@ def _parse_bool(
 ) -> tuple[Bool, str | None]:
     if not isinstance(spec, dict):
         raise EsDslError(f"{ctx}: bool must be an object")
-    _check_keys(spec, {"must", "should", "must_not", "filter"}, ctx)
+    _check_keys(spec, {"must", "should", "must_not", "filter", "boost"},
+                ctx)
     if spec.get("filter") and not allow_filter:
         raise EsDslError(
             f"{ctx}: filter is supported on the ROOT bool only "
@@ -408,6 +426,7 @@ def _parse_bool(
         must_not=tuple(
             parse_query(q) for q in _as_list(spec.get("must_not", []))
         ),
+        boost=_boost_val(spec, ctx),
     )
     if not node.must and not node.should:
         raise EsDslError(

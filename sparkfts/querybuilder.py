@@ -70,6 +70,9 @@ class Clause:
     # best_field + tie_breaker * sum(other matching fields). 0.0 = pure
     # best_fields (the ES default the reference relies on).
     tie_breaker: float = 0.0
+    # ES query-level boost: multiplies this clause's score (applied
+    # once, AFTER the clause's own fold — the Lucene BoostQuery pin).
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -82,6 +85,8 @@ class Bool:
     must: tuple = field(default_factory=tuple)
     should: tuple = field(default_factory=tuple)
     must_not: tuple = field(default_factory=tuple)
+    # ES bool-level boost (BoostQuery around the whole bool)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -114,6 +119,7 @@ class Prefix:
 
     prefix: str
     fields: tuple = DEFAULT_FIELDS
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -126,6 +132,7 @@ class Wildcard:
 
     pattern: str
     fields: tuple = DEFAULT_FIELDS
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -137,6 +144,7 @@ class Regexp:
 
     pattern: str
     fields: tuple = DEFAULT_FIELDS
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -154,6 +162,7 @@ class FuzzyTerm:
     term: str
     fuzziness: str = "AUTO"
     fields: tuple = DEFAULT_FIELDS
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -44,7 +44,10 @@ silent best-effort)::
 - Each ``word`` is run through the pinned analyzer; a word that
   analyzes to several terms (``spark-job``) stays ONE conjunctive
   clause, like ES's per-field match of the analyzed token stream.
-- Quoted phrases, ``^boost``, ranges, regex and wildcards-in-words are
+- ``term^N`` / ``(group)^N`` / ``field:(...)^N`` apply a Lucene boost
+  (round 5): one multiply after the node's own fold, N a non-negative
+  number; stacked boosts multiply (``(a^2)^3`` = 6).
+- Quoted phrases, ranges, regex and wildcards-in-words are
   NOT in the subset -> ``QueryStringError`` (wildcard/prefix queries
   have their own typed API, :mod:`sparkfts.prefix`).
 
@@ -88,7 +91,6 @@ _TOKEN_RE = re.compile(
 _REJECT = {
     "quote": 'quoted phrases ("...") are outside the pinned subset — '
     "use sparkfts.phrase.match_phrase_batch",
-    "caret": "^boost is outside the pinned subset",
 }
 
 
@@ -218,6 +220,28 @@ class _Parser:
             return ("mustnot", self._primary())
         return ("pos", self._primary())
 
+    def _boost(self, node):
+        """Optional trailing ``^number`` (Lucene boost) -> wrapped node.
+        The kernel applies it as one multiply after the node's own fold
+        (querybuilder Clause.boost / Bool.boost -> booltree ("boost",…))."""
+        if not (self.peek() and self.peek()[0] == "caret"):
+            return node
+        t = self.take()
+        num = self.take()
+        if num[0] != "word":
+            raise QueryStringError(f"at {t[2]}: ^ needs a number")
+        try:
+            b = float(num[1])
+        except ValueError:
+            raise QueryStringError(
+                f"at {num[2]}: invalid boost {num[1]!r}"
+            ) from None
+        if b < 0:
+            raise QueryStringError(f"at {num[2]}: negative boost")
+        import dataclasses
+
+        return dataclasses.replace(node, boost=b * node.boost)
+
     def _primary(self):
         t = self.take()
         if t[0] == "lparen":
@@ -225,7 +249,7 @@ class _Parser:
             self.expect("rparen")
             if node[0] == "not":
                 raise QueryStringError("parenthesized pure-NOT group")
-            return node[1]
+            return self._boost(node[1])
         if t[0] != "word":
             raise QueryStringError(f"at {t[2]}: expected a term, got {t[1]!r}")
         word = t[1]
@@ -246,7 +270,7 @@ class _Parser:
                     self.fields = saved
                 if node[0] == "not":
                     raise QueryStringError("field:(...) of a pure-NOT group")
-                return node[1]
+                return self._boost(node[1])
             word = self.expect("word")[1]
         fuzziness = "0"
         if self.peek() and self.peek()[0] == "fuzz":
@@ -258,8 +282,10 @@ class _Parser:
                 "clause of a match-all-minus query; use match_all_topk / "
                 "SearchRequest for match-all"
             )
-        return Clause(query=word, fields=fields, operator="and",
-                      fuzziness=fuzziness)
+        return self._boost(
+            Clause(query=word, fields=fields, operator="and",
+                   fuzziness=fuzziness)
+        )
 
 
 def parse_query_string(

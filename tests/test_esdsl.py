@@ -141,7 +141,7 @@ def test_fail_loud():
     with pytest.raises(EsDslError, match="unsupported query type"):
         parse_query({"frobnicate": {}})
     with pytest.raises(EsDslError, match="unsupported options"):
-        parse_query({"match": {"text": {"query": "x", "boost": 2}}})
+        parse_query({"match": {"text": {"query": "x", "analyzer": "std"}}})
     with pytest.raises(EsDslError, match="unsupported options"):
         parse_request({"query": {"bool": {
             "must": [{"match": {"text": "x"}}],
@@ -390,7 +390,8 @@ def test_termlevel_leaves_lowering_and_parity(spark, dsl_index):
     with pytest.raises(EsDslError, match="literal"):
         parse_query({"wildcard": {"text": "**"}})
     with pytest.raises(EsDslError, match="unsupported options"):
-        parse_query({"wildcard": {"text": {"value": "a*", "boost": 2}}})
+        parse_query({"wildcard": {"text": {"value": "a*",
+                                           "rewrite": "top_terms_10"}}})
     with pytest.raises(EsDslError, match="fuzziness"):
         parse_query({"fuzzy": {"text": {"value": "x", "fuzziness": 5}}})
 

@@ -103,7 +103,9 @@ def test_parse_hyphenated_word_is_one_clause():
     "bad,frag",
     [
         ('"data stream"', "quoted"),
-        ("spark^2", "boost"),
+        # ^boost is SUPPORTED since round 5 (test_boost.py); only a
+        # malformed boost rejects
+        ("spark^x", "invalid boost"),
         ("-a", "positive"),
         ("NOT a", "positive"),
         ("+a AND b", "ambiguous"),
