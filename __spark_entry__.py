@@ -560,6 +560,31 @@ def q_fts_simple_qs(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_bool_msm(spark, sf_dir):
+    """ES bool.minimum_should_match INSIDE the bool grammar (round 5):
+    must=[spark], should=[stream, query, vector], msm=2 — with msm set,
+    should members CONSTRAIN (ES: no longer a pure bonus); score =
+    must sum + matching should sum (kernel slot-4 msm,
+    sparkfts/booltree.py)."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Bool, Clause, SearchRequest
+
+    idx = _index_dir_for(spark, sf_dir)
+    tree = Bool(
+        must=(Clause(query="spark", fuzziness="0"),),
+        should=(
+            Clause(query="stream", fuzziness="0"),
+            Clause(query="query", fuzziness="0"),
+            Clause(query="vector", fuzziness="0"),
+        ),
+        minimum_should_match=2,
+    )
+    res = bool_topk_batch(
+        spark, idx, [SearchRequest(clauses=(tree,), k=10)]
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_qs_boost(spark, sf_dir):
     """Lucene ^boost through query_string (round 5): 'spark^2
     (stream query)^0.5' — OR of a double-weighted term and a
@@ -3926,6 +3951,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_query_string": q_fts_query_string,
         "fts_simple_qs": q_fts_simple_qs,
         "fts_qs_boost": q_fts_qs_boost,
+        "fts_bool_msm": q_fts_bool_msm,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -4515,6 +4541,48 @@ folded AS (
                        WHERE tok = 'vector'))
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM folded ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # bool msm: spark AND (>=2 of stream/query/vector); score = s_spark
+    # + sum of matching shoulds
+    sqls["fts_bool_msm"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'stream', 'query', 'vector')
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pt AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+           * 2.2 AS ts
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN ts END) AS s_must,
+         count(CASE WHEN term <> 'spark' THEN 1 END) AS n_should,
+         COALESCE(sum(CASE WHEN term <> 'spark' THEN ts END), 0)
+           AS s_should
+  FROM pt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor((s_must + s_should) * 10000 + 0.5) AS BIGINT)
+         AS score_e4
+FROM agg
+WHERE s_must IS NOT NULL AND n_should >= 2
+ORDER BY s_must + s_should DESC, doc_id LIMIT 10
 """
 
     # query_string boost: 'spark^2 (stream query)^0.5' (default OR) —

@@ -160,18 +160,25 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
         return _termlevel((t + tag,), obj.fields,
                           getattr(obj, "boost", 1.0))
     if isinstance(obj, Bool):
-        return _boosted(
-            (
-                "bool",
-                tuple(_to_node(c, stopwords, multifield, stemmer)
-                      for c in obj.must),
-                tuple(_to_node(c, stopwords, multifield, stemmer)
-                      for c in obj.should),
-                tuple(_to_node(c, stopwords, multifield, stemmer)
-                      for c in obj.must_not),
-            ),
-            getattr(obj, "boost", 1.0),
+        spec = (
+            "bool",
+            tuple(_to_node(c, stopwords, multifield, stemmer)
+                  for c in obj.must),
+            tuple(_to_node(c, stopwords, multifield, stemmer)
+                  for c in obj.should),
+            tuple(_to_node(c, stopwords, multifield, stemmer)
+                  for c in obj.must_not),
         )
+        msm = getattr(obj, "minimum_should_match", None)
+        if msm is not None and obj.should:
+            # resolve the ES value grammar against the should count now
+            # (driver-side), so the kernel sees a plain int
+            from sparkfts.wand import parse_minimum_should_match
+
+            spec = spec + (
+                parse_minimum_should_match(msm, len(obj.should)),
+            )
+        return _boosted(spec, getattr(obj, "boost", 1.0))
     from sparkfts.querybuilder import DisMax
 
     if isinstance(obj, DisMax):
@@ -200,7 +207,9 @@ def _walk_keys(node, keys: set, mn_terms: set) -> None:
         for child in node[1]:
             _walk_keys(child, keys, mn_terms)
     else:
-        for part in node[1:]:
+        # bool: must/should/must_not member tuples only (slot 4, when
+        # present, is the resolved minimum_should_match int)
+        for part in node[1:4]:
             for child in part:
                 _walk_keys(child, keys, mn_terms)
 
@@ -363,8 +372,9 @@ def _make_bool_scorer(
                     if tb == 0.0:
                         return ids, best
                     return ids, best + tb * (total - best)
-                # bool node
-                _, must, should, must_not = node
+                # bool node (slot 4: resolved minimum_should_match)
+                must, should, must_not = node[1], node[2], node[3]
+                msm = node[4] if len(node) > 4 else None
                 if must:
                     must_sets = [eval_node(c) for c in must]
                     if any(s[0].size == 0 for s in must_sets):
@@ -389,8 +399,11 @@ def _make_bool_scorer(
                     if should and ids.size:
                         # pure bonus, summed separately in member order
                         # then added ONCE (the composed path's
-                        # score + coalesce(should_score) fold)
+                        # score + coalesce(should_score) fold); with
+                        # minimum_should_match set, should ALSO
+                        # constrains: >= msm members must match (ES)
                         bonus = np.zeros(ids.size, np.float64)
+                        nmatch = np.zeros(ids.size, np.int64)
                         for c in should:
                             sids, sscores = eval_node(c)
                             if not sids.size:
@@ -399,9 +412,18 @@ def _make_bool_scorer(
                             pos_c = np.minimum(pos, sids.size - 1)
                             hit = sids[pos_c] == ids
                             bonus[hit] += sscores[pos_c[hit]]
+                            nmatch[hit] += 1
                         scores = scores + bonus
+                        if msm is not None:
+                            keep = nmatch >= msm
+                            ids, scores = ids[keep], scores[keep]
+                    elif should and msm is not None:
+                        # must matched nothing -> nothing can satisfy
+                        pass
                 elif should:
-                    # minimum_should_match=1: union, sum of matching
+                    # default minimum_should_match=1: union, sum of
+                    # matching; msm > 1 keeps docs matching >= msm
+                    # members (resolved ES value grammar)
                     should_sets = [eval_node(c) for c in should]
                     nonempty = [s for s in should_sets if s[0].size]
                     if not nonempty:
@@ -411,8 +433,14 @@ def _make_bool_scorer(
                             np.concatenate([s[0] for s in nonempty])
                         )
                         scores = np.zeros(ids.size, np.float64)
+                        counts = np.zeros(ids.size, np.int64)
                         for sids, sscores in nonempty:  # member order
-                            scores[np.searchsorted(ids, sids)] += sscores
+                            pos = np.searchsorted(ids, sids)
+                            scores[pos] += sscores
+                            counts[pos] += 1
+                        if msm is not None and msm > 1:
+                            keep = counts >= msm
+                            ids, scores = ids[keep], scores[keep]
                 else:
                     ids, scores = _empty
                 if must_not and ids.size:

@@ -411,8 +411,18 @@ def _parse_bool(
 ) -> tuple[Bool, str | None]:
     if not isinstance(spec, dict):
         raise EsDslError(f"{ctx}: bool must be an object")
-    _check_keys(spec, {"must", "should", "must_not", "filter", "boost"},
-                ctx)
+    _check_keys(
+        spec,
+        {"must", "should", "must_not", "filter", "boost",
+         "minimum_should_match"},
+        ctx,
+    )
+    msm = spec.get("minimum_should_match")
+    if msm is not None and not isinstance(msm, (int, str)):
+        raise EsDslError(
+            f"{ctx}: minimum_should_match must be an int or the ES "
+            f"value-grammar string, got {type(msm).__name__}"
+        )
     if spec.get("filter") and not allow_filter:
         raise EsDslError(
             f"{ctx}: filter is supported on the ROOT bool only "
@@ -427,6 +437,7 @@ def _parse_bool(
             parse_query(q) for q in _as_list(spec.get("must_not", []))
         ),
         boost=_boost_val(spec, ctx),
+        minimum_should_match=msm,
     )
     if not node.must and not node.should:
         raise EsDslError(

@@ -87,6 +87,14 @@ class Bool:
     must_not: tuple = field(default_factory=tuple)
     # ES bool-level boost (BoostQuery around the whole bool)
     boost: float = 1.0
+    # ES bool.minimum_should_match (full value grammar — int, negative,
+    # "P%", "N<spec"; sparkfts.wand.parse_minimum_should_match). None =
+    # the ES default: 0 with must present (should is pure bonus), else
+    # 1. With a value, a doc must match >= that many should members
+    # even when must clauses are present; a requirement above
+    # len(should) is unsatisfiable (Lucene BooleanQuery), and the
+    # option is ignored when there are no should clauses (ES behavior).
+    minimum_should_match: int | str | None = None
 
 
 @dataclass(frozen=True)

@@ -142,10 +142,12 @@ def test_fail_loud():
         parse_query({"frobnicate": {}})
     with pytest.raises(EsDslError, match="unsupported options"):
         parse_query({"match": {"text": {"query": "x", "analyzer": "std"}}})
-    with pytest.raises(EsDslError, match="unsupported options"):
+    # bool.minimum_should_match is SUPPORTED since round 5
+    # (test_msm.py); only a bad TYPE rejects
+    with pytest.raises(EsDslError, match="minimum_should_match"):
         parse_request({"query": {"bool": {
-            "must": [{"match": {"text": "x"}}],
-            "minimum_should_match": 2}}})
+            "should": [{"match": {"text": "x"}}],
+            "minimum_should_match": 1.5}}})
     with pytest.raises(EsDslError, match="ROOT bool only"):
         parse_query({"bool": {"must": [
             {"bool": {"must": [{"match": {"text": "x"}}],
