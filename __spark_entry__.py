@@ -3145,6 +3145,25 @@ def q_date_math_range(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_quality_clf_scores(spark, sf_dir):
+    """Model-based quality filter (the FineWeb-Edu / CCNet classifier
+    stage): linear classifier over hashed bag-of-words features
+    (fastText shape — mean-pooled hashed tokens -> sigmoid), pinned
+    deterministic weights so the whole scoring plan is oracle-checked
+    (sparkfts/ops/qualityclf.py; training is train_logreg, property-
+    tested). Plan: explode -> md5-bucket -> broadcast weight join ->
+    one partial-agg groupBy(doc_id)."""
+    from sparkfts.ops.qualityclf import clf_scores, pinned_weights
+
+    docs = _docs(spark, sf_dir)
+    res = clf_scores(docs, pinned_weights(64), intercept=0.1)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("prob") * 10_000 + 0.5).cast("long").alias("prob_e4"),
+        F.col("kept").cast("boolean").alias("kept"),
+    ).orderBy("doc_id")
+
+
 def q_quality_quantile_filter(spark, sf_dir):
     """Adaptive per-language quality gate: keep docs at or above their
     language's exact 30th-percentile n_chars (fixed global cutoffs
@@ -4100,6 +4119,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "date_math_range": q_date_math_range,
         "quality_quantile_filter": q_quality_quantile_filter,
+        "quality_clf_scores": q_quality_clf_scores,
         "fts_distance_feature": q_fts_distance_feature,
         "fts_random_score": q_fts_random_score,
         "fts_pinned": q_fts_pinned,
@@ -7565,6 +7585,37 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
 FROM events
 WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
 GROUP BY 1 ORDER BY 1
+"""
+
+    # quality classifier: mean-pooled hashed-bag-of-words linear model,
+    # pinned weights w[b] = ((b*2654435761) % 2000003)/1e6 - 1, dim 64,
+    # intercept 0.1; empty-token docs score the bare intercept
+    sqls["quality_clf_scores"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+          % 2147483647) % 64 AS bucket
+  FROM toks
+),
+wv AS (
+  SELECT doc_id,
+         ((bucket * 2654435761) % 2000003) / 1000000.0 - 1.0 AS w
+  FROM bk
+),
+pooled AS (SELECT doc_id, sum(w) / count(*) AS pooled FROM wv GROUP BY 1),
+z AS (
+  SELECT d.doc_id, 0.1 + COALESCE(p.pooled, 0.0) AS z
+  FROM documents d LEFT JOIN pooled p USING (doc_id)
+)
+SELECT doc_id,
+       CAST(floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) AS BIGINT)
+         AS prob_e4,
+       z >= 0 AS kept
+FROM z ORDER BY doc_id
 """
 
     sqls["quality_quantile_filter"] = """
