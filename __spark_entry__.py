@@ -3164,6 +3164,42 @@ def q_quality_clf_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_fts_dsl_aggs(spark, sf_dir):
+    """ES query + aggs in ONE request body (round 5,
+    esdsl.run_request): bool.should over three terms with a terms agg
+    on lang and a stats agg on n_chars — aggregations computed over
+    the COMPLETE match set (bool_matches_batch), never the hits page;
+    entry returns terms buckets x the stats row."""
+    from sparkfts.esdsl import run_request
+
+    idx = _index_dir_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    body = {
+        "size": 5,
+        "query": {"bool": {"should": [
+            {"match": {"text": {"query": t, "operator": "and",
+                                "fuzziness": 0}}}
+            for t in ("spark", "join", "vector")
+        ]}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 10}},
+            "chars": {"stats": {"field": "n_chars"}},
+        },
+    }
+    out = run_request(
+        spark, idx, body,
+        doc_values=docs.select("doc_id", "lang", "n_chars"),
+    )
+    terms = out["aggregations"]["by_lang"].select(
+        "key", F.col("doc_count").cast("long").alias("doc_count")
+    )
+    st = out["aggregations"]["chars"].select(
+        F.col("count").cast("long").alias("n"),
+        F.floor(F.col("avg") * 100 + 0.5).cast("long").alias("avg_chars_e2"),
+    )
+    return terms.crossJoin(st)
+
+
 def q_quality_quantile_filter(spark, sf_dir):
     """Adaptive per-language quality gate: keep docs at or above their
     language's exact 30th-percentile n_chars (fixed global cutoffs
@@ -4120,6 +4156,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_math_range": q_date_math_range,
         "quality_quantile_filter": q_quality_quantile_filter,
         "quality_clf_scores": q_quality_clf_scores,
+        "fts_dsl_aggs": q_fts_dsl_aggs,
         "fts_distance_feature": q_fts_distance_feature,
         "fts_random_score": q_fts_random_score,
         "fts_pinned": q_fts_pinned,
@@ -7585,6 +7622,30 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
 FROM events
 WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
 GROUP BY 1 ORDER BY 1
+"""
+
+    # DSL query+aggs runner: match set = docs with any of the three
+    # terms; terms buckets on lang x one stats row on n_chars
+    sqls["fts_dsl_aggs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE tok IN ('spark', 'join', 'vector')),
+t AS (
+  SELECT lang AS key, CAST(count(*) AS BIGINT) AS doc_count
+  FROM documents JOIN m USING (doc_id)
+  GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(avg(CAST(n_chars AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+           AS avg_chars_e2
+  FROM documents JOIN m USING (doc_id)
+)
+SELECT key, doc_count, n, avg_chars_e2 FROM t CROSS JOIN s
+ORDER BY doc_count DESC, key
 """
 
     # quality classifier: mean-pooled hashed-bag-of-words linear model,

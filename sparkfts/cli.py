@@ -1008,6 +1008,47 @@ def cmd_search_dsl(args: argparse.Namespace) -> None:
         with open(args.body_file) as f:
             body = f.read()
     try:
+        body_obj = json.loads(body)
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"search-dsl: request body is not valid JSON: {e}")
+    has_aggs = isinstance(body_obj, dict) and (
+        "aggs" in body_obj or "aggregations" in body_obj
+    )
+    if has_aggs:
+        # query + aggs in one request: run_request over the indexed
+        # docvalues (the docmap carries the --docvalues build columns)
+        from sparkfts.esdsl import run_request
+        from sparkfts.index import load_docmap
+
+        spark = _spark(args.cores, "sparkfts-search-dsl")
+        t0 = time.time()
+        try:
+            out = run_request(
+                spark, args.index, body_obj,
+                doc_values=load_docmap(spark, args.index),
+                default_k=args.k,
+            )
+        except EsDslError as e:
+            raise SystemExit(f"search-dsl: {e}")
+        rows = out["hits"].collect()
+        for r in rows:
+            print(json.dumps(
+                {"rank": r["rank"], "doc_id": r["doc_id"],
+                 "score": r["score"]}
+            ))
+        for name, frame in out["aggregations"].items():
+            print(json.dumps({
+                "agg": name,
+                "buckets": [row.asDict() for row in frame.collect()],
+            }))
+        print(
+            json.dumps(
+                {"hits": len(rows), "sec": round(time.time() - t0, 3)}
+            ),
+            file=sys.stderr,
+        )
+        return
+    try:
         req = parse_request_json(body, default_k=args.k)
     except EsDslError as e:
         raise SystemExit(f"search-dsl: {e}")

@@ -481,3 +481,202 @@ def parse_request_json(body_json: str, default_k: int = 10) -> SearchRequest:
     except json.JSONDecodeError as e:
         raise EsDslError(f"request body is not valid JSON: {e}") from None
     return parse_request(body, default_k)
+
+
+# ---------------------------------------------------------------------------
+# aggregations in the request body (round 5): parse + one-call runner
+
+
+_DSL_AGG_KINDS = {
+    "terms", "stats", "avg", "min", "max", "sum", "value_count",
+    "cardinality", "percentiles", "histogram",
+}
+
+_AGG_POINTERS = {
+    "date_histogram": "sparkfts.aggs.date_histogram",
+    "significant_terms": "sparkfts.aggs.significant_terms",
+    "composite": "sparkfts.aggs.composite_agg",
+    "top_hits": "sparkfts.docvalues.terms_top_hits",
+    "filters": "sparkfts.aggs.filters_agg",
+    "range": "sparkfts.aggs.range_agg",
+    "missing": "sparkfts.aggs.missing_agg",
+}
+
+
+def parse_aggs(spec, ctx: str = "aggs") -> list[tuple[str, str, dict]]:
+    """``body["aggs"]`` -> [(name, kind, options)] (fail-loud subset).
+
+    Supported kinds (all over a docvalue field of the provided
+    ``doc_values`` frame): ``terms`` (size, min_doc_count — pinned
+    GLOBAL exact top-size, the sparkfts.aggs.terms_facet contract),
+    ``stats`` / ``avg`` / ``min`` / ``max`` / ``sum`` /
+    ``value_count``, ``cardinality`` (EXACT pin, the cardinality_agg
+    contract), ``percentiles`` (exact percentile_cont), ``histogram``
+    (fixed interval, min_doc_count>=1 buckets only). Sub-``aggs``
+    nesting and the kinds with dedicated surfaces fail loud with
+    pointers."""
+    if not isinstance(spec, dict) or not spec:
+        raise EsDslError(f"{ctx}: aggs must be a non-empty object")
+    out: list[tuple[str, str, dict]] = []
+    for name, obj in spec.items():
+        actx = f"{ctx}.{name}"
+        if not isinstance(name, str) or not name:
+            raise EsDslError(f"{ctx}: agg names must be strings")
+        if not isinstance(obj, dict):
+            raise EsDslError(f"{actx}: must be an object")
+        if "aggs" in obj or "aggregations" in obj:
+            raise EsDslError(
+                f"{actx}: sub-aggregations are outside this runner — "
+                "use sparkfts.aggs.terms_stats_nested / the dedicated "
+                "agg surfaces"
+            )
+        kind, opts = _one_key(obj, actx)
+        if kind in _AGG_POINTERS:
+            raise EsDslError(
+                f"{actx}: use the dedicated surface: {_AGG_POINTERS[kind]}"
+            )
+        if kind not in _DSL_AGG_KINDS:
+            raise EsDslError(f"{actx}: unsupported agg type {kind!r}")
+        if not isinstance(opts, dict) or "field" not in opts:
+            raise EsDslError(f"{actx}: {kind} needs a field")
+        _ident(str(opts["field"]), actx)
+        allowed = {"field"}
+        if kind == "terms":
+            allowed |= {"size", "min_doc_count"}
+        elif kind == "percentiles":
+            allowed |= {"percents"}
+        elif kind == "histogram":
+            allowed |= {"interval"}
+        _check_keys(opts, allowed, actx)
+        if kind == "terms":
+            if int(opts.get("size", 10)) < 1:
+                raise EsDslError(f"{actx}: size must be >= 1")
+        if kind == "histogram":
+            if float(opts.get("interval", 0)) <= 0:
+                raise EsDslError(f"{actx}: interval must be > 0")
+        out.append((name, kind, dict(opts)))
+    return out
+
+
+def run_request(
+    spark,
+    index_dir: str,
+    body: dict,
+    doc_values=None,
+    default_k: int = 10,
+):
+    """Execute a full ES search body (``query`` + ``size`` + ``aggs``)
+    -> ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
+
+    The ES contract pinned: aggregations run over the COMPLETE match
+    set (never just the hits page), computed once via
+    :func:`sparkfts.booltree.bool_matches_batch` (filter_expr and
+    tombstones included) and joined to the caller's ``doc_values``
+    frame (doc_id + the agg fields). A match-all query aggregates over
+    ``doc_values`` as provided. Each agg lowers to plain grouped /
+    scalar Catalyst aggregation on that scope — partial-agg shuffles
+    only."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_matches_batch, bool_topk_batch
+
+    if not isinstance(body, dict):
+        raise EsDslError("request body must be a JSON object")
+    agg_spec = body.get("aggs") or body.get("aggregations")
+    q_body = {
+        k: v for k, v in body.items() if k not in ("aggs", "aggregations")
+    }
+    req = parse_request(q_body, default_k)
+    if req.is_match_all:
+        from sparkfts.index import load_docmap
+        from sparkfts.querybuilder import match_all_topk
+
+        hits = match_all_topk(load_docmap(spark, index_dir), k=req.k)
+    else:
+        hits = bool_topk_batch(spark, index_dir, [req]).drop("request_id")
+    out = {"hits": hits, "aggregations": {}}
+    if agg_spec is None:
+        return out
+    aggs = parse_aggs(agg_spec)
+    if doc_values is None:
+        raise EsDslError(
+            "aggs need a doc_values frame (doc_id + the agg fields)"
+        )
+    missing = {
+        str(o["field"]) for _n, _k, o in aggs
+    } - set(doc_values.columns)
+    if missing:
+        raise EsDslError(f"aggs fields not in doc_values: {sorted(missing)}")
+    if req.is_match_all:
+        scope = doc_values
+    else:
+        match = (
+            bool_matches_batch(spark, index_dir, [req]).select("doc_id")
+        )
+        scope = doc_values.join(match, "doc_id")
+    for name, kind, opts in aggs:
+        fld = str(opts["field"])
+        c = F.col(fld)
+        if kind == "terms":
+            size = int(opts.get("size", 10))
+            mdc = int(opts.get("min_doc_count", 1))
+            frame = (
+                scope.where(c.isNotNull())
+                .groupBy(c.alias("key"))
+                .agg(F.count("*").alias("doc_count"))
+                .where(F.col("doc_count") >= mdc)
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(size)
+            )
+        elif kind == "stats":
+            frame = scope.agg(
+                F.count(c).alias("count"),
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.sum(c.cast("double")).alias("sum"),
+                F.avg(c.cast("double")).alias("avg"),
+            )
+        elif kind in ("avg", "min", "max", "sum"):
+            fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}[
+                kind
+            ]
+            col = c.cast("double") if kind in ("avg", "sum") else c
+            frame = scope.agg(fn(col).alias("value"))
+        elif kind == "value_count":
+            frame = scope.agg(F.count(c).alias("value"))
+        elif kind == "cardinality":
+            frame = scope.agg(F.countDistinct(c).alias("value"))
+        elif kind == "percentiles":
+            pcts = [
+                float(p) for p in opts.get("percents", [25, 50, 75, 95])
+            ]
+            vals = scope.agg(
+                F.percentile(
+                    c.cast("double"),
+                    F.array(*[F.lit(p / 100.0) for p in pcts]),
+                ).alias("vals")
+            )
+            pct_arr = F.array(*[F.lit(p) for p in pcts])
+            frame = vals.select(
+                F.explode(
+                    F.arrays_zip(
+                        pct_arr.alias("pct"), F.col("vals").alias("value")
+                    )
+                ).alias("z")
+            ).select(
+                F.col("z.pct").alias("pct"), F.col("z.value").alias("value")
+            )
+        else:  # histogram
+            interval = float(opts["interval"])
+            frame = (
+                scope.where(c.isNotNull())
+                .groupBy(
+                    (
+                        F.floor(c.cast("double") / interval) * interval
+                    ).alias("bucket")
+                )
+                .agg(F.count("*").alias("doc_count"))
+                .orderBy("bucket")
+            )
+        out["aggregations"][name] = frame
+    return out

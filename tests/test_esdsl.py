@@ -432,3 +432,159 @@ def test_termlevel_leaves_compose_in_bool(spark, dsl_index):
     }
     assert got == (wild & fz)
     assert got
+
+
+def test_run_request_aggs(spark, corpus, dsl_index, pages_df):
+    """query + aggs in ONE request body: aggs run over the COMPLETE
+    match set (not the hits page); each agg == its SQL mirror."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_matches_batch
+    from sparkfts.esdsl import run_request
+    from sparkfts.tokens import prepare_pages
+
+    prepared = prepare_pages(pages_df)
+    dv = prepared.select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    body = {
+        "size": 3,
+        "query": {"match": {"text": {"query": "the", "operator": "and",
+                                     "fuzziness": 0}}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 3}},
+            "chars": {"stats": {"field": "n_chars"}},
+            "n_langs": {"cardinality": {"field": "lang"}},
+            "hist": {"histogram": {"field": "n_chars",
+                                   "interval": 2000}},
+            "p50": {"percentiles": {"field": "n_chars",
+                                    "percents": [50]}},
+        },
+    }
+    out = run_request(spark, dsl_index, body, doc_values=dv)
+    hits = out["hits"].collect()
+    assert len(hits) == 3  # the page is bounded by size...
+
+    req_body = {k: v for k, v in body.items() if k != "aggs"}
+    from sparkfts.esdsl import parse_request
+
+    match = {
+        r["doc_id"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [parse_request(req_body)]
+        ).collect()
+    }
+    assert len(match) > 3  # ...but aggs see the full match set
+    dv_rows = {
+        r["doc_id"]: (r["lang"], r["n_chars"]) for r in dv.collect()
+    }
+    langs = [dv_rows[d][0] for d in match]
+    chars = [dv_rows[d][1] for d in match]
+
+    terms = [
+        (r["key"], r["doc_count"])
+        for r in out["aggregations"]["by_lang"].collect()
+    ]
+    from collections import Counter
+
+    want = sorted(
+        Counter(langs).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    assert terms == want
+
+    st = out["aggregations"]["chars"].collect()[0]
+    assert st["count"] == len(chars)
+    assert st["min"] == min(chars) and st["max"] == max(chars)
+    assert st["sum"] == float(sum(chars))
+
+    assert out["aggregations"]["n_langs"].collect()[0]["value"] == len(
+        set(langs)
+    )
+    hist = {
+        r["bucket"]: r["doc_count"]
+        for r in out["aggregations"]["hist"].collect()
+    }
+    want_h = Counter((c // 2000) * 2000 for c in chars)
+    assert hist == {float(k): v for k, v in want_h.items()}
+
+    import numpy as np
+
+    p50 = out["aggregations"]["p50"].collect()[0]
+    assert p50["value"] == pytest.approx(
+        float(np.percentile(sorted(chars), 50)), abs=1e-9
+    )
+
+
+def test_run_request_match_all_and_guards(spark, corpus, dsl_index,
+                                          pages_df):
+    from pyspark.sql import functions as F
+
+    from sparkfts.esdsl import run_request
+    from sparkfts.tokens import prepare_pages
+
+    dv = prepare_pages(pages_df).select("doc_id", "lang")
+    out = run_request(
+        spark, dsl_index,
+        {"query": {"match_all": {}}, "size": 5,
+         "aggs": {"l": {"value_count": {"field": "lang"}}}},
+        doc_values=dv,
+    )
+    assert len(out["hits"].collect()) == 5
+    assert out["aggregations"]["l"].collect()[0]["value"] == dv.count()
+    # guards
+    with pytest.raises(EsDslError, match="doc_values"):
+        run_request(spark, dsl_index,
+                    {"query": {"match_all": {}},
+                     "aggs": {"x": {"avg": {"field": "lang"}}}})
+    with pytest.raises(EsDslError, match="not in doc_values"):
+        run_request(spark, dsl_index,
+                    {"query": {"match_all": {}},
+                     "aggs": {"x": {"avg": {"field": "nope"}}}},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="sub-aggregations"):
+        run_request(spark, dsl_index,
+                    {"query": {"match_all": {}},
+                     "aggs": {"x": {"terms": {"field": "lang"},
+                                    "aggs": {"y": {"avg":
+                                                   {"field": "z"}}}}}},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="dedicated surface"):
+        run_request(spark, dsl_index,
+                    {"query": {"match_all": {}},
+                     "aggs": {"x": {"date_histogram": {"field": "lang"}}}},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="unsupported agg type"):
+        run_request(spark, dsl_index,
+                    {"query": {"match_all": {}},
+                     "aggs": {"x": {"frobnicate": {"field": "lang"}}}},
+                    doc_values=dv)
+
+
+def test_cli_search_dsl_aggs(spark, dsl_index, capsys):
+    """CLI: an aggs-bearing body routes through run_request over the
+    index's docvalue columns (lang rides the docmap)."""
+    from sparkfts.cli import main
+
+    body = json.dumps({
+        "size": 3,
+        "query": {"match": {"text": {"query": "the", "operator": "and",
+                                     "fuzziness": 0}}},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3}}},
+    })
+    main(["search-dsl", "--index", dsl_index, "--body", body,
+          "--cores", "4"])
+    lines = [
+        json.loads(x)
+        for x in capsys.readouterr().out.strip().splitlines() if x
+    ]
+    hits = [x for x in lines if "rank" in x]
+    aggs = [x for x in lines if x.get("agg") == "by_lang"]
+    assert len(hits) == 3 and len(aggs) == 1
+    assert aggs[0]["buckets"] and all(
+        "key" in b and "doc_count" in b for b in aggs[0]["buckets"]
+    )
+    with pytest.raises(SystemExit, match="search-dsl"):
+        main(["search-dsl", "--index", dsl_index, "--body",
+              '{"query": {"match_all": {}}, '
+              '"aggs": {"x": {"avg": {"field": "nope"}}}}',
+              "--cores", "4"])
