@@ -29,7 +29,10 @@ them:
   executor)
 - filter context (root ``bool.filter``): ``term``, ``terms``,
   ``range`` (gt/gte/lt/lte), ``exists``, nested ``bool.filter``
-- body keys: ``query``, ``size``
+- body keys: ``query``, ``size`` (:func:`parse_request`); the one-call
+  runner :func:`run_request` adds ``from``, ``sort`` (one doc-value
+  key), ``_source``, ``track_total_hits`` and ``aggs`` (10 agg kinds
+  over doc-value fields, computed on the COMPLETE match set)
 
 Anything else raises :class:`EsDslError` naming the unsupported key —
 the repo-wide fail-loud contract: an unsupported ES feature must never
@@ -558,6 +561,34 @@ def parse_aggs(spec, ctx: str = "aggs") -> list[tuple[str, str, dict]]:
     return out
 
 
+def _parse_sort(spec, ctx: str = "sort") -> tuple[str, bool]:
+    """``body["sort"]`` (one key, + the pinned doc_id tiebreak) ->
+    ``(field, ascending)``. ES list-of-one shapes accepted:
+    ``[{"f": {"order": "desc"}}]`` / ``[{"f": "desc"}]`` / ``["f"]`` /
+    ``"f"``. Multi-key sorts are outside the subset (fail loud)."""
+    if isinstance(spec, list):
+        if len(spec) != 1:
+            raise EsDslError(
+                f"{ctx}: exactly ONE sort key in the pinned subset "
+                "(doc_id is always the tiebreak)"
+            )
+        spec = spec[0]
+    if isinstance(spec, str):
+        return _ident(spec, ctx), True
+    field, opts = _one_key(spec, ctx)
+    field = _ident(field, ctx)
+    if isinstance(opts, str):
+        order = opts
+    elif isinstance(opts, dict):
+        _check_keys(opts, {"order"}, ctx)
+        order = opts.get("order", "asc")
+    else:
+        raise EsDslError(f"{ctx}: bad sort spec for {field!r}")
+    if order not in ("asc", "desc"):
+        raise EsDslError(f"{ctx}: order must be asc/desc, got {order!r}")
+    return field, order == "asc"
+
+
 def run_request(
     spark,
     index_dir: str,
@@ -565,55 +596,152 @@ def run_request(
     doc_values=None,
     default_k: int = 10,
 ):
-    """Execute a full ES search body (``query`` + ``size`` + ``aggs``)
-    -> ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
+    """Execute a full ES search body -> ``{"hits": DataFrame,
+    "aggregations": {name: DataFrame}, "total": int | None}``.
 
-    The ES contract pinned: aggregations run over the COMPLETE match
-    set (never just the hits page), computed once via
+    Body keys (the pinned one-call subset): ``query``, ``size``,
+    ``from`` (page offset — cost O(from+size), the ES shallow-paging
+    model), ``sort`` (ONE doc-value key + the pinned doc_id tiebreak;
+    replaces relevance ranking, ES semantics), ``_source`` (doc-value
+    columns joined into the hits page), ``track_total_hits`` (true ->
+    exact match-set count in ``"total"``), ``aggs``.
+
+    The ES contract pinned: aggregations (and the total) run over the
+    COMPLETE match set (never just the hits page), computed once via
     :func:`sparkfts.booltree.bool_matches_batch` (filter_expr and
     tombstones included) and joined to the caller's ``doc_values``
-    frame (doc_id + the agg fields). A match-all query aggregates over
-    ``doc_values`` as provided. Each agg lowers to plain grouped /
-    scalar Catalyst aggregation on that scope — partial-agg shuffles
-    only."""
-    from pyspark.sql import functions as F
+    frame (doc_id + the agg/sort/_source fields). A match-all query
+    aggregates over ``doc_values`` as provided. Each agg lowers to
+    plain grouped / scalar Catalyst aggregation on that scope —
+    partial-agg shuffles only; the sorted page is a TakeOrdered over
+    the scope (never a full sort)."""
+    from pyspark.sql import Window, functions as F
 
     from sparkfts.booltree import bool_matches_batch, bool_topk_batch
 
     if not isinstance(body, dict):
         raise EsDslError("request body must be a JSON object")
     agg_spec = body.get("aggs") or body.get("aggregations")
+    sort_spec = body.get("sort")
+    source_spec = body.get("_source")
+    track_total = bool(body.get("track_total_hits", False))
+    offset = int(body.get("from", 0))
+    if offset < 0:
+        raise EsDslError("from must be >= 0")
     q_body = {
-        k: v for k, v in body.items() if k not in ("aggs", "aggregations")
+        k: v
+        for k, v in body.items()
+        if k in ("query", "size")
     }
+    extras = set(body) - {
+        "query", "size", "aggs", "aggregations", "sort", "_source",
+        "track_total_hits", "from",
+    }
+    if extras:
+        raise EsDslError(f"body: unsupported options {sorted(extras)}")
     req = parse_request(q_body, default_k)
-    if req.is_match_all:
+
+    needs_dv = (
+        agg_spec is not None or sort_spec is not None
+        or source_spec is not None
+    )
+    if needs_dv and doc_values is None:
+        raise EsDslError(
+            "aggs/sort/_source need a doc_values frame (doc_id + fields)"
+        )
+    dv_fields: set = set()
+    aggs = parse_aggs(agg_spec) if agg_spec is not None else []
+    dv_fields |= {str(o["field"]) for _n, _k, o in aggs}
+    sort_key = _parse_sort(sort_spec) if sort_spec is not None else None
+    if sort_key:
+        dv_fields.add(sort_key[0])
+    source_cols: list[str] = []
+    if source_spec is not None:
+        source_cols = (
+            [source_spec] if isinstance(source_spec, str)
+            else [str(c) for c in source_spec]
+        )
+        dv_fields |= set(source_cols)
+    if doc_values is not None:
+        missing = dv_fields - set(doc_values.columns)
+        if missing:
+            raise EsDslError(
+                f"fields not in doc_values: {sorted(missing)}"
+            )
+
+    # the complete match set (computed once; aggs, sort, total share it)
+    scope = None
+    match = None
+    if not req.is_match_all:
+        match = (
+            bool_matches_batch(spark, index_dir, [req])
+            .select("doc_id", "score")
+        )
+    if doc_values is not None:
+        scope = (
+            doc_values if req.is_match_all
+            else doc_values.join(match.select("doc_id"), "doc_id")
+        )
+
+    page = int(req.k) + offset
+    if sort_key is not None:
+        field, asc = sort_key
+        c = F.col(field)
+        ordered = scope.orderBy(
+            c.asc() if asc else c.desc(), F.col("doc_id").asc()
+        ).limit(page)
+        w = Window.orderBy(
+            c.asc() if asc else c.desc(), F.col("doc_id").asc()
+        )
+        hits = (
+            ordered.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") > offset)
+            .select(
+                (F.col("rank") - offset).cast("int").alias("rank"),
+                "doc_id",
+                c.alias("sort_value"),
+            )
+        )
+    elif req.is_match_all:
         from sparkfts.index import load_docmap
         from sparkfts.querybuilder import match_all_topk
 
-        hits = match_all_topk(load_docmap(spark, index_dir), k=req.k)
+        hits = (
+            match_all_topk(load_docmap(spark, index_dir), k=page)
+            .where(F.col("rank") > offset)
+            .select(
+                (F.col("rank") - offset).cast("int").alias("rank"),
+                "doc_id", "score",
+            )
+        )
     else:
-        hits = bool_topk_batch(spark, index_dir, [req]).drop("request_id")
-    out = {"hits": hits, "aggregations": {}}
-    if agg_spec is None:
+        import dataclasses
+
+        paged = dataclasses.replace(req, k=page)
+        hits = (
+            bool_topk_batch(spark, index_dir, [paged])
+            .drop("request_id")
+            .where(F.col("rank") > offset)
+            .select(
+                (F.col("rank") - offset).cast("int").alias("rank"),
+                "doc_id", "score",
+            )
+        )
+    if source_cols:
+        hits = hits.join(
+            doc_values.select("doc_id", *source_cols), "doc_id", "left"
+        ).orderBy("rank")
+
+    out = {"hits": hits, "aggregations": {}, "total": None}
+    if track_total:
+        if req.is_match_all:
+            from sparkfts.index import load_docmap
+
+            out["total"] = load_docmap(spark, index_dir).count()
+        else:
+            out["total"] = match.count()
+    if not aggs:
         return out
-    aggs = parse_aggs(agg_spec)
-    if doc_values is None:
-        raise EsDslError(
-            "aggs need a doc_values frame (doc_id + the agg fields)"
-        )
-    missing = {
-        str(o["field"]) for _n, _k, o in aggs
-    } - set(doc_values.columns)
-    if missing:
-        raise EsDslError(f"aggs fields not in doc_values: {sorted(missing)}")
-    if req.is_match_all:
-        scope = doc_values
-    else:
-        match = (
-            bool_matches_batch(spark, index_dir, [req]).select("doc_id")
-        )
-        scope = doc_values.join(match, "doc_id")
     for name, kind, opts in aggs:
         fld = str(opts["field"])
         c = F.col(fld)

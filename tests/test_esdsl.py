@@ -588,3 +588,85 @@ def test_cli_search_dsl_aggs(spark, dsl_index, capsys):
               '{"query": {"match_all": {}}, '
               '"aggs": {"x": {"avg": {"field": "nope"}}}}',
               "--cores", "4"])
+
+
+def test_run_request_sort_from_source_total(spark, dsl_index, pages_df):
+    """sort / from / _source / track_total_hits in the one-call body."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_matches_batch
+    from sparkfts.esdsl import run_request
+    from sparkfts.tokens import prepare_pages
+
+    dv = prepare_pages(pages_df).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    qpart = {"query": {"match": {"text": {"query": "the",
+                                          "operator": "and",
+                                          "fuzziness": 0}}}}
+    match = {
+        r["doc_id"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [parse_request(qpart)]
+        ).collect()
+    }
+    dv_rows = {r["doc_id"]: r["n_chars"] for r in dv.collect()}
+
+    # sorted page replaces relevance ranking (ES), doc_id tiebreak
+    out = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 5, "sort": [{"n_chars": {"order": "desc"}}],
+         "track_total_hits": True},
+        doc_values=dv,
+    )
+    got = [(r["rank"], r["doc_id"], r["sort_value"])
+           for r in out["hits"].collect()]
+    want = sorted(match, key=lambda d: (-dv_rows[d], d))[:5]
+    assert got == [(i + 1, d, dv_rows[d]) for i, d in enumerate(want)]
+    assert out["total"] == len(match)
+
+    # from: page 2 of the sorted order
+    out2 = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 5, "from": 5,
+         "sort": [{"n_chars": {"order": "desc"}}]},
+        doc_values=dv,
+    )
+    want2 = sorted(match, key=lambda d: (-dv_rows[d], d))[5:10]
+    assert [(r["rank"], r["doc_id"]) for r in out2["hits"].collect()] \
+        == [(i + 1, d) for i, d in enumerate(want2)]
+
+    # from on the RELEVANCE path: page 2 == ranks 4..6 of the full page
+    full = run_request(spark, dsl_index, {**qpart, "size": 6},
+                       doc_values=dv)["hits"].collect()
+    paged = run_request(spark, dsl_index,
+                        {**qpart, "size": 3, "from": 3},
+                        doc_values=dv)["hits"].collect()
+    assert [(r["doc_id"], r["score"]) for r in paged] == [
+        (r["doc_id"], r["score"]) for r in full[3:6]
+    ]
+
+    # _source joins doc-value columns into the page
+    out3 = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 4, "_source": ["lang", "n_chars"]},
+        doc_values=dv,
+    )
+    rows = out3["hits"].collect()
+    assert {"lang", "n_chars"} <= set(rows[0].asDict())
+    assert all(r["n_chars"] == dv_rows[r["doc_id"]] for r in rows)
+
+    # guards
+    with pytest.raises(EsDslError, match="ONE sort key"):
+        run_request(spark, dsl_index,
+                    {**qpart, "sort": [{"a": "asc"}, {"b": "desc"}]},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="asc/desc"):
+        run_request(spark, dsl_index,
+                    {**qpart, "sort": [{"n_chars": "down"}]},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="unsupported options"):
+        run_request(spark, dsl_index, {**qpart, "min_score": 2},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="doc_values"):
+        run_request(spark, dsl_index, {**qpart, "sort": ["n_chars"]})
