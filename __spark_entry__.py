@@ -560,6 +560,29 @@ def q_fts_simple_qs(spark, sf_dir):
     return res.select("doc_id", _score_e4_col())
 
 
+def q_fts_nested_filter(spark, sf_dir):
+    """ES bool.filter at a NESTED level (round 5 docset nodes): must=
+    [spark] + should=[bool{must:[stream], filter:[lang='en']}] — every
+    spark doc matches; the stream bonus fires only for docs whose lang
+    docvalue is 'en' (the filter constrains ITS node, zero score —
+    sparkfts/booltree.py eval 'docset')."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Bool, Clause, SearchRequest
+
+    idx = _index_dir_for(spark, sf_dir)
+    tree = Bool(
+        must=(Clause(query="spark", fuzziness="0"),),
+        should=(Bool(
+            must=(Clause(query="stream", fuzziness="0"),),
+            filter=("lang = 'en'",),
+        ),),
+    )
+    res = bool_topk_batch(
+        spark, idx, [SearchRequest(clauses=(tree,), k=10)]
+    )
+    return res.select("doc_id", _score_e4_col())
+
+
 def q_fts_bool_msm(spark, sf_dir):
     """ES bool.minimum_should_match INSIDE the bool grammar (round 5):
     must=[spark], should=[stream, query, vector], msm=2 — with msm set,
@@ -4007,6 +4030,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_simple_qs": q_fts_simple_qs,
         "fts_qs_boost": q_fts_qs_boost,
         "fts_bool_msm": q_fts_bool_msm,
+        "fts_nested_filter": q_fts_nested_filter,
         "fts_bm25f_topk": q_fts_bm25f_topk,
         "fts_or_wand_topk": q_fts_or_wand_topk,
         "fts_min_should_match": q_fts_min_should_match,
@@ -4598,6 +4622,44 @@ folded AS (
                        WHERE tok = 'vector'))
 SELECT doc_id, {_SCORE_E4} AS score_e4
 FROM folded ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # nested filter: every spark doc; stream bonus only when lang='en'
+    sqls["fts_nested_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'stream') GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pt AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+           * 2.2 AS ts
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT p.doc_id,
+         max(CASE WHEN term = 'spark' THEN ts END) AS s_must,
+         COALESCE(max(CASE WHEN term = 'stream'
+                           AND d.lang = 'en' THEN ts END), 0) AS s_bonus
+  FROM pt p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       CAST(floor((s_must + s_bonus) * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM agg WHERE s_must IS NOT NULL
+ORDER BY s_must + s_bonus DESC, doc_id LIMIT 10
 """
 
     # bool msm: spark AND (>=2 of stream/query/vector); score = s_spark

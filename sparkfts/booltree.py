@@ -160,10 +160,18 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
         return _termlevel((t + tag,), obj.fields,
                           getattr(obj, "boost", 1.0))
     if isinstance(obj, Bool):
+        # nested bool.filter predicates become zero-scoring "docset"
+        # must members: same match-constraint, no score (ES filter
+        # context); the allowed doc sets ride the cogrouped frame
+        # keyed by predicate id (resolved in bool_local)
+        must_nodes = tuple(
+            _to_node(c, stopwords, multifield, stemmer) for c in obj.must
+        ) + tuple(
+            ("docset", str(p)) for p in getattr(obj, "filter", ())
+        )
         spec = (
             "bool",
-            tuple(_to_node(c, stopwords, multifield, stemmer)
-                  for c in obj.must),
+            must_nodes,
             tuple(_to_node(c, stopwords, multifield, stemmer)
                   for c in obj.should),
             tuple(_to_node(c, stopwords, multifield, stemmer)
@@ -192,6 +200,8 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
 
 def _walk_keys(node, keys: set, mn_terms: set) -> None:
     """Collect ``(field_or_None, group_key)`` pairs + must_not terms."""
+    if node[0] == "docset":
+        return
     if node[0] == "boost":
         _walk_keys(node[1], keys, mn_terms)
         return
@@ -212,6 +222,21 @@ def _walk_keys(node, keys: set, mn_terms: set) -> None:
         for part in node[1:4]:
             for child in part:
                 _walk_keys(child, keys, mn_terms)
+
+
+def _walk_preds(node, preds: set) -> None:
+    """Collect nested-filter predicate strings ("docset" nodes)."""
+    if node[0] == "docset":
+        preds.add(node[1])
+    elif node[0] == "boost":
+        _walk_preds(node[1], preds)
+    elif node[0] == "dismax":
+        for child in node[1]:
+            _walk_preds(child, preds)
+    elif node[0] == "bool":
+        for part in node[1:4]:
+            for child in part:
+                _walk_preds(child, preds)
 
 
 def _make_bool_scorer(
@@ -255,11 +280,23 @@ def _make_bool_scorer(
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
         includes: dict[int, np.ndarray] = {}
-        if filtered and pdf_allowed is not None and len(pdf_allowed):
-            for rid, grp in pdf_allowed.groupby("request_id"):
-                includes[int(rid)] = np.sort(
-                    grp["doc_id"].to_numpy(np.int64)
-                )
+        pred_includes: dict[int, np.ndarray] = {}
+        if pdf_allowed is not None and len(pdf_allowed):
+            if "pid" in pdf_allowed.columns:
+                root_rows = pdf_allowed[pdf_allowed["pid"] < 0]
+                pred_rows = pdf_allowed[pdf_allowed["pid"] >= 0]
+            else:  # pragma: no cover - legacy two-column frame
+                root_rows, pred_rows = pdf_allowed, None
+            if filtered and len(root_rows):
+                for rid, grp in root_rows.groupby("request_id"):
+                    includes[int(rid)] = np.sort(
+                        grp["doc_id"].to_numpy(np.int64)
+                    )
+            if pred_rows is not None and len(pred_rows):
+                for pid, grp in pred_rows.groupby("pid"):
+                    pred_includes[int(pid)] = np.sort(
+                        grp["doc_id"].to_numpy(np.int64)
+                    )
         if len(pdf_postings):
             # field -> (rows_by_term, postings_of); single-field = {None: ..}
             if multifield:
@@ -331,6 +368,13 @@ def _make_bool_scorer(
 
             def eval_node(node):
                 kind = node[0]
+                if kind == "docset":
+                    # nested bool.filter: this shard's allowed docs for
+                    # the predicate, zero score (ES filter context)
+                    ids = pred_includes.get(node[1])
+                    if ids is None:
+                        return _empty
+                    return ids, np.zeros(ids.size, np.float64)
                 if kind == "boost":
                     # ES/Lucene BoostQuery: one multiply after the
                     # inner node's own fold (float64)
@@ -646,6 +690,41 @@ def bool_local(
             filter_map[rid] = req.filter_expr
     if not request_specs:
         return None
+
+    # nested bool.filter predicates ("docset" nodes) -> predicate ids;
+    # each distinct predicate's allowed doc set rides the cogrouped
+    # frame ONCE no matter how many requests/nodes reference it
+    preds: set = set()
+    for _rid, root, _k in request_specs:
+        _walk_preds(root, preds)
+    pred_id = {p: i for i, p in enumerate(sorted(preds))}
+    if pred_id:
+        def _assign_pids(node):
+            kind = node[0]
+            if kind == "docset":
+                return ("docset", pred_id[node[1]])
+            if kind == "boost":
+                return ("boost", _assign_pids(node[1]), node[2])
+            if kind == "dismax":
+                return (
+                    "dismax",
+                    tuple(_assign_pids(c) for c in node[1]),
+                    node[2],
+                )
+            if kind == "bool":
+                return (
+                    ("bool",)
+                    + tuple(
+                        tuple(_assign_pids(c) for c in part)
+                        for part in node[1:4]
+                    )
+                    + tuple(node[4:])
+                )
+            return node
+
+        request_specs = [
+            (rid, _assign_pids(root), k) for rid, root, k in request_specs
+        ]
     if multifield:
         unknown = {
             f for f, _k in field_keys if f is not None and f not in mf["fields"]
@@ -741,16 +820,27 @@ def bool_local(
     )
     scorer.filter_rids.update(filter_map)
     result_schema = "request_id int, doc_id long, score double"
-    if filter_map:
+    if filter_map or pred_id:
         docmap = load_docmap(
             spark, field_dir(index_dir, mf["fields"][0]) if multifield
             else index_dir
         )
         allowed_parts = [
             docmap.where(F.expr(expr)).select(
-                "shard", F.lit(rid).cast("int").alias("request_id"), "doc_id"
+                "shard",
+                F.lit(rid).cast("int").alias("request_id"),
+                F.lit(-1).cast("int").alias("pid"),
+                "doc_id",
             )
             for rid, expr in filter_map.items()
+        ] + [
+            docmap.where(F.expr(p)).select(
+                "shard",
+                F.lit(-1).cast("int").alias("request_id"),
+                F.lit(pid).cast("int").alias("pid"),
+                "doc_id",
+            )
+            for p, pid in pred_id.items()
         ]
         allowed = allowed_parts[0]
         for p in allowed_parts[1:]:

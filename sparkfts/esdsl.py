@@ -426,10 +426,14 @@ def _parse_bool(
             f"{ctx}: minimum_should_match must be an int or the ES "
             f"value-grammar string, got {type(msm).__name__}"
         )
+    nested_filters: tuple = ()
     if spec.get("filter") and not allow_filter:
-        raise EsDslError(
-            f"{ctx}: filter is supported on the ROOT bool only "
-            "(it lowers to SearchRequest.filter_expr)"
+        # NESTED bool.filter (round 5): each predicate lowers to a
+        # zero-scoring docset constraint on this node (Bool.filter ->
+        # booltree "docset" nodes); the ROOT filter keeps the
+        # SearchRequest.filter_expr include-mask fast path
+        nested_filters = tuple(
+            filter_sql(f) for f in _as_list(spec["filter"])
         )
     node = Bool(
         must=tuple(parse_query(q) for q in _as_list(spec.get("must", []))),
@@ -441,14 +445,15 @@ def _parse_bool(
         ),
         boost=_boost_val(spec, ctx),
         minimum_should_match=msm,
+        filter=nested_filters,
     )
-    if not node.must and not node.should:
+    if not node.must and not node.should and not nested_filters:
         raise EsDslError(
             f"{ctx}: bool needs at least one scoring clause "
             "(must or should)"
         )
     filt = None
-    if spec.get("filter"):
+    if allow_filter and spec.get("filter"):
         parts = [filter_sql(f) for f in _as_list(spec["filter"])]
         filt = " AND ".join(parts)
     return node, filt

@@ -95,6 +95,12 @@ class Bool:
     # len(should) is unsatisfiable (Lucene BooleanQuery), and the
     # option is ignored when there are no should clauses (ES behavior).
     minimum_should_match: int | str | None = None
+    # ES bool.filter at ANY nesting level (round 5): SQL predicates
+    # over docmap doc-value columns; each constrains THIS node's match
+    # set with zero scoring contribution (a zero-scoring must member in
+    # the kernel — booltree "docset" nodes). The ROOT query filter
+    # stays SearchRequest.filter_expr (the include-mask fast path).
+    filter: tuple = field(default_factory=tuple)
 
 
 @dataclass(frozen=True)

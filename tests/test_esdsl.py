@@ -148,11 +148,13 @@ def test_fail_loud():
         parse_request({"query": {"bool": {
             "should": [{"match": {"text": "x"}}],
             "minimum_should_match": 1.5}}})
-    with pytest.raises(EsDslError, match="ROOT bool only"):
-        parse_query({"bool": {"must": [
-            {"bool": {"must": [{"match": {"text": "x"}}],
-                      "filter": [{"term": {"lang": "en"}}]}},
-        ]}})
+    # nested bool.filter is SUPPORTED since round 5 (docset nodes) —
+    # it lowers into Bool.filter predicates
+    n = parse_query({"bool": {"must": [
+        {"bool": {"must": [{"match": {"text": "x"}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+    ]}})
+    assert n.must[0].filter == ("lang = 'en'",)
     with pytest.raises(EsDslError, match="scoring clause"):
         parse_request({"query": {"bool": {
             "must_not": [{"match": {"text": "x"}}]}}})
@@ -670,3 +672,105 @@ def test_run_request_sort_from_source_total(spark, dsl_index, pages_df):
                     doc_values=dv)
     with pytest.raises(EsDslError, match="doc_values"):
         run_request(spark, dsl_index, {**qpart, "sort": ["n_chars"]})
+
+
+def test_nested_bool_filter_kernel(spark, dsl_index, pages_df):
+    """Nested bool.filter (round 5): zero-scoring docset constraint on
+    ITS node only — mirror from single-leaf frames + lang docvalues.
+    Query: must=[the] should=[bool{must:[word-ish term], filter:[lang]}]
+    — every 'the' doc matches; the bonus arm only fires for docs in the
+    filtered lang."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_matches_batch
+    from sparkfts.querybuilder import Bool, Clause, SearchRequest
+    from sparkfts.tokens import prepare_pages
+
+    prepared = prepare_pages(pages_df).select("doc_id", "lang").collect()
+    lang_of = {r["doc_id"]: r["lang"] for r in prepared}
+    from collections import Counter
+
+    top_lang = Counter(lang_of.values()).most_common(1)[0][0]
+
+    def leaf(t):
+        return {
+            r["doc_id"]: r["score"]
+            for r in bool_matches_batch(
+                spark, dsl_index,
+                [SearchRequest(
+                    clauses=(Clause(query=t, fuzziness="0"),), k=1
+                )],
+            ).collect()
+        }
+
+    a, b = "the", "of"
+    la, lb = leaf(a), leaf(b)
+    tree = Bool(
+        must=(Clause(query=a, fuzziness="0"),),
+        should=(Bool(
+            must=(Clause(query=b, fuzziness="0"),),
+            filter=(f"lang = '{top_lang}'",),
+        ),),
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [SearchRequest(clauses=(tree,), k=1)]
+        ).collect()
+    }
+    want = {}
+    for d, sa in la.items():
+        bonus = (
+            lb[d] if d in lb and lang_of[d] == top_lang else 0.0
+        )
+        want[d] = sa + bonus
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # the filter actually bit: some doc matched b but in another lang
+    assert any(
+        d in lb and lang_of[d] != top_lang for d in la
+    ), "fixture too uniform"
+
+    # filter in MUST position constrains the whole node
+    tree2 = Bool(
+        must=(Clause(query=a, fuzziness="0"),),
+        filter=(f"lang = '{top_lang}'",),
+    )
+    got2 = {
+        r["doc_id"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [SearchRequest(clauses=(tree2,), k=1)]
+        ).collect()
+    }
+    assert got2 == {d for d in la if lang_of[d] == top_lang}
+
+
+def test_nested_bool_filter_dsl_end_to_end(spark, dsl_index):
+    """DSL body with a nested filtered bool == the hand-built IR."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.querybuilder import Bool, Clause, SearchRequest
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "the", "operator": "and",
+                                     "fuzziness": 0}}}],
+        "should": [{"bool": {
+            "must": [{"match": {"text": {"query": "of",
+                                         "operator": "and",
+                                         "fuzziness": 0}}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }}],
+    }}, "size": 15}
+    got = bool_topk_batch(
+        spark, dsl_index, [parse_request(body)]
+    ).collect()
+    hand = SearchRequest(clauses=(Bool(
+        must=(Clause(query="the", operator="and", fuzziness="0"),),
+        should=(Bool(
+            must=(Clause(query="of", operator="and", fuzziness="0"),),
+            filter=("lang = 'en'",),
+        ),),
+    ),), k=15)
+    want = bool_topk_batch(spark, dsl_index, [hand]).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got
