@@ -159,6 +159,15 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
             raise ValueError("empty fuzzy term in bool tree")
         return _termlevel((t + tag,), obj.fields,
                           getattr(obj, "boost", 1.0))
+    from sparkfts.querybuilder import ConstFilter
+
+    if isinstance(obj, ConstFilter):
+        # ES constant_score(filter): score = boost for every doc the
+        # predicate admits (same docset machinery, constant != 0)
+        p = str(obj.predicate).strip()
+        if not p:
+            raise ValueError("empty constant_score predicate")
+        return ("docset", p, float(obj.boost))
     if isinstance(obj, Bool):
         # nested bool.filter predicates become zero-scoring "docset"
         # must members: same match-constraint, no score (ES filter
@@ -369,12 +378,16 @@ def _make_bool_scorer(
             def eval_node(node):
                 kind = node[0]
                 if kind == "docset":
-                    # nested bool.filter: this shard's allowed docs for
-                    # the predicate, zero score (ES filter context)
+                    # this shard's allowed docs for the predicate:
+                    # score 0 (nested bool.filter) or the constant
+                    # (constant_score leaf, slot 2)
                     ids = pred_includes.get(node[1])
                     if ids is None:
                         return _empty
-                    return ids, np.zeros(ids.size, np.float64)
+                    const = float(node[2]) if len(node) > 2 else 0.0
+                    if const == 0.0:
+                        return ids, np.zeros(ids.size, np.float64)
+                    return ids, np.full(ids.size, const, np.float64)
                 if kind == "boost":
                     # ES/Lucene BoostQuery: one multiply after the
                     # inner node's own fold (float64)
@@ -702,7 +715,7 @@ def bool_local(
         def _assign_pids(node):
             kind = node[0]
             if kind == "docset":
-                return ("docset", pred_id[node[1]])
+                return ("docset", pred_id[node[1]]) + tuple(node[2:])
             if kind == "boost":
                 return ("boost", _assign_pids(node[1]), node[2])
             if kind == "dismax":

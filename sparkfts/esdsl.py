@@ -233,6 +233,20 @@ def parse_query(node) -> Clause | Bool | DisMax:
             queries=tuple(parse_query(q) for q in spec["queries"]),
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
         )
+    if kind == "constant_score":
+        from sparkfts.querybuilder import ConstFilter
+
+        if not isinstance(spec, dict) or "filter" not in spec:
+            raise EsDslError(f"{ctx}: constant_score needs a filter")
+        _check_keys(spec, {"filter", "boost"}, ctx)
+        try:
+            pred = filter_sql(spec["filter"], f"{ctx}.filter")
+        except EsDslError as e:
+            raise EsDslError(
+                f"{e} — text-query constant_score has its own surface: "
+                "sparkfts.scoring.constant_score_topk"
+            ) from None
+        return ConstFilter(predicate=pred, boost=_boost_val(spec, ctx))
     if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         # term-level leaf queries (round-5: all four compose inside
         # bool via the kernel's expansion-group classes)

@@ -180,6 +180,21 @@ class FuzzyTerm:
 
 
 @dataclass(frozen=True)
+class ConstFilter:
+    """ES ``constant_score`` over a FILTER-CONTEXT predicate as a
+    bool-tree leaf: every doc satisfying the docmap SQL ``predicate``
+    matches with score exactly ``boost`` (the ES/Lucene
+    ConstantScoreQuery pin). Rides the same per-predicate allowed-set
+    machinery as nested ``bool.filter`` (booltree "docset" nodes) —
+    one docmap scan per distinct predicate. Text-query
+    ``constant_score`` has its own surface
+    (:func:`sparkfts.scoring.constant_score_topk`)."""
+
+    predicate: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SearchRequest:
     """Typed IR for one search: AND of clauses; no clauses = match-all.
 

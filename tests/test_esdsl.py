@@ -774,3 +774,59 @@ def test_nested_bool_filter_dsl_end_to_end(spark, dsl_index):
     want = bool_topk_batch(spark, dsl_index, [hand]).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got
+
+
+def test_constant_score_filter_leaf(spark, dsl_index, pages_df):
+    """constant_score(filter) -> ConstFilter docset leaf: every
+    predicate-matching doc scores exactly boost; composes in bool."""
+    from sparkfts.booltree import bool_matches_batch
+    from sparkfts.querybuilder import (
+        Bool,
+        Clause,
+        ConstFilter,
+        SearchRequest,
+    )
+    from sparkfts.tokens import prepare_pages
+
+    node = parse_query(
+        {"constant_score": {"filter": {"term": {"lang": "en"}},
+                            "boost": 1.5}}
+    )
+    assert node == ConstFilter(predicate="lang = 'en'", boost=1.5)
+
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in prepare_pages(pages_df).select("doc_id", "lang").collect()
+    }
+    # standalone-in-bool: must=[the], should=[constant_score(lang=en)]
+    leaf = {
+        r["doc_id"]: r["score"]
+        for r in bool_matches_batch(
+            spark, dsl_index,
+            [SearchRequest(
+                clauses=(Clause(query="the", fuzziness="0"),), k=1
+            )],
+        ).collect()
+    }
+    tree = Bool(
+        must=(Clause(query="the", fuzziness="0"),),
+        should=(node,),
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [SearchRequest(clauses=(tree,), k=1)]
+        ).collect()
+    }
+    assert got.keys() == leaf.keys()
+    for d in got:
+        bonus = 1.5 if lang_of[d] == "en" else 0.0
+        assert got[d] == pytest.approx(leaf[d] + bonus, abs=1e-12)
+    assert any(lang_of[d] == "en" for d in leaf)
+    assert any(lang_of[d] != "en" for d in leaf)
+
+    # text-query filter points at the dedicated surface
+    with pytest.raises(EsDslError, match="constant_score_topk"):
+        parse_query(
+            {"constant_score": {"filter": {"match": {"text": "x"}}}}
+        )
