@@ -1292,6 +1292,58 @@ def cmd_tokenizer(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_quality_clf(args: argparse.Namespace) -> None:
+    """Model-based quality filter (ops/qualityclf.py): score a corpus
+    under pinned or trained weights; --train learns a logistic model
+    from a labeled parquet first (label column 0/1) and scores with
+    it. Prints keep-rate + prob summary, one JSON line."""
+    spark = _spark(args.cores, "sparkfts-quality-clf")
+    from pyspark.sql import functions as F
+
+    from sparkfts.ops.qualityclf import (
+        clf_scores,
+        pinned_weights,
+        train_logreg,
+    )
+
+    t0 = time.time()
+    pages = spark.read.parquet(args.input)
+    docs = pages.select(
+        F.crc32(F.col("url")).cast("long").alias("doc_id"), "text"
+    ) if "doc_id" not in pages.columns else pages
+    if args.train:
+        labeled = spark.read.parquet(args.train)
+        if "label" not in labeled.columns:
+            raise SystemExit("quality-clf: --train parquet needs a "
+                             "0/1 'label' column")
+        w, b = train_logreg(
+            labeled, dim=args.dim, iters=args.iters, lr=args.lr
+        )
+        source = "trained"
+    else:
+        w, b = pinned_weights(args.dim), 0.0
+        source = "pinned"
+    scored = clf_scores(
+        docs, w, intercept=b, threshold=args.threshold
+    )
+    row = scored.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.avg("prob").alias("avg_prob"),
+    ).collect()[0]
+    print(json.dumps({
+        "weights": source,
+        "dim": args.dim,
+        "docs": int(row["docs"]),
+        "kept": int(row["kept"] or 0),
+        "keep_rate": round((row["kept"] or 0) / row["docs"], 4)
+        if row["docs"] else None,
+        "avg_prob": round(float(row["avg_prob"]), 6)
+        if row["avg_prob"] is not None else None,
+        "sec": round(time.time() - t0, 2),
+    }))
+
+
 def cmd_termvectors(args: argparse.Namespace) -> None:
     spark = _spark(args.cores, "sparkfts-termvectors")
     from sparkfts.termvectors import termvectors
@@ -1875,6 +1927,21 @@ def main(argv: list[str] | None = None) -> None:
                     help="unigram hard-EM rounds")
     tk.add_argument("--cores", default="*")
     tk.set_defaults(fn=cmd_tokenizer)
+
+    qc = sub.add_parser("quality-clf", help="model-based quality "
+                        "filter: hashed-feature linear scorer "
+                        "(+ optional distributed logistic training)")
+    qc.add_argument("--input", required=True)
+    qc.add_argument("--train", default=None,
+                    help="labeled parquet (doc_id, text, label 0/1) "
+                         "to train on; omit for the pinned weights")
+    qc.add_argument("--dim", type=int, default=1024)
+    qc.add_argument("--iters", type=int, default=30)
+    qc.add_argument("--lr", type=float, default=1.0)
+    qc.add_argument("--threshold", type=float, default=None,
+                    help="keep prob >= threshold (default: prob >= 0.5)")
+    qc.add_argument("--cores", default="*")
+    qc.set_defaults(fn=cmd_quality_clf)
 
     tv = sub.add_parser("termvectors", help="per-doc term statistics "
                                             "(_termvectors)")

@@ -91,3 +91,27 @@ def test_training_separates_planted_labels(spark):
     assert acc == 1.0
     with pytest.raises(ValueError):
         train_logreg(ex.limit(0), dim=8, iters=1)
+
+
+def test_cli_quality_clf(spark, corpus, tmp_path, capsys):
+    import json
+
+    from sparkfts.cli import main
+
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(corpus.to_pandas()).write.parquet(inp)
+    main(["quality-clf", "--input", inp, "--dim", "64", "--cores", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["weights"] == "pinned" and out["docs"] == 400
+    assert 0 <= out["keep_rate"] <= 1
+    # trained path on a tiny labeled set
+    rows = [(i, ("excellent text " if i % 2 else "terrible spam ") + "x",
+             1 if i % 2 else 0) for i in range(20)]
+    lab = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).write.parquet(lab)
+    main(["quality-clf", "--input", lab, "--train", lab, "--dim", "32",
+          "--iters", "8", "--lr", "4.0", "--cores", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["weights"] == "trained" and out["docs"] == 20
