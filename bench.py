@@ -659,6 +659,12 @@ EXTENDED_OPS = [
     "date_math_range", "quality_quantile_filter", "mixture_sample",
     "dedup_incremental", "knn_join_lsh", "semdedup", "ann_bbq_topk",
     "tfidf_keywords", "collocations", "boxplot_agg", "t_test_agg",
+    # round-5 second wave
+    "fts_simple_qs", "fts_qs_boost", "fts_bool_msm",
+    "fts_nested_filter", "fts_fuzzy_fixed", "fts_bool_termlevel",
+    "fts_dsl_aggs", "children_agg", "parent_agg",
+    "pipeline_cumulative_cardinality", "quality_clf_scores",
+    "exact_substring_stats",
 ]
 
 

@@ -56,6 +56,9 @@ CROSS_WHITELIST = {
     "rank_eval_metrics",
     # cosine leg: query-vector literal vs corpus (the ann_cosine shape)
     "hybrid_linear_topk",
+    # entry-level presentation join: <= size terms buckets x the ONE
+    # already-reduced stats row (both sides coordinator-bounded)
+    "fts_dsl_aggs",
 }
 
 
