@@ -1095,9 +1095,14 @@ def significant_text(
     size: int = 10,
     min_doc_count: int = 3,
     pages: DataFrame | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES ``significant_text`` aggregation -> (term, df_fg, df_bg,
-    score_jlh), score desc then term asc, top ``size``.
+    score_<heuristic>), score desc then term asc, top ``size``.
+    ``heuristic``: ``jlh`` (default) / ``chi_square`` /
+    ``mutual_information`` — the SAME pinned 2x2 statistics as
+    :func:`significant_terms` (shared fg>bg positivity filter =
+    ES ``include_negatives: false``).
 
     Unlike :func:`significant_terms` (which counts over the INDEXED
     postings), significant_text RE-ANALYZES the source text of the
@@ -1148,12 +1153,31 @@ def significant_text(
     n_docs = meta["n_docs"]
     fg_rate = F.col("df_fg") / F.lit(float(n_matched))
     bg_rate = F.col("df_bg") / F.lit(float(n_docs))
+    if heuristic == "jlh":
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        out = "score_jlh"
+    elif heuristic == "chi_square":
+        a = F.col("df_fg").cast("double")
+        b = F.lit(float(n_matched)) - a
+        c = F.col("df_bg").cast("double") - a
+        d = F.lit(float(n_docs - n_matched)) - c
+        num = a * d - b * c
+        score = (
+            F.lit(float(n_docs)) * num * num
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        out = "score_chi2"
+    elif heuristic == "mutual_information":
+        score, out = F.log(fg_rate / bg_rate), "score_mi"
+    else:
+        raise ValueError(f"unknown heuristic {heuristic!r}")
     return (
         fg.join(bg, "term")
-        .withColumn("score_jlh", (fg_rate - bg_rate) * (fg_rate / bg_rate))
-        .where(F.col("score_jlh") > 0)
-        .select("term", "df_fg", "df_bg", "score_jlh")
-        .orderBy(F.desc("score_jlh"), F.asc("term"))
+        .where(fg_rate > bg_rate)
+        .withColumn(out, score)
+        .where(F.col(out) > 0)
+        .select("term", "df_fg", "df_bg", out)
+        .orderBy(F.desc(out), F.asc("term"))
         .limit(size)
     )
 

@@ -199,10 +199,14 @@ def _to_node(obj, stopwords=None, multifield: bool = False,
     from sparkfts.querybuilder import DisMax
 
     if isinstance(obj, DisMax):
-        return (
-            "dismax",
-            tuple(_to_node(c, stopwords, multifield, stemmer) for c in obj.queries),
-            float(obj.tie_breaker),
+        return _boosted(
+            (
+                "dismax",
+                tuple(_to_node(c, stopwords, multifield, stemmer)
+                      for c in obj.queries),
+                float(obj.tie_breaker),
+            ),
+            getattr(obj, "boost", 1.0),
         )
     raise TypeError(f"unsupported bool-tree member: {type(obj)!r}")
 

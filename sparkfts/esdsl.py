@@ -228,10 +228,11 @@ def parse_query(node) -> Clause | Bool | DisMax:
     if kind == "dis_max":
         if not isinstance(spec, dict) or not spec.get("queries"):
             raise EsDslError(f"{ctx}: dis_max needs queries")
-        _check_keys(spec, {"queries", "tie_breaker"}, ctx)
+        _check_keys(spec, {"queries", "tie_breaker", "boost"}, ctx)
         return DisMax(
             queries=tuple(parse_query(q) for q in spec["queries"]),
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
+            boost=_boost_val(spec, ctx),
         )
     if kind == "constant_score":
         from sparkfts.querybuilder import ConstFilter
@@ -410,6 +411,19 @@ def filter_sql(node, ctx: str = "filter") -> str:
         if not isinstance(spec, dict) or "field" not in spec:
             raise EsDslError(f"{ctx}: exists needs a field")
         return f"{_ident(spec['field'], ctx)} IS NOT NULL"
+    if kind == "ids":
+        # ES {"ids": {"values": [...]}} — doc ids are int64 here
+        if not isinstance(spec, dict) or not spec.get("values"):
+            raise EsDslError(f"{ctx}: ids needs a non-empty values list")
+        _check_keys(spec, {"values"}, ctx)
+        try:
+            vals = sorted(int(v) for v in spec["values"])
+        except (TypeError, ValueError):
+            raise EsDslError(
+                f"{ctx}: ids values must be integers (the engine's "
+                "doc_id type)"
+            ) from None
+        return "doc_id IN (" + ", ".join(str(v) for v in vals) + ")"
     if kind == "bool":
         _check_keys(spec, {"filter", "must"}, ctx)
         subs = [
@@ -647,6 +661,19 @@ def run_request(
     offset = int(body.get("from", 0))
     if offset < 0:
         raise EsDslError("from must be >= 0")
+    after = body.get("search_after")
+    if after is not None:
+        # ES: search_after needs a sort, excludes from, and the cursor
+        # is (sort value, doc_id tiebreak) — the O(k)-per-page model
+        if sort_spec is None:
+            raise EsDslError("search_after requires sort")
+        if offset:
+            raise EsDslError("search_after and from are mutually "
+                             "exclusive (ES)")
+        if not isinstance(after, list) or len(after) != 2:
+            raise EsDslError(
+                "search_after must be [last sort value, last doc_id]"
+            )
     q_body = {
         k: v
         for k, v in body.items()
@@ -654,7 +681,7 @@ def run_request(
     }
     extras = set(body) - {
         "query", "size", "aggs", "aggregations", "sort", "_source",
-        "track_total_hits", "from",
+        "track_total_hits", "from", "search_after",
     }
     if extras:
         raise EsDslError(f"body: unsupported options {sorted(extras)}")
@@ -706,7 +733,15 @@ def run_request(
     if sort_key is not None:
         field, asc = sort_key
         c = F.col(field)
-        ordered = scope.orderBy(
+        page_scope = scope  # aggs keep the FULL match set (ES contract)
+        if after is not None:
+            av, ad = after
+            strict = (c > F.lit(av)) if asc else (c < F.lit(av))
+            page_scope = scope.where(
+                strict
+                | ((c == F.lit(av)) & (F.col("doc_id") > F.lit(int(ad))))
+            )
+        ordered = page_scope.orderBy(
             c.asc() if asc else c.desc(), F.col("doc_id").asc()
         ).limit(page)
         w = Window.orderBy(

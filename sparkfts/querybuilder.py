@@ -116,6 +116,8 @@ class DisMax:
 
     queries: tuple = field(default_factory=tuple)
     tie_breaker: float = 0.0
+    # ES query-level boost (BoostQuery around the dis_max)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -830,3 +830,72 @@ def test_constant_score_filter_leaf(spark, dsl_index, pages_df):
         parse_query(
             {"constant_score": {"filter": {"match": {"text": "x"}}}}
         )
+
+
+def test_ids_filter_dismax_boost_search_after(spark, dsl_index,
+                                              pages_df):
+    """Round-5 closures: ids filter context, dis_max boost,
+    search_after on the sorted DSL path."""
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.esdsl import run_request
+    from sparkfts.tokens import prepare_pages
+
+    # ids filter
+    assert filter_sql({"ids": {"values": [3, 1, 2]}}) == (
+        "doc_id IN (1, 2, 3)"
+    )
+    with pytest.raises(EsDslError, match="integers"):
+        filter_sql({"ids": {"values": ["abc"]}})
+    with pytest.raises(EsDslError, match="non-empty"):
+        filter_sql({"ids": {"values": []}})
+
+    # dis_max boost: scores exactly base * boost
+    base_q = {"dis_max": {"queries": [
+        {"match": {"text": {"query": "the", "operator": "and",
+                            "fuzziness": 0}}},
+        {"match": {"text": {"query": "of", "operator": "and",
+                            "fuzziness": 0}}},
+    ], "tie_breaker": 0.3}}
+    boosted_q = {"dis_max": {**base_q["dis_max"], "boost": 2.0}}
+    a = bool_topk_batch(
+        spark, dsl_index,
+        [parse_request({"query": base_q, "size": 10})],
+    ).collect()
+    b = bool_topk_batch(
+        spark, dsl_index,
+        [parse_request({"query": boosted_q, "size": 10})],
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(y["score"] == x["score"] * 2.0 for x, y in zip(a, b))
+    assert a
+
+    # search_after on the sorted path: page 2 == rank 6..10 of page 1
+    dv = prepare_pages(pages_df).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    qpart = {"query": {"match": {"text": {"query": "the",
+                                          "operator": "and",
+                                          "fuzziness": 0}}}}
+    p1 = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 10, "sort": [{"n_chars": "desc"}]},
+        doc_values=dv,
+    )["hits"].collect()
+    last = p1[4]
+    p2 = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 5, "sort": [{"n_chars": "desc"}],
+         "search_after": [last["sort_value"], last["doc_id"]]},
+        doc_values=dv,
+    )["hits"].collect()
+    assert [r["doc_id"] for r in p2] == [r["doc_id"] for r in p1[5:10]]
+    # guards
+    with pytest.raises(EsDslError, match="requires sort"):
+        run_request(spark, dsl_index,
+                    {**qpart, "search_after": [1, 2]}, doc_values=dv)
+    with pytest.raises(EsDslError, match="mutually"):
+        run_request(spark, dsl_index,
+                    {**qpart, "from": 3, "sort": ["n_chars"],
+                     "search_after": [1, 2]}, doc_values=dv)

@@ -305,3 +305,39 @@ def test_ip_range_agg(spark):
         ip_range_agg(df, "ip", [{"mask": "10.0.0.0/33"}])
     with pytest.raises(ValueError, match="excludes"):
         ip_range_agg(df, "ip", [{"mask": "10.0.0.0/8", "to": "1.2.3.4"}])
+
+
+def test_significant_text_heuristics(spark, corpus, tmp_path_factory):
+    """significant_text heuristic= shares the significant_terms 2x2
+    pins; jlh path unchanged; chi2/MI survivor set identical."""
+    from sparkfts.aggs import significant_terms, significant_text
+    from sparkfts.index import build_index
+
+    import pytest as _pt
+
+    from sparkfts.tokens import prepare_pages
+
+    d = str(tmp_path_factory.mktemp("sigtext_h"))
+    pages = spark.createDataFrame(corpus.to_pandas())
+    build_index(pages, d, n_shards=2, n_tbuckets=4)
+    src = prepare_pages(pages).select("doc_id", "text")
+
+    q = "the"
+    # when analyses coincide (index chain == re-analysis chain), text
+    # and terms variants agree per heuristic
+    for h, col in [("chi_square", "score_chi2"),
+                   ("mutual_information", "score_mi")]:
+        a = significant_text(
+            spark, d, q, pages=src, size=8, heuristic=h
+        ).collect()
+        b = significant_terms(
+            spark, d, q, size=8, heuristic=h
+        ).collect()
+        assert [(r["term"], r["df_fg"], r["df_bg"]) for r in a] == [
+            (r["term"], r["df_fg"], r["df_bg"]) for r in b
+        ]
+        for x, y in zip(a, b):
+            assert x[col] == _pt.approx(y[col], rel=1e-12)
+        assert a
+    with _pt.raises(ValueError, match="heuristic"):
+        significant_text(spark, d, q, pages=src, heuristic="bogus")
