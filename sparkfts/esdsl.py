@@ -539,7 +539,9 @@ _AGG_POINTERS = {
 }
 
 
-def parse_aggs(spec, ctx: str = "aggs") -> list[tuple[str, str, dict]]:
+def parse_aggs(
+    spec, ctx: str = "aggs"
+) -> list[tuple[str, str, dict, list]]:
     """``body["aggs"]`` -> [(name, kind, options)] (fail-loud subset).
 
     Supported kinds (all over a docvalue field of the provided
@@ -553,20 +555,56 @@ def parse_aggs(spec, ctx: str = "aggs") -> list[tuple[str, str, dict]]:
     pointers."""
     if not isinstance(spec, dict) or not spec:
         raise EsDslError(f"{ctx}: aggs must be a non-empty object")
-    out: list[tuple[str, str, dict]] = []
+    out: list[tuple[str, str, dict, list]] = []
     for name, obj in spec.items():
         actx = f"{ctx}.{name}"
         if not isinstance(name, str) or not name:
             raise EsDslError(f"{ctx}: agg names must be strings")
         if not isinstance(obj, dict):
             raise EsDslError(f"{actx}: must be an object")
-        if "aggs" in obj or "aggregations" in obj:
-            raise EsDslError(
-                f"{actx}: sub-aggregations are outside this runner — "
-                "use sparkfts.aggs.terms_stats_nested / the dedicated "
-                "agg surfaces"
-            )
+        sub_spec = obj.get("aggs") or obj.get("aggregations")
+        obj = {
+            k: v for k, v in obj.items() if k not in ("aggs", "aggregations")
+        }
         kind, opts = _one_key(obj, actx)
+        subs: list[tuple[str, str, dict]] = []
+        if sub_spec is not None:
+            # ONE level of metric sub-aggs under a terms parent (the
+            # dominant ES shape: buckets + per-bucket metrics, computed
+            # in the SAME groupBy); anything deeper / non-terms parent
+            # points at the dedicated surfaces
+            if kind != "terms":
+                raise EsDslError(
+                    f"{actx}: sub-aggregations are supported under "
+                    "`terms` parents only — deeper nesting has the "
+                    "dedicated surfaces (sparkfts.aggs."
+                    "terms_stats_nested, composite_agg, ...)"
+                )
+            if not isinstance(sub_spec, dict) or not sub_spec:
+                raise EsDslError(f"{actx}.aggs: must be a non-empty object")
+            for sname, sobj in sub_spec.items():
+                sctx = f"{actx}.aggs.{sname}"
+                if not isinstance(sobj, dict):
+                    raise EsDslError(f"{sctx}: must be an object")
+                if "aggs" in sobj or "aggregations" in sobj:
+                    raise EsDslError(
+                        f"{sctx}: only ONE sub-agg level is supported "
+                        "here — use sparkfts.aggs.terms_stats_nested"
+                    )
+                skind, sopts = _one_key(sobj, sctx)
+                if skind not in (
+                    "avg", "min", "max", "sum", "value_count", "stats",
+                    "cardinality",
+                ):
+                    raise EsDslError(
+                        f"{sctx}: unsupported sub-agg type {skind!r} "
+                        "(metric sub-aggs only)"
+                    )
+                if not isinstance(sopts, dict) or "field" not in sopts:
+                    raise EsDslError(f"{sctx}: {skind} needs a field")
+                _ident(str(sopts["field"]), sctx)
+                _check_keys(sopts, {"field"}, sctx)
+                subs.append((sname, skind, dict(sopts)))
         if kind in _AGG_POINTERS:
             raise EsDslError(
                 f"{actx}: use the dedicated surface: {_AGG_POINTERS[kind]}"
@@ -590,7 +628,7 @@ def parse_aggs(spec, ctx: str = "aggs") -> list[tuple[str, str, dict]]:
         if kind == "histogram":
             if float(opts.get("interval", 0)) <= 0:
                 raise EsDslError(f"{actx}: interval must be > 0")
-        out.append((name, kind, dict(opts)))
+        out.append((name, kind, dict(opts), subs))
     return out
 
 
@@ -697,7 +735,11 @@ def run_request(
         )
     dv_fields: set = set()
     aggs = parse_aggs(agg_spec) if agg_spec is not None else []
-    dv_fields |= {str(o["field"]) for _n, _k, o in aggs}
+    dv_fields |= {str(o["field"]) for _n, _k, o, _s in aggs}
+    dv_fields |= {
+        str(so["field"]) for _n, _k, _o, subs in aggs
+        for _sn, _sk, so in subs
+    }
     sort_key = _parse_sort(sort_spec) if sort_spec is not None else None
     if sort_key:
         dv_fields.add(sort_key[0])
@@ -796,16 +838,41 @@ def run_request(
             out["total"] = match.count()
     if not aggs:
         return out
-    for name, kind, opts in aggs:
+    for name, kind, opts, subs in aggs:
         fld = str(opts["field"])
         c = F.col(fld)
         if kind == "terms":
             size = int(opts.get("size", 10))
             mdc = int(opts.get("min_doc_count", 1))
+            # metric sub-aggs compute in the SAME groupBy (one shuffle
+            # for buckets + all their metrics — the ES shard-fold shape)
+            agg_exprs = [F.count("*").alias("doc_count")]
+            for sname, skind, sopts in subs:
+                sc2 = F.col(str(sopts["field"]))
+                if skind == "stats":
+                    agg_exprs += [
+                        F.count(sc2).alias(f"{sname}_count"),
+                        F.min(sc2).alias(f"{sname}_min"),
+                        F.max(sc2).alias(f"{sname}_max"),
+                        F.sum(sc2.cast("double")).alias(f"{sname}_sum"),
+                        F.avg(sc2.cast("double")).alias(f"{sname}_avg"),
+                    ]
+                elif skind in ("avg", "sum"):
+                    fn2 = {"avg": F.avg, "sum": F.sum}[skind]
+                    agg_exprs.append(
+                        fn2(sc2.cast("double")).alias(sname)
+                    )
+                elif skind in ("min", "max"):
+                    fn2 = {"min": F.min, "max": F.max}[skind]
+                    agg_exprs.append(fn2(sc2).alias(sname))
+                elif skind == "value_count":
+                    agg_exprs.append(F.count(sc2).alias(sname))
+                else:  # cardinality (exact pin)
+                    agg_exprs.append(F.countDistinct(sc2).alias(sname))
             frame = (
                 scope.where(c.isNotNull())
                 .groupBy(c.alias("key"))
-                .agg(F.count("*").alias("doc_count"))
+                .agg(*agg_exprs)
                 .where(F.col("doc_count") >= mdc)
                 .orderBy(F.desc("doc_count"), F.asc("key"))
                 .limit(size)

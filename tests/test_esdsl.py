@@ -543,7 +543,9 @@ def test_run_request_match_all_and_guards(spark, corpus, dsl_index,
                     {"query": {"match_all": {}},
                      "aggs": {"x": {"avg": {"field": "nope"}}}},
                     doc_values=dv)
-    with pytest.raises(EsDslError, match="sub-aggregations"):
+    # terms + metric sub-aggs are SUPPORTED now (round 5) — an unknown
+    # sub-agg FIELD is what rejects
+    with pytest.raises(EsDslError, match="not in doc_values"):
         run_request(spark, dsl_index,
                     {"query": {"match_all": {}},
                      "aggs": {"x": {"terms": {"field": "lang"},
@@ -899,3 +901,76 @@ def test_ids_filter_dismax_boost_search_after(spark, dsl_index,
         run_request(spark, dsl_index,
                     {**qpart, "from": 3, "sort": ["n_chars"],
                      "search_after": [1, 2]}, doc_values=dv)
+
+
+def test_terms_sub_aggs_in_runner(spark, dsl_index, pages_df):
+    """terms + metric sub-aggs in one request body: per-bucket metrics
+    computed in the SAME groupBy; mirror from the match set."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sparkfts.booltree import bool_matches_batch
+    from sparkfts.esdsl import run_request
+    from sparkfts.tokens import prepare_pages
+
+    dv = prepare_pages(pages_df).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    qpart = {"query": {"match": {"text": {"query": "the",
+                                          "operator": "and",
+                                          "fuzziness": 0}}}}
+    out = run_request(
+        spark, dsl_index,
+        {**qpart, "size": 1, "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                     "max_chars": {"max": {"field": "n_chars"}}},
+        }}},
+        doc_values=dv,
+    )
+    rows = out["aggregations"]["by_lang"].collect()
+    match = {
+        r["doc_id"]
+        for r in bool_matches_batch(
+            spark, dsl_index, [parse_request({**qpart, "size": 1})]
+        ).collect()
+    }
+    dvr = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in dv.collect()}
+    per_lang: dict = {}
+    for d in match:
+        lang, n = dvr[d]
+        per_lang.setdefault(lang, []).append(n)
+    want = sorted(
+        ((k, len(v)) for k, v in per_lang.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(r["key"], r["doc_count"]) for r in rows] == want
+    for r in rows:
+        vals = per_lang[r["key"]]
+        assert r["avg_chars"] == pytest.approx(
+            sum(vals) / len(vals), abs=1e-9
+        )
+        assert r["max_chars"] == max(vals)
+
+    # guards: sub-aggs only under terms; only one level; metric kinds
+    with pytest.raises(EsDslError, match="terms"):
+        run_request(spark, dsl_index,
+                    {**qpart, "aggs": {"x": {
+                        "stats": {"field": "n_chars"},
+                        "aggs": {"y": {"avg": {"field": "n_chars"}}}}}},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="ONE sub-agg level"):
+        run_request(spark, dsl_index,
+                    {**qpart, "aggs": {"x": {
+                        "terms": {"field": "lang"},
+                        "aggs": {"y": {"terms": {"field": "lang"},
+                                       "aggs": {"z": {"avg":
+                                                      {"field": "n"}}}}}}}},
+                    doc_values=dv)
+    with pytest.raises(EsDslError, match="metric sub-aggs only"):
+        run_request(spark, dsl_index,
+                    {**qpart, "aggs": {"x": {
+                        "terms": {"field": "lang"},
+                        "aggs": {"y": {"terms": {"field": "lang"}}}}}},
+                    doc_values=dv)
