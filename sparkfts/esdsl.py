@@ -62,7 +62,6 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _POINTERS = {
     "match_phrase": "sparkfts.phrase.phrase_topk_batch",
     "match_phrase_prefix": "sparkfts.phrase.phrase_prefix_batch",
-    "match_bool_prefix": "sparkfts.prefix.bool_prefix_batch",
     "span_near": "sparkfts.spans",
     "span_first": "sparkfts.spans",
     "span_or": "sparkfts.spans",
@@ -234,6 +233,37 @@ def parse_query(node) -> Clause | Bool | DisMax:
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
             boost=_boost_val(spec, ctx),
         )
+    if kind == "match_bool_prefix":
+        # ES search-as-you-type, non-positional: every analyzed term
+        # but the last is a term clause, the last a Prefix leaf;
+        # operator picks bool.should (or, the default) vs bool.must.
+        # Analysis uses the DEFAULT pinned chain (no index meta at
+        # parse time — stopword/stemmer-configured indexes should use
+        # sparkfts.prefix.match_bool_prefix_batch, which reads meta).
+        from sparkfts.analysis import tokenize
+        from sparkfts.querybuilder import Prefix
+
+        field, spec = _one_key(spec, ctx)
+        field = _ident(field, ctx)
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise EsDslError(f"{ctx}: match_bool_prefix needs a query")
+        _check_keys(spec, {"query", "operator", "boost"}, ctx)
+        toks = tokenize(str(spec["query"]))
+        if not toks:
+            raise EsDslError(
+                f"{ctx}: query analyzes to no terms"
+            )
+        members = tuple(
+            Clause(query=t, fields=(field,), operator="and",
+                   fuzziness="0")
+            for t in toks[:-1]
+        ) + (Prefix(prefix=toks[-1], fields=(field,)),)
+        b = _boost_val(spec, ctx)
+        if _operator(spec.get("operator"), ctx) == "or":
+            return Bool(should=members, boost=b)
+        return Bool(must=members, boost=b)
     if kind == "constant_score":
         from sparkfts.querybuilder import ConstFilter
 

@@ -974,3 +974,31 @@ def test_terms_sub_aggs_in_runner(spark, dsl_index, pages_df):
                         "terms": {"field": "lang"},
                         "aggs": {"y": {"terms": {"field": "lang"}}}}}},
                     doc_values=dv)
+
+
+def test_match_bool_prefix_lowering_parity(spark, dsl_index):
+    """match_bool_prefix in the DSL == the dedicated surface (default
+    analyzer chain), both operators; bit-identical ranks and scores."""
+    from sparkfts.booltree import bool_topk_batch
+    from sparkfts.prefix import match_bool_prefix_batch
+
+    q = "the wo"
+    for op, mode in (("or", "or"), ("and", "and")):
+        req = parse_request({
+            "query": {"match_bool_prefix": {"text": {
+                "query": q, "operator": op}}},
+            "size": 12,
+        })
+        got = bool_topk_batch(spark, dsl_index, [req]).collect()
+        want = match_bool_prefix_batch(
+            spark, dsl_index, [(0, q, 12)], mode=mode
+        ).collect()
+        assert [tuple(r)[1:] for r in got] == [
+            tuple(r)[1:] for r in want
+        ], op
+        assert got, op
+    # shorthand + guards
+    n = parse_query({"match_bool_prefix": {"text": "a b"}})
+    assert n.should and len(n.should) == 2
+    with pytest.raises(EsDslError, match="no terms"):
+        parse_query({"match_bool_prefix": {"text": "!!!"}})
