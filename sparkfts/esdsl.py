@@ -29,6 +29,10 @@ them:
   executor)
 - filter context (root ``bool.filter``): ``term``, ``terms``,
   ``range`` (gt/gte/lt/lte), ``exists``, nested ``bool.filter``
+- term-level queries in QUERY context: ``term`` / ``terms`` /
+  ``range`` / ``exists`` / ``ids`` lower to constant-score leaves
+  (score = ``boost``, Lucene's ConstantScore wrap for range/exists;
+  pinned deviation: ES idf-scores a keyword ``term``)
 - body keys: ``query``, ``size`` (:func:`parse_request`); the one-call
   runner :func:`run_request` adds ``from``, ``sort`` (one doc-value
   key), ``_source``, ``track_total_hits`` and ``aggs`` (10 agg kinds
@@ -80,8 +84,6 @@ _POINTERS = {
     "geo_distance": "sparkfts.geo.geo_distance",
     "geo_bounding_box": "sparkfts.geo.geo_bounding_box",
     "distance_feature": "sparkfts.docvalues.distance_feature_topk",
-    "ids": "sparkfts.querybuilder.ids_topk",
-    "exists": "filter context (bool.filter) or querybuilder.exists_topk",
     "sparse_vector": "sparkfts.sparsevec",
 }
 
@@ -389,11 +391,48 @@ def parse_query(node) -> Clause | Bool | DisMax:
                 "simple_query_string_topk_batch"
             )
         return node
+    if kind in ("term", "terms", "range", "exists", "ids"):
+        # Term-level queries in QUERY context (round 5). Lucene wraps
+        # range/exists/ids in ConstantScore(boost); term/terms on the
+        # engine's docvalue metadata fields are pinned the same way
+        # (documented deviation: ES would idf-score a keyword term).
+        from sparkfts.querybuilder import ConstFilter
+
+        if not isinstance(spec, dict):
+            raise EsDslError(f"{ctx}: {kind} needs an object body")
+        spec, b = _strip_boost(kind, spec, ctx)
+        pred = filter_sql({kind: spec}, ctx + ".as_filter")
+        return ConstFilter(predicate=pred, boost=b)
     if kind in _POINTERS:
         raise EsDslError(
             f"{ctx}: use the dedicated surface: {_POINTERS[kind]}"
         )
     raise EsDslError(f"{ctx}: unsupported query type")
+
+
+def _strip_boost(kind: str, spec: dict, ctx: str) -> tuple[dict, float]:
+    """Remove ES's per-kind ``boost`` slot from a term-level query body
+    so the remainder is a pure filter-context object; return (cleaned
+    spec, boost).  Boost placement varies by kind in ES:
+
+    - ``term``/``range``: inside the per-field object
+      (``{"f": {"value": v, "boost": b}}`` / ``{"f": {"gte": .., "boost": b}}``)
+    - ``terms``/``exists``/``ids``: sibling of the field/values key
+    """
+    b = 1.0
+    if kind in ("terms", "exists", "ids"):
+        if "boost" in spec:
+            spec = dict(spec)
+            b = _boost_val(spec, ctx)
+            spec.pop("boost")
+    else:  # term / range: per-field inner object
+        field, inner = _one_key(spec, ctx)
+        if isinstance(inner, dict) and "boost" in inner:
+            inner = dict(inner)
+            b = _boost_val(inner, ctx)
+            inner.pop("boost")
+            spec = {field: inner}
+    return spec, b
 
 
 def _sql_value(v, ctx: str) -> str:

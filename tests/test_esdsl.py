@@ -1002,3 +1002,56 @@ def test_match_bool_prefix_lowering_parity(spark, dsl_index):
     assert n.should and len(n.should) == 2
     with pytest.raises(EsDslError, match="no terms"):
         parse_query({"match_bool_prefix": {"text": "!!!"}})
+
+
+def test_term_level_query_context_constant_score(spark, dsl_index):
+    """term/terms/range/exists/ids in QUERY context lower to
+    ConstantScore leaves (score = boost), per-kind boost placement."""
+    from sparkfts.querybuilder import ConstFilter
+
+    assert parse_query({"term": {"lang": "en"}}) == ConstFilter(
+        predicate="lang = 'en'", boost=1.0
+    )
+    assert parse_query(
+        {"term": {"lang": {"value": "en", "boost": 2.5}}}
+    ) == ConstFilter(predicate="lang = 'en'", boost=2.5)
+    assert parse_query(
+        {"terms": {"lang": ["en", "fr"], "boost": 0.5}}
+    ) == ConstFilter(predicate="lang IN ('en', 'fr')", boost=0.5)
+    n = parse_query({"range": {"doclen": {"gte": 10, "boost": 3.0}}})
+    assert n == ConstFilter(predicate="(doclen >= 10)", boost=3.0)
+    assert parse_query({"exists": {"field": "lang"}}) == ConstFilter(
+        predicate="lang IS NOT NULL", boost=1.0
+    )
+    assert parse_query(
+        {"ids": {"values": [7, 3], "boost": 2.0}}
+    ) == ConstFilter(predicate="doc_id IN (3, 7)", boost=2.0)
+
+    # execution parity: query-context term == constant_score(term)
+    from sparkfts.booltree import bool_topk_batch
+
+    def run(body):
+        return [
+            tuple(r)[1:]
+            for r in bool_topk_batch(
+                spark, dsl_index,
+                [parse_request({"query": body, "size": 20})],
+            ).collect()
+        ]
+
+    direct = run({"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "should": [{"term": {"lang": {"value": "en", "boost": 1.5}}}],
+    }})
+    via_cs = run({"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "should": [{"constant_score": {
+            "filter": {"term": {"lang": "en"}}, "boost": 1.5}}],
+    }})
+    assert direct == via_cs and direct
+
+    # guards: malformed bodies still fail loud
+    with pytest.raises(EsDslError, match="non-empty list"):
+        parse_query({"terms": {"lang": []}})
+    with pytest.raises(EsDslError, match="object body"):
+        parse_query({"term": "lang"})
